@@ -1,0 +1,297 @@
+"""Config loading, validation, and per-camera merge.
+
+The YAML schema is a byte-compatible surface with the reference
+(``config/config.yaml`` + gitignored ``camera_credentials.yaml``); semantics
+mirror ``main.py:106-346`` (load/validate) and ``main.py:941-1034``
+(three-level precedence: global detection -> per-camera detection_overrides /
+stage2_preprocessing). The implementation is new: declarative range specs
+instead of imperative if-chains, and it returns structured errors so the
+hot-reload endpoint can report them.
+"""
+from __future__ import annotations
+
+import copy
+import logging
+import os
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+import yaml
+
+logger = logging.getLogger(__name__)
+
+
+class ConfigError(ValueError):
+    """Raised when a config fails validation. ``.errors`` holds all messages."""
+
+    def __init__(self, errors: List[str]):
+        super().__init__("; ".join(errors))
+        self.errors = errors
+
+
+# ---------------------------------------------------------------------------
+# Loading
+# ---------------------------------------------------------------------------
+
+def load_config(
+    config_path: str = "config/config.yaml",
+    credentials_path: Optional[str] = None,
+) -> Dict[str, Any]:
+    """Load config YAML and merge per-camera credentials.
+
+    Credentials live in a separate gitignored file keyed by camera id:
+      camera_credentials.yaml: {credentials: {cam1: {username, password}}}
+    (reference main.py:106-141).
+    """
+    path = Path(config_path)
+    if not path.exists():
+        raise FileNotFoundError(f"Config file not found: {config_path}")
+    with open(path) as f:
+        config = yaml.safe_load(f) or {}
+
+    if credentials_path is None:
+        credentials_path = str(path.parent.parent / "camera_credentials.yaml")
+        if not Path(credentials_path).exists():
+            credentials_path = str(path.parent / "camera_credentials.yaml")
+
+    creds = {}
+    if Path(credentials_path).exists():
+        with open(credentials_path) as f:
+            cred_doc = yaml.safe_load(f) or {}
+        creds = cred_doc.get("credentials", cred_doc) or {}
+
+    for cam in config.get("cameras", []) or []:
+        cam_creds = creds.get(cam.get("id"), {})
+        if cam_creds:
+            cam.setdefault("username", cam_creds.get("username"))
+            cam.setdefault("password", cam_creds.get("password"))
+    return config
+
+
+# ---------------------------------------------------------------------------
+# Validation
+# ---------------------------------------------------------------------------
+
+# (section, key) -> (type(s), lo, hi) — inclusive numeric ranges, None = open.
+_RANGE_SPECS: Tuple[Tuple[Tuple[str, ...], type, Optional[float], Optional[float]], ...] = (
+    (("detection", "conf_threshold"), float, 0.0, 1.0),
+    (("detection", "nms_threshold"), float, 0.0, 1.0),
+    (("detection", "min_box_area"), float, 0.0, None),
+    (("detection", "max_detections"), int, 1, 10000),
+    (("detection", "batching", "max_batch_size"), int, 1, 64),
+    (("detection", "batching", "max_batch_wait_ms"), float, 0.0, 1000.0),
+    (("species_classification", "confidence_threshold"), float, 0.0, 1.0),
+    (("species_classification", "preprocessing", "crop_padding_percent"), float, 0.0, 200.0),
+    (("species_classification", "preprocessing", "min_crop_size"), int, 1, 4096),
+    (("web", "port"), int, 1, 65535),
+    (("web", "mjpeg_fps"), float, 1, 120),
+    (("web", "jpeg_quality"), int, 1, 100),
+    (("performance", "frame_queue_size"), int, 1, 1000),
+    (("performance", "detection_queue_size"), int, 1, 1000),
+    (("performance", "history_size"), int, 1, 100000),
+    (("performance", "queue_health", "warning_threshold"), float, 0.0, 1.0),
+    (("performance", "queue_health", "critical_threshold"), float, 0.0, 1.0),
+    (("performance", "empty_frame_filter", "min_motion_area"), float, 0.0, None),
+    (("performance", "empty_frame_filter", "threshold"), float, 0.0, 255.0),
+    (("performance", "sparse_detection", "keyframe_interval"), int, 1, 1000),
+    (("motion_filter", "history"), int, 1, 100000),
+    (("motion_filter", "var_threshold"), float, 0.0, None),
+    (("motion_filter", "min_motion_area"), float, 0.0, None),
+    (("time_of_day_filter", "confidence_penalty"), float, 0.0, 1.0),
+    (("snapshots", "min_confidence"), float, 0.0, 1.0),
+    (("snapshots", "cooldown_seconds"), float, 0.0, None),
+    (("snapshots", "clip_duration"), float, 0.1, 3600.0),
+    (("snapshots", "pre_buffer_seconds"), float, 0.0, 3600.0),
+    (("snapshots", "fps"), float, 1, 120),
+    (("camera_health", "check_interval_seconds"), float, 0.1, None),
+    (("camera_health", "min_fps"), float, 0.0, None),
+    (("camera_health", "max_restart_attempts"), int, 0, 10000),
+)
+
+_VALID_DETECTORS = ("yolox", "rtdetr")
+_VALID_PROTOCOLS = ("rtsp", "rtsp-tcp", "onvif", "h265", "neolink", "file", "synthetic")
+_VALID_SAVE_MODES = ("image", "clip")
+_VALID_ENHANCEMENT = ("none", "clahe", "realesrgan")
+_VALID_MASK_STYLES = ("gaussian_blur", "pixelate", "black_box", "adaptive_blur")
+
+
+def _lookup(config: Dict[str, Any], path: Tuple[str, ...]):
+    node: Any = config
+    for key in path:
+        if not isinstance(node, dict) or key not in node:
+            return None
+        node = node[key]
+    return node
+
+
+def _check_threshold_block(errors: List[str], prefix: str, overrides: Any) -> None:
+    if overrides is None:
+        return
+    if not isinstance(overrides, dict):
+        errors.append(f"{prefix} must be a mapping of class name -> threshold")
+        return
+    for cls, thr in overrides.items():
+        if not isinstance(thr, (int, float)) or not (0.0 <= float(thr) <= 1.0):
+            errors.append(f"{prefix}.{cls} must be in [0, 1], got {thr!r}")
+
+
+def validate_config(config: Dict[str, Any]) -> List[str]:
+    """Validate a config dict; returns a list of error strings (empty = ok).
+
+    Covers the same checks as reference main.py:147-346: camera uniqueness and
+    required fields, detector selection, numeric ranges, per-class override
+    ranges (global and per-camera), queue sizes, motion/snapshot/privacy
+    settings.
+    """
+    errors: List[str] = []
+
+    cameras = config.get("cameras")
+    if not cameras or not isinstance(cameras, list):
+        errors.append("cameras: at least one camera must be configured")
+        cameras = []
+    seen_ids = set()
+    for i, cam in enumerate(cameras):
+        if not isinstance(cam, dict):
+            errors.append(f"cameras[{i}] must be a mapping")
+            continue
+        cam_id = cam.get("id")
+        if not cam_id:
+            errors.append(f"cameras[{i}]: missing required field 'id'")
+        elif cam_id in seen_ids:
+            errors.append(f"cameras[{i}]: duplicate camera id {cam_id!r}")
+        else:
+            seen_ids.add(cam_id)
+        proto = cam.get("protocol", "rtsp-tcp")
+        if proto not in _VALID_PROTOCOLS:
+            errors.append(
+                f"cameras[{i}]: invalid protocol {proto!r} (valid: {_VALID_PROTOCOLS})")
+        if proto not in ("file", "synthetic") and not cam.get("ip") and not cam.get("url"):
+            errors.append(f"cameras[{i}]: missing 'ip' (or explicit 'url')")
+        for dim_key in ("target_width", "target_height"):
+            dim = cam.get(dim_key)
+            if dim is not None and (not isinstance(dim, int) or not 16 <= dim <= 8192):
+                errors.append(f"cameras[{i}].{dim_key} must be an int in [16, 8192]")
+        ov = cam.get("detection_overrides") or {}
+        if ov:
+            ct = ov.get("conf_threshold")
+            if ct is not None and not (0.0 <= float(ct) <= 1.0):
+                errors.append(f"cameras[{i}].detection_overrides.conf_threshold out of [0,1]")
+            _check_threshold_block(
+                errors, f"cameras[{i}].detection_overrides.class_confidence_overrides",
+                ov.get("class_confidence_overrides"))
+
+    detection = config.get("detection", {}) or {}
+    det_type = detection.get("detector_type", "yolox")
+    if det_type not in _VALID_DETECTORS:
+        errors.append(f"detection.detector_type must be one of {_VALID_DETECTORS}, got {det_type!r}")
+    input_size = detection.get("input_size")
+    if input_size is not None:
+        if (not isinstance(input_size, (list, tuple)) or len(input_size) != 2
+                or not all(isinstance(v, int) and 32 <= v <= 8192 for v in input_size)):
+            errors.append("detection.input_size must be [height, width] ints in [32, 8192]")
+    _check_threshold_block(errors, "detection.class_confidence_overrides",
+                           detection.get("class_confidence_overrides"))
+
+    for path, typ, lo, hi in _RANGE_SPECS:
+        val = _lookup(config, path)
+        if val is None:
+            continue
+        dotted = ".".join(path)
+        if not isinstance(val, (int, float)) or isinstance(val, bool):
+            errors.append(f"{dotted} must be numeric, got {type(val).__name__}")
+            continue
+        if lo is not None and val < lo:
+            errors.append(f"{dotted} = {val} below minimum {lo}")
+        if hi is not None and val > hi:
+            errors.append(f"{dotted} = {val} above maximum {hi}")
+
+    qh = _lookup(config, ("performance", "queue_health")) or {}
+    if qh and isinstance(qh.get("warning_threshold"), (int, float)) \
+            and isinstance(qh.get("critical_threshold"), (int, float)) \
+            and qh["warning_threshold"] > qh["critical_threshold"]:
+        errors.append("performance.queue_health.warning_threshold exceeds critical_threshold")
+
+    blur = _lookup(config, ("performance", "empty_frame_filter", "blur_size"))
+    if blur is not None and (not isinstance(blur, int) or blur < 1 or blur % 2 == 0):
+        errors.append("performance.empty_frame_filter.blur_size must be a positive odd int")
+    blur = _lookup(config, ("motion_filter", "motion_blur_size"))
+    if blur is not None and (not isinstance(blur, int) or blur < 1 or blur % 2 == 0):
+        errors.append("motion_filter.motion_blur_size must be a positive odd int")
+
+    snaps = config.get("snapshots", {}) or {}
+    mode = snaps.get("save_mode", "image")
+    if mode not in _VALID_SAVE_MODES:
+        errors.append(f"snapshots.save_mode must be one of {_VALID_SAVE_MODES}, got {mode!r}")
+
+    enh = _lookup(config, ("species_classification", "enhancement", "method"))
+    if enh is not None and enh not in _VALID_ENHANCEMENT:
+        errors.append(
+            f"species_classification.enhancement.method must be one of {_VALID_ENHANCEMENT}")
+
+    style = _lookup(config, ("privacy", "mask_style"))
+    if style is not None and style not in _VALID_MASK_STYLES:
+        errors.append(f"privacy.mask_style must be one of {_VALID_MASK_STYLES}")
+
+    return errors
+
+
+def validate_model_files(config: Dict[str, Any], base_dir: str = ".") -> List[str]:
+    """Check that model weights / taxonomy files referenced by the config
+    exist on disk (reference main.py:348-427). Returns error strings."""
+    errors: List[str] = []
+    detection = config.get("detection", {}) or {}
+    det_type = detection.get("detector_type", "yolox")
+
+    def _exists(rel: Optional[str]) -> bool:
+        return bool(rel) and (os.path.isabs(rel) and os.path.exists(rel)
+                              or os.path.exists(os.path.join(base_dir, rel)))
+
+    section = detection.get(det_type) or detection.get("model") or {}
+    weights = section.get("weights")
+    if weights and not _exists(weights):
+        errors.append(f"detection.{det_type}.weights not found: {weights}")
+
+    sc = config.get("species_classification", {}) or {}
+    if sc.get("enabled") and detection.get("use_two_stage"):
+        tax = (sc.get("inat_classifier") or {}).get("taxonomy_file")
+        if tax and not _exists(tax):
+            errors.append(f"species_classification.inat_classifier.taxonomy_file not found: {tax}")
+    return errors
+
+
+# ---------------------------------------------------------------------------
+# Per-camera merge (three-level precedence)
+# ---------------------------------------------------------------------------
+
+def merge_camera_detection_config(
+    global_detection: Dict[str, Any], camera: Dict[str, Any]
+) -> Dict[str, Any]:
+    """Merge per-camera ``detection_overrides`` on top of the global
+    ``detection`` section (reference main.py:941-1034).
+
+    Scalar overrides replace; ``class_confidence_overrides`` merges per-class
+    (camera wins). The result is the effective detection config for that
+    camera's engine.
+    """
+    merged = copy.deepcopy(global_detection)
+    overrides = camera.get("detection_overrides") or {}
+    for key, val in overrides.items():
+        if key == "class_confidence_overrides":
+            base = dict(merged.get("class_confidence_overrides") or {})
+            base.update(val or {})
+            merged["class_confidence_overrides"] = base
+        else:
+            merged[key] = copy.deepcopy(val)
+    return merged
+
+
+def merge_stage2_preprocessing(
+    global_sc: Dict[str, Any], camera: Dict[str, Any]
+) -> Dict[str, Any]:
+    """Per-camera stage2_preprocessing overrides on top of
+    species_classification.preprocessing (reference main.py:1036-1060)."""
+    merged = copy.deepcopy((global_sc or {}).get("preprocessing") or {})
+    merged.setdefault("crop_padding_percent", 20)
+    merged.setdefault("min_crop_size", 64)
+    merged.update(camera.get("stage2_preprocessing") or {})
+    return merged

@@ -1,0 +1,71 @@
+import numpy as np
+
+from telescope_cam_detection_tpu.utils.frames import (
+    RecordedTrace,
+    SyntheticFrameSource,
+    make_frame_dict,
+)
+from telescope_cam_detection_tpu.utils.golden import compare_detections
+
+
+def test_synthetic_source_deterministic():
+    a = SyntheticFrameSource(width=64, height=48, seed=3).frame_at(5)
+    b = SyntheticFrameSource(width=64, height=48, seed=3).frame_at(5)
+    assert a.shape == (48, 64, 3) and a.dtype == np.uint8
+    assert np.array_equal(a, b)
+
+
+def test_synthetic_source_motion():
+    src = SyntheticFrameSource(width=128, height=128, seed=0, noise_sigma=0)
+    f0, f1 = src.frame_at(0), src.frame_at(1)
+    assert not np.array_equal(f0, f1)
+
+
+def test_frame_dict_contract():
+    d = make_frame_dict(np.zeros((4, 4, 3), np.uint8), 7, "cam2", "North")
+    assert set(d) == {"frame", "timestamp", "frame_id", "camera_id", "camera_name"}
+    assert d["frame_id"] == 7 and d["camera_id"] == "cam2"
+
+
+def test_recorded_trace_roundtrip(tmp_path):
+    trace = RecordedTrace.synthesize(n_frames=4, width=32, height=32)
+    trace.detections = [[{"bbox": {"x1": 1, "y1": 2, "x2": 3, "y2": 4}}]]
+    trace.save(str(tmp_path / "trace"))
+    loaded = RecordedTrace.load(str(tmp_path / "trace"))
+    assert len(loaded.frames) == 4
+    assert np.array_equal(loaded.frames[2], trace.frames[2])
+    assert loaded.detections[0][0]["bbox"]["x2"] == 3
+
+
+def _det(x1, y1, x2, y2, cls=14, conf=0.9):
+    return {"bbox": {"x1": x1, "y1": y1, "x2": x2, "y2": y2},
+            "class_id": cls, "confidence": conf}
+
+
+def test_compare_detections_exact_match():
+    golden = [_det(0, 0, 10, 10), _det(50, 50, 80, 90, cls=15)]
+    report = compare_detections(golden, list(golden))
+    assert report.passes(0.99)
+    assert report.matched == 2 and report.missed == 0 and report.spurious == 0
+
+
+def test_compare_detections_missed_and_spurious():
+    golden = [_det(0, 0, 10, 10)]
+    produced = [_det(100, 100, 120, 120)]
+    report = compare_detections(golden, produced)
+    assert report.missed == 1 and report.spurious == 1
+    assert not report.passes()
+
+
+def test_compare_detections_class_mismatch():
+    report = compare_detections([_det(0, 0, 10, 10, cls=14)],
+                                [_det(0, 0, 10, 10, cls=15)])
+    assert report.class_mismatches == 1
+    assert not report.passes()
+
+
+def test_compare_detections_iou_gate():
+    report = compare_detections([_det(0, 0, 100, 100)], [_det(0, 0, 100, 99)])
+    assert report.matched == 1
+    assert report.min_iou < 0.999
+    assert report.passes(0.95) and not report.passes(0.999)
