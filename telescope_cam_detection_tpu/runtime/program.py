@@ -1,0 +1,271 @@
+"""The fused per-batch device program and its host-facing wrapper.
+
+This is the architectural core of the TPU build (SURVEY §7): everything the
+reference does between "decoded frame" and "filtered boxes" across five
+Python/CUDA components (yolox_detector.preprocess/detect/postprocess,
+inference_engine._post_process_detections per-class filtering) collapses into
+ONE jitted XLA program with static shapes:
+
+    uint8 frames -> fused preprocess -> detector forward -> head decode
+    -> batched class-aware NMS -> per-class confidence/size/wildlife filter
+    -> (B, max_det, 7) fixed-shape detections in capture-frame coordinates.
+
+Hot-reloadable thresholds (per-class confidence, min box area, wildlife mask)
+enter as RUNTIME ARRAYS, not compile-time constants, so a config hot-reload
+(reference main.py:429-545) never triggers recompilation.
+
+One program is compiled per (batch_bucket, capture_hw, input_hw) triple and
+cached; the coordinator pads batches up to the bucket.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+import time
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from telescope_cam_detection_tpu.coco_constants import (
+    COCO_CLASSES,
+    NUM_COCO_CLASSES,
+    WILDLIFE_CLASSES,
+    class_name,
+)
+from telescope_cam_detection_tpu.models import yolox as yolox_lib
+from telescope_cam_detection_tpu.ops.nms import batched_nms
+from telescope_cam_detection_tpu.ops.preprocess import (
+    preprocess_rtdetr,
+    preprocess_yolox,
+)
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass(frozen=True)
+class ProgramSpec:
+    """Static compile-time configuration of one detector program."""
+    detector_type: str = "yolox"          # "yolox" | "rtdetr"
+    variant: str = "yolox-s"
+    num_classes: int = NUM_COCO_CLASSES
+    input_hw: Tuple[int, int] = (640, 640)
+    nms_threshold: float = 0.45
+    max_det: int = 300
+    pre_nms_topk: int = 1000
+
+
+@dataclasses.dataclass
+class FilterSettings:
+    """Hot-reloadable stage-1 filter settings -> device arrays.
+
+    Mirrors inference_engine_yolox._post_process_detections:479-534 semantics:
+    base conf threshold, per-class overrides, min box area, per-class size
+    limits, wildlife-only mask.
+    """
+    conf_threshold: float = 0.25
+    class_confidence_overrides: Dict[str, float] = dataclasses.field(default_factory=dict)
+    min_box_area: float = 0.0
+    max_box_area: float = float("inf")
+    wildlife_only: bool = True
+    class_size_limits: Dict[str, Tuple[float, float]] = dataclasses.field(default_factory=dict)
+
+    def to_arrays(self, num_classes: int) -> Dict[str, jnp.ndarray]:
+        conf = np.full((num_classes,), self.conf_threshold, np.float32)
+        for name, thr in (self.class_confidence_overrides or {}).items():
+            try:
+                conf[COCO_CLASSES.index(name)] = thr
+            except ValueError:
+                logger.warning("unknown class in confidence overrides: %s", name)
+        min_area = np.full((num_classes,), max(self.min_box_area, 0.0), np.float32)
+        max_area = np.full((num_classes,),
+                           self.max_box_area if np.isfinite(self.max_box_area) else 1e18,
+                           np.float32)
+        for name, (lo, hi) in (self.class_size_limits or {}).items():
+            try:
+                idx = COCO_CLASSES.index(name)
+                min_area[idx] = max(lo, min_area[idx])
+                max_area[idx] = min(hi, max_area[idx])
+            except ValueError:
+                logger.warning("unknown class in size limits: %s", name)
+        allowed = np.ones((num_classes,), bool)
+        if self.wildlife_only and num_classes == NUM_COCO_CLASSES:
+            allowed[:] = False
+            for cid in WILDLIFE_CLASSES:
+                allowed[cid] = True
+        return {
+            "class_conf": jnp.asarray(conf),
+            "min_area": jnp.asarray(min_area),
+            "max_area": jnp.asarray(max_area),
+            "class_allowed": jnp.asarray(allowed),
+        }
+
+
+def _filter_rows(rows: jnp.ndarray, filt: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """(B, D, 7) NMS rows -> same shape with failing rows invalidated (-1)."""
+    cls = jnp.clip(rows[..., 6].astype(jnp.int32), 0, filt["class_conf"].shape[0] - 1)
+    score = rows[..., 4] * rows[..., 5]
+    valid = rows[..., 5] >= 0.0
+    valid &= score >= filt["class_conf"][cls]
+    area = jnp.clip(rows[..., 2] - rows[..., 0], 0) * jnp.clip(rows[..., 3] - rows[..., 1], 0)
+    valid &= (area >= filt["min_area"][cls]) & (area <= filt["max_area"][cls])
+    valid &= filt["class_allowed"][cls]
+    return jnp.where(valid[..., None], rows, -1.0)
+
+
+class DetectorProgram:
+    """Host-facing detector: owns model variables and a cache of jitted
+    programs keyed by (batch, capture_hw). Thread-safe for concurrent
+    detect_batch calls (jax dispatch is)."""
+
+    def __init__(
+        self,
+        spec: ProgramSpec,
+        variables: Optional[Any] = None,
+        seed: int = 0,
+        param_dtype=jnp.float32,
+    ):
+        self.spec = spec
+        if spec.detector_type == "yolox":
+            self.model = yolox_lib.build_yolox(spec.variant, spec.num_classes,
+                                               dtype=param_dtype)
+            if variables is None:
+                logger.warning("DetectorProgram: random-init weights (no checkpoint)")
+                _, variables = yolox_lib.init_yolox(
+                    spec.variant, spec.num_classes, spec.input_hw, seed,
+                    dtype=param_dtype)
+        elif spec.detector_type == "rtdetr":
+            from telescope_cam_detection_tpu.models import rtdetr as rtdetr_lib
+            self.model = rtdetr_lib.build_rtdetr(spec.variant, spec.num_classes,
+                                                 dtype=param_dtype)
+            if variables is None:
+                logger.warning("DetectorProgram: random-init weights (no checkpoint)")
+                _, variables = rtdetr_lib.init_rtdetr(
+                    spec.variant, spec.num_classes, spec.input_hw, seed,
+                    dtype=param_dtype)
+        else:
+            raise ValueError(f"unknown detector_type {spec.detector_type!r}")
+        self.variables = variables
+        self._filters = FilterSettings()
+        self._filter_arrays = self._filters.to_arrays(spec.num_classes)
+        self._compiled: Dict[Tuple[int, Tuple[int, int]], Callable] = {}
+        self.stats: Dict[str, Any] = {"compilations": 0, "batches": 0,
+                                      "frames": 0, "last_infer_ms": 0.0}
+
+    # -- hot reload ---------------------------------------------------------
+    def update_filters(self, settings: FilterSettings) -> None:
+        """Swap filter arrays without recompiling (hot-reload path)."""
+        self._filters = settings
+        self._filter_arrays = settings.to_arrays(self.spec.num_classes)
+
+    @property
+    def filters(self) -> FilterSettings:
+        return self._filters
+
+    # -- program construction -------------------------------------------------
+    def _build(self, batch: int, capture_hw: Tuple[int, int]) -> Callable:
+        spec = self.spec
+        model = self.model
+        sy = capture_hw[0] / spec.input_hw[0]
+        sx = capture_hw[1] / spec.input_hw[1]
+        back_scale = jnp.asarray([sx, sy, sx, sy], jnp.float32)
+
+        def program(variables, frames_u8, class_conf, min_area, max_area,
+                    class_allowed):
+            if spec.detector_type == "yolox":
+                x = preprocess_yolox(frames_u8, spec.input_hw)
+                outs = model.apply(variables, x, train=False)
+                boxes, obj, cls_probs = yolox_lib.decode_outputs(outs)
+            else:
+                x = preprocess_rtdetr(frames_u8, spec.input_hw)
+                boxes, obj, cls_probs = model.apply(
+                    variables, x, train=False, method=model.predict)
+            rows = batched_nms(
+                boxes, obj, cls_probs,
+                conf_threshold=0.0,  # confidence handled by runtime arrays below
+                iou_threshold=spec.nms_threshold,
+                max_det=spec.max_det,
+                pre_nms_topk=spec.pre_nms_topk,
+            )
+            # scale boxes back to capture coords, then filter
+            rows = rows.at[..., :4].multiply(back_scale)
+            rows = _filter_rows(rows, {
+                "class_conf": class_conf, "min_area": min_area,
+                "max_area": max_area, "class_allowed": class_allowed})
+            return rows
+
+        jitted = jax.jit(program)
+        self.stats["compilations"] += 1
+        logger.info("compiling detector program batch=%d capture=%s input=%s",
+                    batch, capture_hw, spec.input_hw)
+        return jitted
+
+    def _get_program(self, batch: int, capture_hw: Tuple[int, int]) -> Callable:
+        key = (batch, capture_hw)
+        fn = self._compiled.get(key)
+        if fn is None:
+            fn = self._build(batch, capture_hw)
+            self._compiled[key] = fn
+        return fn
+
+    # -- inference ------------------------------------------------------------
+    def detect_batch_rows(self, frames: np.ndarray) -> np.ndarray:
+        """(B, H, W, 3) uint8 BGR -> (B, max_det, 7) numpy rows in capture
+        coords; invalid rows are all -1."""
+        if frames.ndim != 4 or frames.shape[-1] != 3:
+            raise ValueError(f"expected (B,H,W,3) uint8 frames, got {frames.shape}")
+        batch = frames.shape[0]
+        capture_hw = (frames.shape[1], frames.shape[2])
+        fn = self._get_program(batch, capture_hw)
+        f = self._filter_arrays
+        t0 = time.perf_counter()
+        rows = fn(self.variables, jnp.asarray(frames), f["class_conf"],
+                  f["min_area"], f["max_area"], f["class_allowed"])
+        rows = np.asarray(jax.block_until_ready(rows))
+        dt = (time.perf_counter() - t0) * 1000.0
+        self.stats["batches"] += 1
+        self.stats["frames"] += batch
+        self.stats["last_infer_ms"] = dt
+        return rows
+
+    def detect_batch(self, frames: np.ndarray) -> List[List[Dict[str, Any]]]:
+        """Detection-dict output, reference contract
+        (yolox_detector._format_model_output_to_detections:222-282)."""
+        rows = self.detect_batch_rows(frames)
+        return [rows_to_detections(r) for r in rows]
+
+    def detect(self, frame: np.ndarray) -> List[Dict[str, Any]]:
+        return self.detect_batch(frame[None])[0]
+
+    def warmup(self, batches: Sequence[int] = (1,),
+               capture_hw: Optional[Tuple[int, int]] = None) -> None:
+        hw = capture_hw or self.spec.input_hw
+        for b in batches:
+            self.detect_batch_rows(np.zeros((b, *hw, 3), np.uint8))
+
+    def get_stats(self) -> Dict[str, Any]:
+        return dict(self.stats)
+
+
+def rows_to_detections(rows: np.ndarray) -> List[Dict[str, Any]]:
+    """(max_det, 7) device rows -> list of reference-format detection dicts:
+    {class_id, class_name, confidence, bbox{x1,y1,x2,y2,width,height,area}}."""
+    dets: List[Dict[str, Any]] = []
+    for row in rows:
+        if row[5] < 0:  # invalid marker
+            continue
+        x1, y1, x2, y2, obj_c, cls_c, cid = (float(v) for v in row)
+        class_id = int(cid)
+        w, h = x2 - x1, y2 - y1
+        dets.append({
+            "class_id": class_id,
+            "class_name": class_name(class_id),
+            "confidence": obj_c * cls_c,
+            "objectness": obj_c,
+            "class_confidence": cls_c,
+            "bbox": {"x1": x1, "y1": y1, "x2": x2, "y2": y2,
+                     "width": w, "height": h, "area": w * h},
+        })
+    return dets

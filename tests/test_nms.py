@@ -1,0 +1,98 @@
+import numpy as np
+import pytest
+
+from telescope_cam_detection_tpu.ops.nms import (
+    batched_nms,
+    iou_matrix,
+    nms_reference_numpy,
+    nms_single,
+)
+
+
+def _random_problem(rng, n_anchors=200, n_classes=5, img=512):
+    centers = rng.uniform(50, img - 50, size=(n_anchors, 2))
+    wh = rng.uniform(10, 80, size=(n_anchors, 2))
+    boxes = np.concatenate([centers - wh / 2, centers + wh / 2], axis=-1).astype(np.float32)
+    obj = rng.uniform(0, 1, size=n_anchors).astype(np.float32)
+    probs = rng.dirichlet(np.ones(n_classes), size=n_anchors).astype(np.float32)
+    return boxes, obj, probs
+
+
+def test_iou_matrix_basic():
+    a = np.array([[0, 0, 10, 10], [5, 5, 15, 15]], dtype=np.float32)
+    m = np.asarray(iou_matrix(a, a))
+    assert np.allclose(np.diag(m), 1.0)
+    assert abs(m[0, 1] - 25.0 / 175.0) < 1e-6
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("class_agnostic", [False, True])
+def test_nms_matches_reference(seed, class_agnostic):
+    rng = np.random.default_rng(seed)
+    boxes, obj, probs = _random_problem(rng)
+    conf, iou_thr, max_det = 0.10, 0.45, 50
+
+    got = np.asarray(nms_single(
+        boxes, obj, probs, conf_threshold=conf, iou_threshold=iou_thr,
+        max_det=max_det, pre_nms_topk=200, class_agnostic=class_agnostic))
+    want = nms_reference_numpy(
+        boxes, obj, probs, conf_threshold=conf, iou_threshold=iou_thr,
+        max_det=max_det, class_agnostic=class_agnostic)
+
+    # valid rows carry class_conf >= 0; invalid rows are all -1
+    got_valid = got[got[:, 5] >= 0]
+    assert got_valid.shape[0] == want.shape[0], (
+        f"kept {got_valid.shape[0]} vs reference {want.shape[0]}")
+    np.testing.assert_allclose(got_valid, want, rtol=1e-5, atol=1e-4)
+
+
+def test_nms_conf_threshold_filters_everything():
+    rng = np.random.default_rng(0)
+    boxes, obj, probs = _random_problem(rng, n_anchors=50)
+    out = np.asarray(nms_single(boxes, obj * 0.0, probs,
+                                conf_threshold=0.5, iou_threshold=0.45,
+                                max_det=10, pre_nms_topk=50))
+    assert np.all(out == -1.0)
+
+
+def test_nms_identical_boxes_keep_one():
+    boxes = np.tile(np.array([[10, 10, 50, 50]], np.float32), (8, 1))
+    obj = np.linspace(0.5, 0.9, 8).astype(np.float32)
+    probs = np.tile(np.array([[0.9, 0.1]], np.float32), (8, 1))
+    out = np.asarray(nms_single(boxes, obj, probs, conf_threshold=0.1,
+                                iou_threshold=0.45, max_det=8, pre_nms_topk=8))
+    valid = out[out[:, 5] >= 0]
+    assert valid.shape[0] == 1
+    assert abs(valid[0, 4] - 0.9) < 1e-6  # highest obj_conf wins
+
+
+def test_nms_class_aware_keeps_overlapping_different_classes():
+    boxes = np.array([[10, 10, 50, 50], [12, 12, 52, 52]], np.float32)
+    obj = np.array([0.9, 0.8], np.float32)
+    probs = np.array([[1.0, 0.0], [0.0, 1.0]], np.float32)
+    out = np.asarray(nms_single(boxes, obj, probs, conf_threshold=0.1,
+                                iou_threshold=0.45, max_det=4, pre_nms_topk=2))
+    valid = out[out[:, 5] >= 0]
+    assert valid.shape[0] == 2  # different classes -> both survive
+    out_ag = np.asarray(nms_single(boxes, obj, probs, conf_threshold=0.1,
+                                   iou_threshold=0.45, max_det=4,
+                                   pre_nms_topk=2, class_agnostic=True))
+    assert out_ag[out_ag[:, 5] >= 0].shape[0] == 1
+
+
+def test_batched_nms_shapes_and_consistency():
+    rngs = [np.random.default_rng(s) for s in (7, 8, 9)]
+    problems = [_random_problem(r) for r in rngs]
+    boxes = np.stack([p[0] for p in problems])
+    obj = np.stack([p[1] for p in problems])
+    probs = np.stack([p[2] for p in problems])
+
+    out = np.asarray(batched_nms(boxes, obj, probs, conf_threshold=0.1,
+                                 iou_threshold=0.45, max_det=30,
+                                 pre_nms_topk=200))
+    assert out.shape == (3, 30, 7)
+    for i in range(3):
+        single = np.asarray(nms_single(boxes[i], obj[i], probs[i],
+                                       conf_threshold=0.1, iou_threshold=0.45,
+                                       max_det=30, pre_nms_topk=200))
+        np.testing.assert_allclose(out[i], single, rtol=1e-6, atol=1e-6)
