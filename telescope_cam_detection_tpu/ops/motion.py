@@ -1,0 +1,214 @@
+"""On-device motion gates: empty-frame differencing and a MOG2-equivalent
+Gaussian-mixture background model.
+
+Replaces the reference's CPU OpenCV paths:
+  * empty_frame_filter.py:51-98 — gray -> Gaussian blur -> absdiff vs prev
+    -> threshold -> count pixels. Here it's a tiny jitted program whose state
+    (previous blurred gray) lives on device, so gating happens before any
+    host<->device traffic for the detector.
+  * motion_filter.py:56-127 — cv2 MOG2 background subtraction + per-bbox
+    motion-pixel ratio. Here the Zivkovic-style mixture state
+    (weights/means/vars per pixel, K components) is a device-resident pytree
+    updated by one fused elementwise program per frame. OpenCV's exact update
+    order is underspecified, so parity is defined on GATE DECISIONS, not
+    pixels (SURVEY §7 hard part 5).
+
+Both are pure functions (state, frame) -> (state, result), scan-friendly and
+shardable over a camera axis with vmap/shard_map.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# BT.601 luma weights for BGR input (matches cv2.cvtColor BGR2GRAY).
+_LUMA_BGR = (0.114, 0.587, 0.299)
+
+
+def bgr_to_gray(frames: jnp.ndarray) -> jnp.ndarray:
+    """(..., H, W, 3) BGR uint8/float -> (..., H, W) float32 gray."""
+    w = jnp.asarray(_LUMA_BGR, jnp.float32)
+    return jnp.tensordot(frames.astype(jnp.float32), w, axes=([-1], [0]))
+
+
+@functools.lru_cache(maxsize=16)
+def _gaussian_kernel_np(size: int) -> np.ndarray:
+    """cv2.getGaussianKernel-compatible 1-D kernel (sigma auto rule)."""
+    sigma = 0.3 * ((size - 1) * 0.5 - 1) + 0.8
+    x = np.arange(size, dtype=np.float64) - (size - 1) / 2
+    k = np.exp(-(x ** 2) / (2 * sigma ** 2))
+    return (k / k.sum()).astype(np.float32)
+
+
+def gaussian_blur(gray: jnp.ndarray, size: int = 21) -> jnp.ndarray:
+    """Separable Gaussian blur on (..., H, W) via two 1-D convolutions."""
+    if size <= 1:
+        return gray
+    k = jnp.asarray(_gaussian_kernel_np(size))
+    pad = size // 2
+    x = gray[..., None]  # feature dim
+    shape = x.shape
+    x = x.reshape((-1,) + shape[-3:])  # (N, H, W, 1)
+    kh = k.reshape(size, 1, 1, 1)
+    kw = k.reshape(1, size, 1, 1)
+    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NHWC", "HWIO", "NHWC"))
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), [(pad, pad), (0, 0)], dimension_numbers=dn)
+    x = jax.lax.conv_general_dilated(x, kw, (1, 1), [(0, 0), (pad, pad)], dimension_numbers=dn)
+    return x.reshape(shape)[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# Empty-frame gate
+# ---------------------------------------------------------------------------
+
+class FrameDiffState(NamedTuple):
+    prev_blurred: jnp.ndarray  # (H, W) float32
+    initialized: jnp.ndarray   # () bool
+
+
+def init_frame_diff_state(hw: Tuple[int, int]) -> FrameDiffState:
+    return FrameDiffState(jnp.zeros(hw, jnp.float32), jnp.asarray(False))
+
+
+@functools.partial(jax.jit, static_argnames=("blur_size",))
+def frame_diff_gate(
+    state: FrameDiffState,
+    frame_bgr: jnp.ndarray,          # (H, W, 3) uint8
+    threshold: jnp.ndarray,          # () float — runtime (hot-reloadable)
+    min_motion_area: jnp.ndarray,    # () float
+    blur_size: int = 21,
+) -> Tuple[FrameDiffState, jnp.ndarray, jnp.ndarray]:
+    """Returns (new_state, has_motion: bool, motion_area: int32).
+
+    First frame after init always reports motion (reference behavior:
+    empty_frame_filter.py:61-66 runs inference when no previous frame).
+    """
+    blurred = gaussian_blur(bgr_to_gray(frame_bgr), blur_size)
+    diff = jnp.abs(blurred - state.prev_blurred)
+    motion_area = jnp.sum((diff > threshold).astype(jnp.int32))
+    has_motion = jnp.where(state.initialized,
+                           motion_area >= min_motion_area.astype(jnp.int32),
+                           True)
+    return (FrameDiffState(blurred, jnp.asarray(True)),
+            has_motion, motion_area)
+
+
+# ---------------------------------------------------------------------------
+# MOG2-equivalent background model
+# ---------------------------------------------------------------------------
+
+class MOG2State(NamedTuple):
+    weights: jnp.ndarray   # (H, W, K)
+    means: jnp.ndarray     # (H, W, K)
+    variances: jnp.ndarray  # (H, W, K)
+    frame_count: jnp.ndarray  # () int32
+
+
+MOG2_K = 4            # mixture components (OpenCV default 5; 4 is ample for gray)
+MOG2_VAR_INIT = 15.0  # initial variance of a fresh component
+MOG2_VAR_MIN = 4.0
+MOG2_VAR_MAX = 75.0
+MOG2_BG_RATIO = 0.9   # cumulative weight ratio marking background components
+
+
+def init_mog2_state(hw: Tuple[int, int], k: int = MOG2_K) -> MOG2State:
+    h, w = hw
+    return MOG2State(
+        weights=jnp.zeros((h, w, k), jnp.float32),
+        means=jnp.zeros((h, w, k), jnp.float32),
+        variances=jnp.full((h, w, k), MOG2_VAR_INIT, jnp.float32),
+        frame_count=jnp.asarray(0, jnp.int32),
+    )
+
+
+@jax.jit
+def mog2_update(
+    state: MOG2State,
+    frame_bgr: jnp.ndarray,       # (H, W, 3) uint8
+    var_threshold: jnp.ndarray,   # () float — cv2 varThreshold (default 16)
+    learning_rate: jnp.ndarray,   # () float — alpha; use 1/history steady-state
+) -> Tuple[MOG2State, jnp.ndarray]:
+    """One background-model step. Returns (new_state, fg_mask (H,W) bool).
+
+    Vectorized Zivkovic-style update: every pixel matches against its K
+    components; the best matching component absorbs the sample, otherwise the
+    weakest component is replaced. Background test: the sample is background
+    if it matches any component within the cumulative-weight BG_RATIO prefix
+    (components implicitly kept weight-sorted by the replacement rule).
+    """
+    x = bgr_to_gray(frame_bgr)  # (H, W)
+    w, mu, var = state.weights, state.means, state.variances
+    alpha = learning_rate
+
+    d2 = (x[..., None] - mu) ** 2                      # (H, W, K)
+    matches = d2 < var_threshold * var                 # match test (Tb)
+
+    # pick best matching component (highest weight among matches)
+    neg = jnp.where(matches, w, -1.0)
+    best = jnp.argmax(neg, axis=-1)                    # (H, W)
+    any_match = jnp.any(matches, axis=-1)
+    onehot_best = jax.nn.one_hot(best, w.shape[-1], dtype=jnp.float32) * \
+        any_match[..., None]
+
+    # ownership o_k — 1 for the matched component
+    w_new = w + alpha * (onehot_best - w)
+    rho = alpha / jnp.maximum(w_new, 1e-6)
+    mu_new = mu + onehot_best * rho * (x[..., None] - mu)
+    var_new = var + onehot_best * rho * (d2 - var)
+    var_new = jnp.clip(var_new, MOG2_VAR_MIN, MOG2_VAR_MAX)
+
+    # no match: replace the weakest component with a fresh one
+    weakest = jnp.argmin(w, axis=-1)
+    onehot_weak = jax.nn.one_hot(weakest, w.shape[-1], dtype=jnp.float32) * \
+        (~any_match)[..., None]
+    w_new = jnp.where(onehot_weak > 0, alpha, w_new)
+    mu_new = jnp.where(onehot_weak > 0, x[..., None], mu_new)
+    var_new = jnp.where(onehot_weak > 0, MOG2_VAR_INIT, var_new)
+
+    # renormalize weights
+    w_new = w_new / jnp.maximum(jnp.sum(w_new, axis=-1, keepdims=True), 1e-6)
+
+    # background test over the BG_RATIO cumulative-weight prefix
+    order = jnp.argsort(-w_new, axis=-1)
+    w_sorted = jnp.take_along_axis(w_new, order, axis=-1)
+    m_sorted = jnp.take_along_axis(matches, order, axis=-1)
+    cum = jnp.cumsum(w_sorted, axis=-1)
+    prev_cum = cum - w_sorted
+    in_bg = prev_cum < MOG2_BG_RATIO
+    is_bg = jnp.any(m_sorted & in_bg, axis=-1)
+
+    # warm-up: first frames are all background (model still learning)
+    fg = jnp.where(state.frame_count < 1, False, ~is_bg)
+    new_state = MOG2State(w_new, mu_new, var_new, state.frame_count + 1)
+    return new_state, fg
+
+
+@functools.partial(jax.jit, static_argnames=("blur_size",))
+def motion_mask_postprocess(fg_mask: jnp.ndarray, blur_size: int = 21,
+                            binary_threshold: float = 0.5) -> jnp.ndarray:
+    """Blur + re-threshold the boolean fg mask to kill speckle (reference
+    motion_filter.py:95-105 blurs the MOG2 output then thresholds at 127)."""
+    blurred = gaussian_blur(fg_mask.astype(jnp.float32), blur_size)
+    return blurred > binary_threshold
+
+
+def bbox_motion_ratios(mask: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
+    """Motion-pixel ratio inside each box without dynamic slicing.
+
+    mask: (H, W) bool; boxes: (N, 4) xyxy float. Uses an integral image so the
+    per-box cost is O(1) gathers — static shapes, works under jit/vmap.
+    """
+    h, w = mask.shape
+    ii = jnp.pad(jnp.cumsum(jnp.cumsum(mask.astype(jnp.float32), 0), 1),
+                 ((1, 0), (1, 0)))
+    x1 = jnp.clip(boxes[:, 0].astype(jnp.int32), 0, w)
+    y1 = jnp.clip(boxes[:, 1].astype(jnp.int32), 0, h)
+    x2 = jnp.clip(jnp.ceil(boxes[:, 2]).astype(jnp.int32), 0, w)
+    y2 = jnp.clip(jnp.ceil(boxes[:, 3]).astype(jnp.int32), 0, h)
+    total = ii[y2, x2] - ii[y1, x2] - ii[y2, x1] + ii[y1, x1]
+    area = jnp.maximum((x2 - x1) * (y2 - y1), 1).astype(jnp.float32)
+    return total / area

@@ -1,0 +1,189 @@
+"""Host-facing motion filters over the on-device gate kernels.
+
+These wrap ``ops.motion`` with the stateful, hot-reloadable, stats-bearing
+interfaces the pipeline threads expect — the same component surfaces as the
+reference's ``empty_frame_filter.py`` and ``motion_filter.py``, but the pixel
+work runs as jitted XLA programs with device-resident state instead of CPU
+OpenCV.
+"""
+from __future__ import annotations
+
+import logging
+import threading
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from telescope_cam_detection_tpu.ops import motion as motion_ops
+
+logger = logging.getLogger(__name__)
+
+
+class EmptyFrameFilter:
+    """Pre-inference gate: skip detector dispatch for motionless frames
+    (reference empty_frame_filter.py:15-113; claims 30-50% throughput win)."""
+
+    def __init__(self, min_motion_area: int = 200, blur_size: int = 21,
+                 threshold: int = 25, enabled: bool = True):
+        self.enabled = enabled
+        self.min_motion_area = float(min_motion_area)
+        self.blur_size = int(blur_size)
+        self.threshold = float(threshold)
+        self._state: Optional[motion_ops.FrameDiffState] = None
+        self._state_hw: Optional[Tuple[int, int]] = None
+        self._lock = threading.Lock()
+        self.frames_processed = 0
+        self.frames_skipped = 0
+        self.total_gate_time = 0.0
+
+    def has_motion(self, frame: np.ndarray) -> bool:
+        """True if the frame should go to the detector."""
+        if not self.enabled:
+            return True
+        t0 = time.perf_counter()
+        hw = frame.shape[:2]
+        with self._lock:
+            if self._state is None or self._state_hw != hw:
+                self._state = motion_ops.init_frame_diff_state(hw)
+                self._state_hw = hw
+            state, has_motion, _area = motion_ops.frame_diff_gate(
+                self._state, jnp.asarray(frame),
+                jnp.asarray(self.threshold, jnp.float32),
+                jnp.asarray(self.min_motion_area, jnp.float32),
+                blur_size=self.blur_size)
+            self._state = state
+            result = bool(has_motion)
+            self.frames_processed += 1
+            if not result:
+                self.frames_skipped += 1
+            self.total_gate_time += time.perf_counter() - t0
+        return result
+
+    def get_stats(self) -> Dict[str, Any]:
+        with self._lock:
+            n = max(self.frames_processed, 1)
+            return {
+                "enabled": self.enabled,
+                "frames_processed": self.frames_processed,
+                "frames_skipped": self.frames_skipped,
+                "skip_rate": self.frames_skipped / n,
+                "avg_gate_ms": 1000.0 * self.total_gate_time / n,
+            }
+
+
+class MotionFilter:
+    """Post-detection gate: reject detections whose bbox shows no foreground
+    motion under a background-subtraction model (reference
+    motion_filter.py:18-244, MOG2)."""
+
+    def __init__(self, enabled: bool = True, history: int = 500,
+                 var_threshold: float = 16.0, detect_shadows: bool = True,
+                 min_motion_area: int = 100, motion_blur_size: int = 21,
+                 min_motion_ratio: float = 0.1):
+        self.enabled = enabled
+        self.history = int(history)
+        self.var_threshold = float(var_threshold)
+        self.detect_shadows = detect_shadows  # gray model: shadows fold into bg
+        self.min_motion_area = float(min_motion_area)
+        self.motion_blur_size = int(motion_blur_size)
+        self.min_motion_ratio = float(min_motion_ratio)
+        self._state: Optional[motion_ops.MOG2State] = None
+        self._state_hw: Optional[Tuple[int, int]] = None
+        self._lock = threading.Lock()
+        self.total_processed = 0
+        self.total_filtered = 0
+
+    def _learning_rate(self) -> float:
+        return 1.0 / max(self.history, 1)
+
+    def update_background(self, frame: np.ndarray) -> np.ndarray:
+        """Feed one frame to the background model; returns the cleaned
+        foreground mask (H, W) bool."""
+        hw = frame.shape[:2]
+        with self._lock:
+            if self._state is None or self._state_hw != hw:
+                self._state = motion_ops.init_mog2_state(hw)
+                self._state_hw = hw
+            state, fg = motion_ops.mog2_update(
+                self._state, jnp.asarray(frame),
+                jnp.asarray(self.var_threshold, jnp.float32),
+                jnp.asarray(self._learning_rate(), jnp.float32))
+            self._state = state
+        return np.asarray(motion_ops.motion_mask_postprocess(
+            fg, blur_size=self.motion_blur_size))
+
+    def has_motion_in_bbox(self, mask: np.ndarray, bbox: Dict[str, float]) -> bool:
+        boxes = np.asarray([[bbox["x1"], bbox["y1"], bbox["x2"], bbox["y2"]]],
+                           np.float32)
+        ratio = float(np.asarray(
+            motion_ops.bbox_motion_ratios(jnp.asarray(mask), boxes))[0])
+        return ratio >= self.min_motion_ratio
+
+    def filter_detections(
+        self, frame: np.ndarray, detections: List[Dict[str, Any]]
+    ) -> List[Dict[str, Any]]:
+        """Update the model with this frame, then keep only detections whose
+        bbox contains sufficient foreground motion."""
+        if not self.enabled:
+            return detections
+        mask = self.update_background(frame)
+        if not detections:
+            return detections
+        boxes = np.asarray(
+            [[d["bbox"]["x1"], d["bbox"]["y1"], d["bbox"]["x2"], d["bbox"]["y2"]]
+             for d in detections], np.float32)
+        ratios = np.asarray(motion_ops.bbox_motion_ratios(jnp.asarray(mask), boxes))
+        out = []
+        with self._lock:
+            self.total_processed += len(detections)
+        for det, ratio in zip(detections, ratios):
+            if ratio >= self.min_motion_ratio:
+                det["motion_ratio"] = float(ratio)
+                out.append(det)
+            else:
+                with self._lock:
+                    self.total_filtered += 1
+        return out
+
+    def update_params(self, config: Dict[str, Any]) -> List[str]:
+        """Hot-reload (reference motion_filter.py:187-244). Changing history/
+        var_threshold keeps the learned background; only shape changes reset."""
+        updated = []
+        with self._lock:
+            for key in ("enabled", "history", "var_threshold", "detect_shadows",
+                        "min_motion_area", "motion_blur_size", "min_motion_ratio"):
+                if key in config and getattr(self, key) != config[key]:
+                    setattr(self, key, config[key])
+                    updated.append(key)
+        return updated
+
+    def get_stats(self) -> Dict[str, Any]:
+        with self._lock:
+            return {
+                "enabled": self.enabled,
+                "total_processed": self.total_processed,
+                "total_filtered": self.total_filtered,
+                "filter_rate": self.total_filtered / max(self.total_processed, 1),
+            }
+
+
+class AdaptiveMotionFilter(MotionFilter):
+    """Day/night-adaptive thresholds (reference motion_filter.py:246-304):
+    night frames are noisier (IR), so require a higher motion ratio."""
+
+    def __init__(self, *args, night_min_motion_ratio: float = 0.15,
+                 night_luma_threshold: float = 60.0, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.day_min_motion_ratio = self.min_motion_ratio
+        self.night_min_motion_ratio = night_min_motion_ratio
+        self.night_luma_threshold = night_luma_threshold
+
+    def filter_detections(self, frame, detections):
+        mean_luma = float(frame.mean())
+        self.min_motion_ratio = (
+            self.night_min_motion_ratio
+            if mean_luma < self.night_luma_threshold
+            else self.day_min_motion_ratio)
+        return super().filter_detections(frame, detections)

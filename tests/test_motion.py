@@ -1,0 +1,118 @@
+import numpy as np
+import pytest
+
+from telescope_cam_detection_tpu.ops import motion as motion_ops
+from telescope_cam_detection_tpu.pipeline.filters import (
+    AdaptiveMotionFilter,
+    EmptyFrameFilter,
+    MotionFilter,
+)
+from telescope_cam_detection_tpu.utils.frames import SyntheticFrameSource
+
+
+def test_bgr_to_gray_matches_cv2_weights():
+    frame = np.array([[[255, 0, 0], [0, 255, 0], [0, 0, 255]]], np.uint8)
+    gray = np.asarray(motion_ops.bgr_to_gray(frame))
+    assert gray[0, 0] == pytest.approx(0.114 * 255, abs=0.5)   # blue
+    assert gray[0, 1] == pytest.approx(0.587 * 255, abs=0.5)   # green
+    assert gray[0, 2] == pytest.approx(0.299 * 255, abs=0.5)   # red
+
+
+def test_gaussian_blur_preserves_mean():
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 255, (32, 32)).astype(np.float32)
+    out = np.asarray(motion_ops.gaussian_blur(img, 5))
+    assert out.shape == img.shape
+    assert abs(out[8:-8, 8:-8].mean() - img[8:-8, 8:-8].mean()) < 5.0
+
+
+def test_empty_frame_filter_gates_static_scene():
+    filt = EmptyFrameFilter(min_motion_area=50, blur_size=5, threshold=25)
+    static = np.full((64, 64, 3), 100, np.uint8)
+    assert filt.has_motion(static)            # first frame always passes
+    assert not filt.has_motion(static)        # identical frame -> skip
+    moved = static.copy()
+    moved[20:40, 20:40] = 255
+    assert filt.has_motion(moved)             # big bright blob -> motion
+    stats = filt.get_stats()
+    assert stats["frames_processed"] == 3 and stats["frames_skipped"] == 1
+
+
+def test_empty_frame_filter_ignores_small_noise():
+    filt = EmptyFrameFilter(min_motion_area=500, blur_size=21, threshold=25)
+    base = np.full((64, 64, 3), 100, np.uint8)
+    filt.has_motion(base)
+    speck = base.copy()
+    speck[5, 5] = 255  # single pixel, blurred away
+    assert not filt.has_motion(speck)
+
+
+def test_mog2_learns_background_and_flags_novelty():
+    hw = (32, 32)
+    state = motion_ops.init_mog2_state(hw)
+    bg = np.full((*hw, 3), 90, np.uint8)
+    import jax.numpy as jnp
+    vt = jnp.asarray(16.0)
+    lr = jnp.asarray(0.05)
+    for _ in range(30):
+        state, fg = motion_ops.mog2_update(state, jnp.asarray(bg), vt, lr)
+    assert not np.asarray(fg).any()  # background fully learned
+    novel = bg.copy()
+    novel[10:20, 10:20] = 250
+    state, fg = motion_ops.mog2_update(state, jnp.asarray(novel), vt, lr)
+    fg = np.asarray(fg)
+    assert fg[12:18, 12:18].all()
+    assert not fg[:5, :5].any()
+
+
+def test_motion_filter_rejects_static_detection():
+    filt = MotionFilter(history=20, motion_blur_size=5, min_motion_ratio=0.1)
+    bg = np.full((64, 64, 3), 90, np.uint8)
+    det = {"class_name": "cat", "confidence": 0.9,
+           "bbox": {"x1": 10, "y1": 10, "x2": 30, "y2": 30}}
+    for _ in range(25):
+        filt.filter_detections(bg, [])
+    # static scene: detection bbox has no motion -> filtered
+    out = filt.filter_detections(bg, [dict(det)])
+    assert out == []
+    # moving blob inside bbox -> kept
+    moved = bg.copy()
+    moved[10:30, 10:30] = 240
+    out = filt.filter_detections(moved, [dict(det)])
+    assert len(out) == 1 and out[0]["motion_ratio"] > 0.1
+    stats = filt.get_stats()
+    assert stats["total_filtered"] == 1
+
+
+def test_bbox_motion_ratios_integral_image():
+    import jax.numpy as jnp
+    mask = np.zeros((20, 20), bool)
+    mask[5:10, 5:10] = True
+    boxes = np.array([[5, 5, 10, 10], [0, 0, 20, 20], [15, 15, 20, 20]], np.float32)
+    ratios = np.asarray(motion_ops.bbox_motion_ratios(jnp.asarray(mask), boxes))
+    assert ratios[0] == pytest.approx(1.0)
+    assert ratios[1] == pytest.approx(25 / 400)
+    assert ratios[2] == pytest.approx(0.0)
+
+
+def test_adaptive_motion_filter_switches_thresholds():
+    filt = AdaptiveMotionFilter(history=10, min_motion_ratio=0.1,
+                                night_min_motion_ratio=0.3,
+                                night_luma_threshold=60.0)
+    day = np.full((16, 16, 3), 150, np.uint8)
+    night = np.full((16, 16, 3), 20, np.uint8)
+    filt.filter_detections(day, [])
+    assert filt.min_motion_ratio == 0.1
+    filt.filter_detections(night, [])
+    assert filt.min_motion_ratio == 0.3
+
+
+def test_motion_filter_hot_reload():
+    filt = MotionFilter()
+    updated = filt.update_params({"var_threshold": 25.0, "enabled": False})
+    assert set(updated) == {"var_threshold", "enabled"}
+    assert filt.var_threshold == 25.0 and not filt.enabled
+    # disabled filter passes everything through
+    out = filt.filter_detections(np.zeros((8, 8, 3), np.uint8),
+                                 [{"bbox": {"x1": 0, "y1": 0, "x2": 4, "y2": 4}}])
+    assert len(out) == 1
