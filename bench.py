@@ -1,0 +1,78 @@
+"""Headline benchmark: frames/sec/chip at 4-camera 1440p + p50 latency.
+
+Runs the fused YOLOX-S detector program (uint8 1440p frames -> preprocess ->
+forward @640x640 -> decode -> batched NMS -> filter) on the real device with
+batch=4 (four cameras per dispatch, the coordinator's steady-state shape).
+
+Baseline: the torch/A30 reference sustains 25-30 FPS/camera (BASELINE.md),
+i.e. ~110 fps aggregate at 4 cameras; vs_baseline is our aggregate fps / 110.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+
+
+def main() -> None:
+    from telescope_cam_detection_tpu.runtime.program import (
+        DetectorProgram, FilterSettings, ProgramSpec)
+    from telescope_cam_detection_tpu.utils.frames import SyntheticFrameSource
+
+    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    capture_hw = (1440, 2560)
+    input_hw = (640, 640)
+    warmup = int(os.environ.get("BENCH_WARMUP", "5"))
+    iters = int(os.environ.get("BENCH_ITERS", "40"))
+
+    spec = ProgramSpec(detector_type="yolox", variant="yolox-s",
+                       input_hw=input_hw, max_det=300, pre_nms_topk=1000)
+    program = DetectorProgram(spec, seed=0)
+    program.update_filters(FilterSettings(conf_threshold=0.25,
+                                          wildlife_only=True))
+
+    src = SyntheticFrameSource(width=capture_hw[1], height=capture_hw[0],
+                               seed=0)
+    frames = np.stack([src.frame_at(i) for i in range(batch)])
+
+    for _ in range(warmup):
+        program.detect_batch_rows(frames)
+
+    latencies = []
+    t_start = time.perf_counter()
+    for i in range(iters):
+        t0 = time.perf_counter()
+        program.detect_batch_rows(frames)
+        latencies.append((time.perf_counter() - t0) * 1000.0)
+    elapsed = time.perf_counter() - t_start
+
+    fps = batch * iters / elapsed
+    lat_sorted = sorted(latencies)
+    p50 = lat_sorted[len(lat_sorted) // 2]
+    p95 = lat_sorted[int(len(lat_sorted) * 0.95)]
+    baseline_fps = 110.0  # 4 cameras x ~27.5 fps sustained on A30
+
+    import jax
+    print(json.dumps({
+        "metric": "frames_per_sec_chip_4cam_1440p",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / baseline_fps, 3),
+        "p50_batch_latency_ms": round(p50, 2),
+        "p50_frame_latency_ms": round(p50 / batch, 2),
+        "p95_batch_latency_ms": round(p95, 2),
+        "batch": batch,
+        "capture_hw": list(capture_hw),
+        "input_hw": list(input_hw),
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,154 @@
+"""EVA02 vision transformer (Stage-2 species classifier backbone) in Flax.
+
+Functional re-implementation of the architecture behind
+``timm/eva02_large_patch14_clip_336.merged2b_ft_inat21`` which the reference
+wraps (species_classifier.py:235-353): patch-14 ViT with 2D rotary position
+embeddings, SwiGLU MLP, and sub-LayerNorm, classifying 10,000 iNat-2021
+species at 336x336. NHWC/TPU-first; attention is jax.nn.dot_product_attention
+(flash path on TPU); params convert 1:1 from timm checkpoints
+(models/convert.py).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+EVA02_VARIANTS = {
+    # name -> (depth, dim, heads, mlp_hidden, patch)
+    "eva02-tiny": (12, 192, 3, 512, 14),
+    "eva02-small": (12, 384, 6, 1024, 14),
+    "eva02-base": (12, 768, 12, 2048, 14),
+    "eva02-large": (24, 1024, 16, 2730, 14),
+}
+
+
+def _rope_freqs(dim: int, n_side: int, theta: float = 100.0) -> np.ndarray:
+    """2D axial rotary embedding tables: (n_side*n_side, dim/2) angles.
+
+    EVA02 uses rotary position embeddings over the 2D patch grid (half the
+    head dim rotates with x-position, half with y-position).
+    """
+    quarter = dim // 4
+    freqs = 1.0 / (theta ** (np.arange(quarter, dtype=np.float64) / quarter))
+    pos = np.arange(n_side, dtype=np.float64)
+    ang = np.outer(pos, freqs)                      # (n_side, quarter)
+    ang_y = np.repeat(ang[:, None, :], n_side, 1)   # (y, x, quarter)
+    ang_x = np.repeat(ang[None, :, :], n_side, 0)   # (y, x, quarter)
+    angles = np.concatenate([ang_y, ang_x], -1)     # (y, x, dim/2)
+    return angles.reshape(n_side * n_side, dim // 2).astype(np.float32)
+
+
+def _apply_rope(x: jnp.ndarray, angles: jnp.ndarray,
+                n_prefix: int = 1) -> jnp.ndarray:
+    """Rotate token features (B, T, H, D) by per-position angles
+    ((T - n_prefix), D/2); prefix tokens (cls) pass through unrotated."""
+    prefix, tokens = x[:, :n_prefix], x[:, n_prefix:]
+    cos = jnp.cos(angles)[None, :, None, :].astype(x.dtype)
+    sin = jnp.sin(angles)[None, :, None, :].astype(x.dtype)
+    t1, t2 = jnp.split(tokens, 2, axis=-1)
+    rotated = jnp.concatenate([t1 * cos - t2 * sin, t1 * sin + t2 * cos], -1)
+    return jnp.concatenate([prefix, rotated], axis=1)
+
+
+class SwiGLU(nn.Module):
+    hidden: int
+    out: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        gate = nn.Dense(self.hidden, dtype=self.dtype, name="w1")(x)
+        val = nn.Dense(self.hidden, dtype=self.dtype, name="w2")(x)
+        x = nn.silu(gate) * val
+        x = nn.LayerNorm(dtype=jnp.float32, name="ffn_ln")(x)  # sub-LN
+        return nn.Dense(self.out, dtype=self.dtype, name="w3")(x)
+
+
+class EVA02Block(nn.Module):
+    dim: int
+    heads: int
+    mlp_hidden: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, rope_angles):
+        b, t, _ = x.shape
+        head_dim = self.dim // self.heads
+
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        q = nn.Dense(self.dim, dtype=self.dtype, name="q_proj")(h)
+        k = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="k_proj")(h)
+        v = nn.Dense(self.dim, dtype=self.dtype, name="v_proj")(h)
+        q = q.reshape(b, t, self.heads, head_dim)
+        k = k.reshape(b, t, self.heads, head_dim)
+        v = v.reshape(b, t, self.heads, head_dim)
+        q = _apply_rope(q, rope_angles)
+        k = _apply_rope(k, rope_angles)
+        attn = jax.nn.dot_product_attention(q, k, v)
+        attn = attn.reshape(b, t, self.dim)
+        attn = nn.LayerNorm(dtype=jnp.float32, name="attn_ln")(attn)  # sub-LN
+        x = x + nn.Dense(self.dim, dtype=self.dtype, name="proj")(attn)
+
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
+        x = x + SwiGLU(self.mlp_hidden, self.dim, self.dtype, name="mlp")(h)
+        return x
+
+
+class EVA02(nn.Module):
+    num_classes: int = 10000
+    depth: int = 24
+    dim: int = 1024
+    heads: int = 16
+    mlp_hidden: int = 2730
+    patch: int = 14
+    image_size: int = 336
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, train: bool = False):
+        """images: (B, H, W, 3) normalized RGB floats -> (B, num_classes)."""
+        b = images.shape[0]
+        n_side = self.image_size // self.patch
+        x = nn.Conv(self.dim, (self.patch, self.patch),
+                    strides=(self.patch, self.patch), padding="VALID",
+                    dtype=self.dtype, name="patch_embed")(images)
+        x = x.reshape(b, n_side * n_side, self.dim)
+
+        cls = self.param("cls_token", nn.initializers.truncated_normal(0.02),
+                         (1, 1, self.dim))
+        x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, self.dim)).astype(x.dtype), x], 1)
+        pos = self.param("pos_embed", nn.initializers.truncated_normal(0.02),
+                         (1, n_side * n_side + 1, self.dim))
+        x = x + pos.astype(x.dtype)
+
+        head_dim = self.dim // self.heads
+        rope_angles = jnp.asarray(_rope_freqs(head_dim, n_side))
+        for i in range(self.depth):
+            x = EVA02Block(self.dim, self.heads, self.mlp_hidden, self.dtype,
+                           name=f"block{i}")(x, rope_angles)
+        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
+        cls_feat = x[:, 0]
+        return nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(cls_feat)
+
+
+def build_eva02(name: str = "eva02-large", num_classes: int = 10000,
+                image_size: int = 336, dtype=jnp.float32) -> EVA02:
+    if name not in EVA02_VARIANTS:
+        raise ValueError(f"unknown EVA02 variant {name!r}; valid: "
+                         f"{sorted(EVA02_VARIANTS)}")
+    depth, dim, heads, mlp_hidden, patch = EVA02_VARIANTS[name]
+    return EVA02(num_classes=num_classes, depth=depth, dim=dim, heads=heads,
+                 mlp_hidden=mlp_hidden, patch=patch, image_size=image_size,
+                 dtype=dtype)
+
+
+def init_eva02(name: str = "eva02-large", num_classes: int = 10000,
+               image_size: int = 336, seed: int = 0, dtype=jnp.float32):
+    model = build_eva02(name, num_classes, image_size, dtype)
+    dummy = jnp.zeros((1, image_size, image_size, 3), dtype)
+    variables = model.init(jax.random.PRNGKey(seed), dummy, train=False)
+    return model, variables

@@ -1,17 +1,25 @@
 """Test configuration: force JAX onto a virtual 8-device CPU mesh.
 
 Tests must be hermetic and runnable without TPU hardware; multi-chip sharding
-tests use the 8 virtual CPU devices. Must run before jax is imported anywhere.
+tests use the 8 virtual CPU devices.
+
+The container's sitecustomize registers the axon TPU backend at interpreter
+startup and pins jax_platforms to it, so plain env vars are ignored; we
+override via jax.config before any backend is initialized.
 """
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # override any preset (e.g. axon/tpu)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -20,5 +28,9 @@ import pytest  # noqa: E402
 
 @pytest.fixture(scope="session")
 def jax_devices():
-    import jax
     return jax.devices()
+
+
+def pytest_report_header(config):
+    return (f"jax backend: {jax.default_backend()} "
+            f"({len(jax.devices())} devices)")
