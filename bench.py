@@ -24,11 +24,12 @@ def main() -> None:
         DetectorProgram, FilterSettings, ProgramSpec)
     from telescope_cam_detection_tpu.utils.frames import SyntheticFrameSource
 
-    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
     capture_hw = (1440, 2560)
     input_hw = (640, 640)
     warmup = int(os.environ.get("BENCH_WARMUP", "5"))
     iters = int(os.environ.get("BENCH_ITERS", "40"))
+    pipeline_depth = int(os.environ.get("BENCH_PIPELINE", "2"))
 
     spec = ProgramSpec(detector_type="yolox", variant="yolox-s",
                        input_hw=input_hw, max_det=300, pre_nms_topk=1000)
@@ -43,12 +44,34 @@ def main() -> None:
     for _ in range(warmup):
         program.detect_batch_rows(frames)
 
+    # Pipelined measurement: a drainer thread reads back batch k while the
+    # main thread transfers/dispatches batch k+1 (the coordinator's steady
+    # state). Latency per batch is dispatch->readback-complete.
+    import queue as queue_mod
+    import threading
+
     latencies = []
+    inflight: "queue_mod.Queue" = queue_mod.Queue(maxsize=pipeline_depth)
+    done = threading.Event()
+
+    def drainer():
+        while True:
+            item = inflight.get()
+            if item is None:
+                break
+            t0, rows = item
+            np.asarray(rows)  # force readback
+            latencies.append((time.perf_counter() - t0) * 1000.0)
+        done.set()
+
+    threading.Thread(target=drainer, daemon=True).start()
     t_start = time.perf_counter()
     for i in range(iters):
         t0 = time.perf_counter()
-        program.detect_batch_rows(frames)
-        latencies.append((time.perf_counter() - t0) * 1000.0)
+        rows = program.dispatch_batch(frames)
+        inflight.put((t0, rows))
+    inflight.put(None)
+    done.wait()
     elapsed = time.perf_counter() - t_start
 
     fps = batch * iters / elapsed

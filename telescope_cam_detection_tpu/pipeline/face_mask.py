@@ -1,0 +1,155 @@
+"""Privacy face masking.
+
+Counterpart of reference ``src/face_masker.py:17-455``: Haar-cascade face
+detection (host cv2 — control-path work, per SURVEY §2.3 this intentionally
+stays on CPU) with gaussian_blur / pixelate / black_box / adaptive_blur mask
+styles, plus a per-camera cache that only re-detects every N frames.
+"""
+from __future__ import annotations
+
+import logging
+import threading
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+logger = logging.getLogger(__name__)
+
+MASK_STYLES = ("gaussian_blur", "pixelate", "black_box", "adaptive_blur")
+
+
+class FaceMasker:
+    def __init__(
+        self,
+        mask_style: str = "gaussian_blur",
+        detection_backend: str = "opencv_haar",
+        min_face_size: int = 30,
+        blur_strength: int = 25,
+        pixelate_blocks: int = 10,
+        scale_factor: float = 1.1,
+        min_neighbors: int = 5,
+    ):
+        if mask_style not in MASK_STYLES:
+            raise ValueError(f"unknown mask style {mask_style!r}")
+        self.mask_style = mask_style
+        self.detection_backend = detection_backend
+        self.min_face_size = min_face_size
+        self.blur_strength = blur_strength | 1  # odd
+        self.pixelate_blocks = pixelate_blocks
+        self.scale_factor = scale_factor
+        self.min_neighbors = min_neighbors
+        self._cascade = None
+        self.total_faces_detected = 0
+        self.total_frames_processed = 0
+
+    def _get_cascade(self):
+        if self._cascade is None and cv2 is not None:
+            if not hasattr(cv2, "CascadeClassifier"):
+                # cv2 >= 5.0 dropped the Haar cascade API; without a bundled
+                # YuNet ONNX model there is no offline face detector. Masking
+                # styles still work when faces are provided externally.
+                if not getattr(self, "_warned_no_backend", False):
+                    logger.warning("no face-detection backend available "
+                                   "(cv2 has no CascadeClassifier); face "
+                                   "masking will be a no-op")
+                    self._warned_no_backend = True
+                return None
+            path = cv2.data.haarcascades + "haarcascade_frontalface_default.xml"
+            self._cascade = cv2.CascadeClassifier(path)
+        return self._cascade
+
+    # -- detection -----------------------------------------------------------
+    def detect_faces(self, frame: np.ndarray) -> List[Tuple[int, int, int, int]]:
+        """Returns (x, y, w, h) tuples."""
+        cascade = self._get_cascade()
+        if cascade is None or cascade.empty():
+            self.total_frames_processed += 1
+            return []
+        gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+        faces = cascade.detectMultiScale(
+            gray, scaleFactor=self.scale_factor,
+            minNeighbors=self.min_neighbors,
+            minSize=(self.min_face_size, self.min_face_size))
+        self.total_frames_processed += 1
+        self.total_faces_detected += len(faces)
+        return [tuple(int(v) for v in f) for f in faces]
+
+    # -- masking ---------------------------------------------------------------
+    def apply_mask(self, frame: np.ndarray,
+                   faces: List[Tuple[int, int, int, int]],
+                   copy: bool = True) -> np.ndarray:
+        out = frame.copy() if copy else frame
+        for (x, y, w, h) in faces:
+            x, y = max(x, 0), max(y, 0)
+            region = out[y:y + h, x:x + w]
+            if region.size == 0:
+                continue
+            if self.mask_style == "gaussian_blur":
+                k = self.blur_strength
+                out[y:y + h, x:x + w] = cv2.GaussianBlur(region, (k, k), 0)
+            elif self.mask_style == "pixelate":
+                b = max(self.pixelate_blocks, 1)
+                small = cv2.resize(region, (max(w // b, 1), max(h // b, 1)),
+                                   interpolation=cv2.INTER_LINEAR)
+                out[y:y + h, x:x + w] = cv2.resize(
+                    small, (w, h), interpolation=cv2.INTER_NEAREST)
+            elif self.mask_style == "black_box":
+                out[y:y + h, x:x + w] = 0
+            elif self.mask_style == "adaptive_blur":
+                # blur strength scales with face size (bigger face = closer
+                # = needs stronger blur); reference face_masker.py:300-345
+                k = (max(self.blur_strength, int(max(w, h) / 3)) | 1)
+                out[y:y + h, x:x + w] = cv2.GaussianBlur(region, (k, k), 0)
+        return out
+
+    def mask_frame(self, frame: np.ndarray, copy: bool = True) -> np.ndarray:
+        return self.apply_mask(frame, self.detect_faces(frame), copy=copy)
+
+    def get_stats(self) -> Dict[str, Any]:
+        return {
+            "mask_style": self.mask_style,
+            "backend": self.detection_backend,
+            "total_frames_processed": self.total_frames_processed,
+            "total_faces_detected": self.total_faces_detected,
+        }
+
+
+class FaceMaskingCache:
+    """Per-camera cached face positions, re-detected every N frames
+    (reference face_masker.py:367-455)."""
+
+    def __init__(self, masker: FaceMasker, detection_interval: int = 5,
+                 ttl_seconds: float = 2.0):
+        self.masker = masker
+        self.detection_interval = max(int(detection_interval), 1)
+        self.ttl_seconds = ttl_seconds
+        self._lock = threading.Lock()
+        self._faces: Dict[str, List[Tuple[int, int, int, int]]] = {}
+        self._stamp: Dict[str, float] = {}
+        self._counter: Dict[str, int] = {}
+
+    def mask_frame(self, camera_id: str, frame: np.ndarray,
+                   copy: bool = True) -> np.ndarray:
+        with self._lock:
+            count = self._counter.get(camera_id, 0)
+            self._counter[camera_id] = count + 1
+            stale = (time.time() - self._stamp.get(camera_id, 0.0)
+                     > self.ttl_seconds)
+            need_detect = stale or count % self.detection_interval == 0
+        if need_detect:
+            faces = self.masker.detect_faces(frame)
+            with self._lock:
+                self._faces[camera_id] = faces
+                self._stamp[camera_id] = time.time()
+        else:
+            with self._lock:
+                faces = self._faces.get(camera_id, [])
+        if not faces:
+            return frame.copy() if copy else frame
+        return self.masker.apply_mask(frame, faces, copy=copy)

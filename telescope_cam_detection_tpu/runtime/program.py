@@ -55,6 +55,13 @@ class ProgramSpec:
     nms_threshold: float = 0.45
     max_det: int = 300
     pre_nms_topk: int = 1000
+    # Transfer policy. "auto": when capture resolution exceeds the model
+    # input, bilinear-resize on host (cv2, threads) and ship input-sized
+    # uint8 — 9x fewer host->device bytes at 1440p->640. On this environment
+    # the device link runs ~20 MB/s (measured), so shipping full 1440p
+    # frames costs ~2.2 s/batch vs ~50 ms for the entire fused compute;
+    # "device" keeps the reference-style fully-fused on-device resize.
+    transfer: str = "auto"                # "auto" | "device" | "host"
 
 
 @dataclasses.dataclass
@@ -127,6 +134,8 @@ class DetectorProgram:
         seed: int = 0,
         param_dtype=jnp.float32,
     ):
+        from telescope_cam_detection_tpu.utils.jaxconfig import configure_jax
+        configure_jax()
         self.spec = spec
         if spec.detector_type == "yolox":
             self.model = yolox_lib.build_yolox(spec.variant, spec.num_classes,
@@ -163,6 +172,16 @@ class DetectorProgram:
     @property
     def filters(self) -> FilterSettings:
         return self._filters
+
+    # -- transfer policy -------------------------------------------------------
+    def _host_resize_active(self, capture_hw: Tuple[int, int]) -> bool:
+        if self.spec.transfer == "device":
+            return False
+        if self.spec.transfer == "host":
+            return capture_hw != self.spec.input_hw
+        # auto: only when it shrinks the transfer
+        return (capture_hw[0] * capture_hw[1] >
+                self.spec.input_hw[0] * self.spec.input_hw[1])
 
     # -- program construction -------------------------------------------------
     def _build(self, batch: int, capture_hw: Tuple[int, int]) -> Callable:
@@ -211,23 +230,35 @@ class DetectorProgram:
         return fn
 
     # -- inference ------------------------------------------------------------
-    def detect_batch_rows(self, frames: np.ndarray) -> np.ndarray:
-        """(B, H, W, 3) uint8 BGR -> (B, max_det, 7) numpy rows in capture
-        coords; invalid rows are all -1."""
+    def dispatch_batch(self, frames: np.ndarray):
+        """Asynchronously dispatch one batch: transfer + enqueue the fused
+        program, return the on-device result array WITHOUT reading it back.
+        Lets a caller pipeline the next batch's transfer under this batch's
+        execution/readback (np.asarray the result to materialize)."""
         if frames.ndim != 4 or frames.shape[-1] != 3:
             raise ValueError(f"expected (B,H,W,3) uint8 frames, got {frames.shape}")
         batch = frames.shape[0]
         capture_hw = (frames.shape[1], frames.shape[2])
+        if self._host_resize_active(capture_hw):
+            import cv2
+            ih, iw = self.spec.input_hw
+            frames = np.stack([cv2.resize(f, (iw, ih),
+                                          interpolation=cv2.INTER_LINEAR)
+                               for f in frames])
         fn = self._get_program(batch, capture_hw)
         f = self._filter_arrays
-        t0 = time.perf_counter()
         rows = fn(self.variables, jnp.asarray(frames), f["class_conf"],
                   f["min_area"], f["max_area"], f["class_allowed"])
-        rows = np.asarray(jax.block_until_ready(rows))
-        dt = (time.perf_counter() - t0) * 1000.0
         self.stats["batches"] += 1
         self.stats["frames"] += batch
-        self.stats["last_infer_ms"] = dt
+        return rows
+
+    def detect_batch_rows(self, frames: np.ndarray) -> np.ndarray:
+        """(B, H, W, 3) uint8 BGR -> (B, max_det, 7) numpy rows in capture
+        coords; invalid rows are all -1."""
+        t0 = time.perf_counter()
+        rows = np.asarray(self.dispatch_batch(frames))
+        self.stats["last_infer_ms"] = (time.perf_counter() - t0) * 1000.0
         return rows
 
     def detect_batch(self, frames: np.ndarray) -> List[List[Dict[str, Any]]]:

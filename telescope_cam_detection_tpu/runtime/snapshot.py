@@ -1,0 +1,293 @@
+"""Snapshot and clip products.
+
+Counterpart of reference ``src/snapshot_saver.py:34-724``: one shared saver
+for all cameras. Trigger rule: class in trigger_classes AND confidence >=
+min_confidence AND per-(camera, class) cooldown expired. Image mode writes
+raw/ masked/ annotated/ trees per camera plus an atomically-renamed metadata
+JSON; clip mode keeps a JPEG-compressed ring pre-buffer per camera (bounded
+memory) and writes mp4 via cv2.VideoWriter.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import threading
+import time
+from collections import deque
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+logger = logging.getLogger(__name__)
+
+MAX_BUFFER_BYTES = 500 * 1024 * 1024  # reference snapshot_saver.py:27
+
+
+class SnapshotSaver:
+    def __init__(
+        self,
+        output_dir: str = "clips",
+        enabled: bool = True,
+        save_mode: str = "image",
+        trigger_classes: Optional[List[str]] = None,
+        min_confidence: float = 0.30,
+        cooldown_seconds: float = 45.0,
+        save_annotated: bool = True,
+        clip_duration: float = 10.0,
+        pre_buffer_seconds: float = 5.0,
+        fps: float = 30.0,
+        jpeg_quality: int = 85,
+        face_masker=None,
+    ):
+        self.output_dir = Path(output_dir)
+        self.enabled = enabled
+        self.save_mode = save_mode
+        self.trigger_classes = set(trigger_classes or [])
+        self.min_confidence = min_confidence
+        self.cooldown_seconds = cooldown_seconds
+        self.save_annotated = save_annotated
+        self.clip_duration = clip_duration
+        self.pre_buffer_seconds = pre_buffer_seconds
+        self.fps = fps
+        self.jpeg_quality = jpeg_quality
+        self.face_masker = face_masker
+
+        self._cooldown_lock = threading.Lock()
+        self._last_save: Dict[Tuple[str, str], float] = {}
+        self._buffer_lock = threading.Lock()
+        self._buffers: Dict[str, deque] = {}
+        self._buffer_bytes = 0
+
+        self.snapshots_saved = 0
+        self.clips_saved = 0
+        self.triggers_suppressed = 0
+
+    # -- trigger rule ------------------------------------------------------------
+    def should_save(self, detections: List[Dict[str, Any]],
+                    camera_id: str = "cam") -> Optional[Dict[str, Any]]:
+        """Return the triggering detection, or None
+        (reference snapshot_saver.py:209-245)."""
+        if not self.enabled or cv2 is None:
+            return None
+        now = time.time()
+        for det in detections:
+            name = det.get("class_name", "")
+            if self.trigger_classes and name not in self.trigger_classes:
+                continue
+            if det.get("confidence", 0.0) < self.min_confidence:
+                continue
+            key = (camera_id, name)
+            with self._cooldown_lock:
+                last = self._last_save.get(key, 0.0)
+                if now - last < self.cooldown_seconds:
+                    self.triggers_suppressed += 1
+                    continue
+                self._last_save[key] = now
+            return det
+        return None
+
+    # -- clip pre-buffer -----------------------------------------------------------
+    def add_frame_to_buffer(self, camera_id: str, frame: np.ndarray,
+                            timestamp: float) -> None:
+        """JPEG-compressed ring buffer (~10x memory saving; reference
+        snapshot_saver.py:141-207), bounded globally at MAX_BUFFER_BYTES."""
+        if not self.enabled or self.save_mode != "clip" or cv2 is None:
+            return
+        ok, buf = cv2.imencode(
+            ".jpg", frame, [cv2.IMWRITE_JPEG_QUALITY, self.jpeg_quality])
+        if not ok:
+            return
+        data = buf.tobytes()
+        maxlen = max(int(self.pre_buffer_seconds * self.fps), 1)
+        with self._buffer_lock:
+            ring = self._buffers.get(camera_id)
+            if ring is None or ring.maxlen != maxlen:
+                ring = deque(maxlen=maxlen)
+                self._buffers[camera_id] = ring
+            if len(ring) == ring.maxlen and ring:
+                self._buffer_bytes -= len(ring[0][1])
+            ring.append((timestamp, data))
+            self._buffer_bytes += len(data)
+            while self._buffer_bytes > MAX_BUFFER_BYTES and ring:
+                _, old = ring.popleft()
+                self._buffer_bytes -= len(old)
+
+    # -- products -------------------------------------------------------------------
+    def process_detections(self, camera_id: str, frame: np.ndarray,
+                           detections: List[Dict[str, Any]]) -> Optional[str]:
+        """Check the trigger and save a snapshot or clip. Returns the saved
+        path (or None)."""
+        trigger = self.should_save(detections, camera_id)
+        if trigger is None:
+            return None
+        if self.save_mode == "clip":
+            return self.save_clip(camera_id, frame, detections, trigger)
+        return self.save_snapshot(camera_id, frame, detections, trigger)
+
+    def save_snapshot(self, camera_id: str, frame: np.ndarray,
+                      detections: List[Dict[str, Any]],
+                      trigger: Dict[str, Any]) -> Optional[str]:
+        """raw/ + masked/ + annotated/ + atomic metadata JSON
+        (reference snapshot_saver.py:289-462)."""
+        if cv2 is None:
+            return None
+        ts = time.time()
+        stamp = time.strftime("%Y%m%d_%H%M%S", time.localtime(ts))
+        name = f"{camera_id}_{trigger.get('class_name', 'det')}_{stamp}_{int((ts % 1) * 1000):03d}"
+        base = self.output_dir / camera_id
+        try:
+            raw_dir = base / "raw"
+            raw_dir.mkdir(parents=True, exist_ok=True)
+            raw_path = raw_dir / f"{name}.jpg"
+            cv2.imwrite(str(raw_path), frame,
+                        [cv2.IMWRITE_JPEG_QUALITY, self.jpeg_quality])
+
+            if self.face_masker is not None:
+                masked_dir = base / "masked"
+                masked_dir.mkdir(parents=True, exist_ok=True)
+                masked = self.face_masker.mask_frame(frame)
+                cv2.imwrite(str(masked_dir / f"{name}.jpg"), masked,
+                            [cv2.IMWRITE_JPEG_QUALITY, self.jpeg_quality])
+
+            if self.save_annotated:
+                from telescope_cam_detection_tpu.utils.visualization import (
+                    draw_detections)
+                ann_dir = base / "annotated"
+                ann_dir.mkdir(parents=True, exist_ok=True)
+                annotated = draw_detections(frame, detections)
+                cv2.imwrite(str(ann_dir / f"{name}.jpg"), annotated,
+                            [cv2.IMWRITE_JPEG_QUALITY, self.jpeg_quality])
+
+            self._write_metadata(base / f"{name}.json", camera_id, ts,
+                                 detections, trigger, str(raw_path))
+            self.snapshots_saved += 1
+            logger.info("[%s] snapshot saved: %s", camera_id, name)
+            return str(raw_path)
+        except (OSError, cv2.error):
+            logger.exception("[%s] snapshot save failed", camera_id)
+            return None
+
+    def save_clip(self, camera_id: str, frame: np.ndarray,
+                  detections: List[Dict[str, Any]],
+                  trigger: Dict[str, Any]) -> Optional[str]:
+        """Pre-buffer frames + the trigger frame -> mp4
+        (reference snapshot_saver.py:464-576)."""
+        if cv2 is None:
+            return None
+        ts = time.time()
+        stamp = time.strftime("%Y%m%d_%H%M%S", time.localtime(ts))
+        name = f"{camera_id}_{trigger.get('class_name', 'det')}_{stamp}"
+        base = self.output_dir / camera_id
+        base.mkdir(parents=True, exist_ok=True)
+        path = base / f"{name}.mp4"
+        with self._buffer_lock:
+            ring = list(self._buffers.get(camera_id, ()))
+        h, w = frame.shape[:2]
+        try:
+            writer = cv2.VideoWriter(
+                str(path), cv2.VideoWriter_fourcc(*"mp4v"), self.fps, (w, h))
+            for _, jpeg in ring:
+                img = cv2.imdecode(np.frombuffer(jpeg, np.uint8),
+                                   cv2.IMREAD_COLOR)
+                if img is not None and img.shape[:2] == (h, w):
+                    writer.write(img)
+            writer.write(frame)
+            writer.release()
+            self._write_metadata(base / f"{name}.json", camera_id, ts,
+                                 detections, trigger, str(path))
+            self.clips_saved += 1
+            logger.info("[%s] clip saved: %s (%d pre-buffer frames)",
+                        camera_id, name, len(ring))
+            return str(path)
+        except (OSError, cv2.error):
+            logger.exception("[%s] clip save failed", camera_id)
+            return None
+
+    def _write_metadata(self, path: Path, camera_id: str, ts: float,
+                        detections, trigger, media_path: str) -> None:
+        """Atomic write via temp + rename (reference snapshot_saver.py:433-438)."""
+        meta = {
+            "camera_id": camera_id,
+            "timestamp": ts,
+            "datetime": time.strftime("%Y-%m-%d %H:%M:%S", time.localtime(ts)),
+            "trigger_class": trigger.get("class_name"),
+            "trigger_confidence": trigger.get("confidence"),
+            "media_path": media_path,
+            "detections": [self._clean_detection(d) for d in detections],
+        }
+        tmp = path.with_suffix(".json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=2)
+        os.replace(tmp, path)
+
+    @staticmethod
+    def _clean_detection(det: Dict[str, Any]) -> Dict[str, Any]:
+        keep = {}
+        for key in ("class_id", "class_name", "confidence", "bbox", "species",
+                    "species_confidence", "taxonomic_level", "time_of_day"):
+            if key in det:
+                val = det[key]
+                if isinstance(val, (np.floating, np.integer)):
+                    val = val.item()
+                keep[key] = val
+        return keep
+
+    # -- maintenance -------------------------------------------------------------
+    def cleanup_old_files(self, max_age_days: float = 30.0) -> int:
+        """Delete products older than max_age_days
+        (reference snapshot_saver.py:664-724)."""
+        cutoff = time.time() - max_age_days * 86400
+        removed = 0
+        if not self.output_dir.exists():
+            return 0
+        for p in self.output_dir.rglob("*"):
+            if p.is_file() and p.stat().st_mtime < cutoff:
+                try:
+                    p.unlink()
+                    removed += 1
+                except OSError:
+                    pass
+        return removed
+
+    def update_settings(self, settings: Dict[str, Any]) -> List[str]:
+        """Hot-reload (reference snapshot_saver.py:606-662)."""
+        updated = []
+        mapping = {
+            "enabled": "enabled", "save_mode": "save_mode",
+            "min_confidence": "min_confidence",
+            "cooldown_seconds": "cooldown_seconds",
+            "save_annotated": "save_annotated",
+            "clip_duration": "clip_duration",
+            "pre_buffer_seconds": "pre_buffer_seconds", "fps": "fps",
+        }
+        for key, attr in mapping.items():
+            if key in settings and getattr(self, attr) != settings[key]:
+                setattr(self, attr, settings[key])
+                updated.append(key)
+        if "trigger_classes" in settings:
+            new = set(settings["trigger_classes"] or [])
+            if new != self.trigger_classes:
+                self.trigger_classes = new
+                updated.append("trigger_classes")
+        return updated
+
+    def get_stats(self) -> Dict[str, Any]:
+        with self._buffer_lock:
+            buffered = {cam: len(ring) for cam, ring in self._buffers.items()}
+            buffer_mb = self._buffer_bytes / 1e6
+        return {
+            "enabled": self.enabled,
+            "save_mode": self.save_mode,
+            "snapshots_saved": self.snapshots_saved,
+            "clips_saved": self.clips_saved,
+            "triggers_suppressed": self.triggers_suppressed,
+            "buffered_frames": buffered,
+            "buffer_mb": round(buffer_mb, 1),
+        }

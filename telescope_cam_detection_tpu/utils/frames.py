@@ -52,8 +52,22 @@ class SyntheticFrameSource:
         self.object_size = object_size
         self.noise_sigma = noise_sigma
         rng = np.random.default_rng(seed)
-        base = rng.integers(60, 140, size=(height, width, 3), dtype=np.int64)
-        self._background = base.astype(np.uint8)
+        # Smooth low-frequency background (like a real outdoor scene), not
+        # per-pixel noise: real camera frames are spatially correlated, which
+        # matters for anything measuring transfer/encode behavior.
+        coarse = rng.integers(60, 140, size=(max(height // 32, 1),
+                                             max(width // 32, 1), 3))
+        ys = np.linspace(0, coarse.shape[0] - 1, height)
+        xs = np.linspace(0, coarse.shape[1] - 1, width)
+        yi, xi = np.floor(ys).astype(int), np.floor(xs).astype(int)
+        yf, xf = (ys - yi)[:, None, None], (xs - xi)[None, :, None]
+        y1 = np.minimum(yi + 1, coarse.shape[0] - 1)
+        x1 = np.minimum(xi + 1, coarse.shape[1] - 1)
+        base = ((1 - yf) * (1 - xf) * coarse[np.ix_(yi, xi)]
+                + (1 - yf) * xf * coarse[np.ix_(yi, x1)]
+                + yf * (1 - xf) * coarse[np.ix_(y1, xi)]
+                + yf * xf * coarse[np.ix_(y1, x1)])
+        self._background = np.clip(base, 0, 255).astype(np.uint8)
         self._rng = rng
         self._frame_id = 0
 

@@ -1,0 +1,143 @@
+import json
+import time
+
+import numpy as np
+import pytest
+
+from telescope_cam_detection_tpu.pipeline.face_mask import (
+    FaceMasker,
+    FaceMaskingCache,
+)
+from telescope_cam_detection_tpu.runtime.snapshot import SnapshotSaver
+from telescope_cam_detection_tpu.utils.visualization import (
+    class_color,
+    draw_detections,
+    format_label,
+)
+
+
+def _det(name="cat", conf=0.9, species=None):
+    d = {"class_id": 15, "class_name": name, "confidence": conf,
+         "bbox": {"x1": 10, "y1": 10, "x2": 60, "y2": 60}}
+    if species:
+        d.update({"species": species, "species_confidence": 0.8,
+                  "taxonomic_level": "species"})
+    return d
+
+
+def test_format_label_stage1_and_stage2():
+    assert format_label(_det()) == "cat 90%"
+    assert format_label(_det(species="Bobcat")) == "Bobcat 80%"
+    d = _det(species="Leporidae")
+    d["taxonomic_level"] = "family"
+    assert "[family]" in format_label(d)
+
+
+def test_draw_detections_modifies_pixels():
+    frame = np.zeros((100, 100, 3), np.uint8)
+    out = draw_detections(frame, [_det()])
+    assert out is not frame
+    assert out.sum() > 0
+    assert frame.sum() == 0  # original untouched
+    assert class_color("person") == (0, 0, 255)
+
+
+def test_snapshot_trigger_rules(tmp_path):
+    saver = SnapshotSaver(output_dir=str(tmp_path), trigger_classes=["cat"],
+                          min_confidence=0.5, cooldown_seconds=100)
+    assert saver.should_save([_det("dog", 0.9)]) is None          # not in classes
+    assert saver.should_save([_det("cat", 0.3)]) is None          # low conf
+    trig = saver.should_save([_det("cat", 0.9)])
+    assert trig is not None
+    assert saver.should_save([_det("cat", 0.9)]) is None          # cooldown
+    assert saver.triggers_suppressed == 1
+    # another camera has its own cooldown
+    assert saver.should_save([_det("cat", 0.9)], camera_id="other") is not None
+
+
+def test_snapshot_image_products(tmp_path):
+    saver = SnapshotSaver(output_dir=str(tmp_path), trigger_classes=["cat"],
+                          min_confidence=0.5, save_annotated=True,
+                          face_masker=FaceMasker())
+    frame = np.random.default_rng(0).integers(0, 256, (120, 160, 3), np.uint8)
+    dets = [_det("cat", 0.9, species="Bobcat")]
+    path = saver.process_detections("cam1", frame, dets)
+    assert path is not None
+    base = tmp_path / "cam1"
+    raws = list((base / "raw").glob("*.jpg"))
+    assert len(raws) == 1
+    assert len(list((base / "masked").glob("*.jpg"))) == 1
+    assert len(list((base / "annotated").glob("*.jpg"))) == 1
+    metas = list(base.glob("*.json"))
+    assert len(metas) == 1
+    meta = json.loads(metas[0].read_text())
+    assert meta["trigger_class"] == "cat"
+    assert meta["detections"][0]["species"] == "Bobcat"
+    assert saver.snapshots_saved == 1
+
+
+def test_clip_mode_with_prebuffer(tmp_path):
+    saver = SnapshotSaver(output_dir=str(tmp_path), save_mode="clip",
+                          trigger_classes=["cat"], min_confidence=0.5,
+                          pre_buffer_seconds=0.2, fps=10)
+    frame = np.random.default_rng(1).integers(0, 256, (64, 80, 3), np.uint8)
+    for i in range(5):
+        saver.add_frame_to_buffer("cam1", frame, time.time())
+    path = saver.process_detections("cam1", frame, [_det("cat", 0.9)])
+    assert path is not None and path.endswith(".mp4")
+    import cv2
+    cap = cv2.VideoCapture(path)
+    n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    cap.release()
+    assert n >= 3  # pre-buffer (maxlen=2) + trigger frame
+    assert saver.clips_saved == 1
+
+
+def test_snapshot_hot_reload(tmp_path):
+    saver = SnapshotSaver(output_dir=str(tmp_path))
+    updated = saver.update_settings({"min_confidence": 0.7,
+                                     "trigger_classes": ["dog"],
+                                     "cooldown_seconds": 5})
+    assert set(updated) == {"min_confidence", "trigger_classes",
+                            "cooldown_seconds"}
+    assert saver.trigger_classes == {"dog"}
+
+
+def test_cleanup_old_files(tmp_path):
+    saver = SnapshotSaver(output_dir=str(tmp_path))
+    old = tmp_path / "cam1" / "raw"
+    old.mkdir(parents=True)
+    f = old / "old.jpg"
+    f.write_bytes(b"x")
+    import os
+    os.utime(f, (time.time() - 90 * 86400,) * 2)
+    assert saver.cleanup_old_files(max_age_days=30) == 1
+    assert not f.exists()
+
+
+def test_face_masker_styles():
+    frame = np.random.default_rng(0).integers(0, 256, (100, 100, 3), np.uint8)
+    faces = [(20, 20, 40, 40)]
+    for style in ("gaussian_blur", "pixelate", "black_box", "adaptive_blur"):
+        m = FaceMasker(mask_style=style)
+        out = m.apply_mask(frame, faces)
+        assert out.shape == frame.shape
+        assert not np.array_equal(out[20:60, 20:60], frame[20:60, 20:60])
+        # pixels outside the face untouched
+        assert np.array_equal(out[:10, :10], frame[:10, :10])
+    m = FaceMasker(mask_style="black_box")
+    assert (m.apply_mask(frame, faces)[20:60, 20:60] == 0).all()
+    with pytest.raises(ValueError):
+        FaceMasker(mask_style="nope")
+
+
+def test_face_masking_cache_interval():
+    masker = FaceMasker()
+    calls = []
+    orig = masker.detect_faces
+    masker.detect_faces = lambda f: (calls.append(1), orig(f))[1]
+    cache = FaceMaskingCache(masker, detection_interval=3, ttl_seconds=100)
+    frame = np.zeros((50, 50, 3), np.uint8)
+    for _ in range(6):
+        cache.mask_frame("cam1", frame)
+    assert len(calls) == 2  # frames 0 and 3 only
