@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Entry point: python main.py [--config config/config.yaml]
+
+TPU-native counterpart of the reference's main.py:1784-1840: build the
+system from config, install SIGINT/SIGTERM handlers, start everything
+(blocking on the web server), clean shutdown on signal.
+"""
+import argparse
+import logging
+import os
+import signal
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser(description="TPU wildlife detection system")
+    parser.add_argument("--config", default="config/config.yaml")
+    parser.add_argument("--no-weights", action="store_true",
+                        help="skip loading model weights (random init)")
+    parser.add_argument("--log-level", default="INFO")
+    args = parser.parse_args()
+
+    logging.basicConfig(
+        level=getattr(logging, args.log_level.upper(), logging.INFO),
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s")
+
+    from telescope_cam_detection_tpu.utils.jaxconfig import configure_jax
+    configure_jax()
+    from telescope_cam_detection_tpu.system import TelescopeDetectionSystem
+
+    system = TelescopeDetectionSystem(args.config,
+                                      load_weights=not args.no_weights)
+
+    def handle_signal(signum, frame):
+        logging.getLogger("main").info("signal %d; shutting down", signum)
+        system.stop()
+        sys.exit(0)
+
+    signal.signal(signal.SIGINT, handle_signal)
+    signal.signal(signal.SIGTERM, handle_signal)
+
+    system.load_config()
+    system.validate_config()
+    missing = system.validate_model_files()
+    for msg in missing:
+        logging.getLogger("main").warning("%s (continuing with random init)",
+                                          msg)
+    system.initialize_components()
+    try:
+        system.start(block=True)
+    finally:
+        system.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

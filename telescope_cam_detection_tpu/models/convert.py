@@ -1,0 +1,226 @@
+"""Checkpoint loading and torch->Flax weight conversion.
+
+The reference loads Megvii YOLOX ``.pth`` checkpoints
+(yolox_detector.py:125-150) and timm EVA02 weights. This module converts
+those into our Flax parameter trees (NHWC convs, named modules) and defines
+the framework's native checkpoint format (flax msgpack, plus orbax for
+training state in train/checkpoint.py).
+
+Conversion is driven by a path-translation function from our Flax tree paths
+to Megvii state-dict names, so the mapping is testable in both directions
+without real weights (tests/test_convert.py round-trips a synthetic
+torch-style state dict).
+"""
+from __future__ import annotations
+
+import logging
+import re
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# Flax path -> Megvii YOLOX state-dict name
+# ---------------------------------------------------------------------------
+
+def _module_prefix(parts: Tuple[str, ...]) -> Tuple[str, Tuple[str, ...]]:
+    """Translate the leading module components of a flax path into the
+    Megvii dotted prefix; returns (prefix, remaining_parts)."""
+    out = []
+    i = 0
+    top = parts[0]
+    if top == "backbone":
+        out.append("backbone.backbone")
+        i = 1
+        stage = parts[1]
+        if stage == "stem":
+            out.append("stem")
+            i = 2
+        else:
+            m = re.fullmatch(r"dark(\d)_(conv|csp|spp)", stage)
+            if not m:
+                raise KeyError(f"unknown backbone stage {stage}")
+            n, kind = int(m.group(1)), m.group(2)
+            idx = {"conv": 0, "csp": 1, "spp": 1}[kind]
+            if n == 5:
+                idx = {"conv": 0, "spp": 1, "csp": 2}[kind]
+            out.append(f"dark{n}.{idx}")
+            i = 2
+    elif top == "neck":
+        out.append("backbone")  # Megvii YOLOPAFPN is the top-level 'backbone'
+        out.append(parts[1])
+        i = 2
+    elif top == "head":
+        out.append("head")
+        leaf = parts[1]
+        m = re.fullmatch(r"(stem|cls_conv|reg_conv|cls_pred|reg_pred|obj_pred)"
+                         r"(\d)(?:_(\d))?", leaf)
+        if not m:
+            raise KeyError(f"unknown head module {leaf}")
+        kind, lvl, j = m.group(1), m.group(2), m.group(3)
+        name = {"stem": "stems", "cls_conv": "cls_convs",
+                "reg_conv": "reg_convs", "cls_pred": "cls_preds",
+                "reg_pred": "reg_preds", "obj_pred": "obj_preds"}[kind]
+        out.append(f"{name}.{lvl}" + (f".{j}" if j is not None else ""))
+        i = 2
+    else:
+        raise KeyError(f"unknown top module {top}")
+    return ".".join(out), parts[i:]
+
+
+def _inner_name(parts: Tuple[str, ...]) -> str:
+    """Translate intra-block path components (CSP m{i}, conv/bn leaves)."""
+    out = []
+    for p in parts:
+        m = re.fullmatch(r"m(\d+)", p)
+        if m:
+            out.append(f"m.{m.group(1)}")
+        else:
+            out.append(p)
+    return ".".join(out)
+
+
+_LEAF_MAP = {
+    ("params", "kernel"): "weight",
+    ("params", "bias"): "bias",
+    ("params", "scale"): "weight",        # BatchNorm gamma
+    ("batch_stats", "mean"): "running_mean",
+    ("batch_stats", "var"): "running_var",
+}
+
+
+def flax_path_to_torch_name(collection: str, path: Tuple[str, ...]) -> str:
+    """('params', ('backbone','dark3_csp','m0','conv1','conv','kernel'))
+    -> 'backbone.backbone.dark3.1.m.0.conv1.conv.weight'"""
+    prefix, rest = _module_prefix(path)
+    *mods, leaf = rest
+    torch_leaf = _LEAF_MAP[(collection, leaf)]
+    inner = _inner_name(tuple(mods))
+    pieces = [prefix] + ([inner] if inner else []) + [torch_leaf]
+    return ".".join(pieces)
+
+
+def _to_torch_value(leaf_name: str, value: np.ndarray) -> np.ndarray:
+    if leaf_name == "kernel" and value.ndim == 4:
+        return np.transpose(value, (3, 2, 0, 1))  # HWIO -> OIHW
+    return value
+
+
+def _from_torch_value(leaf_name: str, value: np.ndarray,
+                      target_shape: Tuple[int, ...]) -> np.ndarray:
+    if leaf_name == "kernel" and value.ndim == 4:
+        value = np.transpose(value, (2, 3, 1, 0))  # OIHW -> HWIO
+    if tuple(value.shape) != tuple(target_shape):
+        raise ValueError(f"shape mismatch: checkpoint {value.shape} vs "
+                         f"model {target_shape}")
+    return value
+
+
+def _flatten(tree: Any, prefix: Tuple[str, ...] = ()) -> Dict[Tuple[str, ...], Any]:
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, prefix + (str(k),)))
+    else:
+        out[prefix] = tree
+    return out
+
+
+def _unflatten(flat: Dict[Tuple[str, ...], Any]) -> Dict[str, Any]:
+    tree: Dict[str, Any] = {}
+    for path, value in flat.items():
+        node = tree
+        for key in path[:-1]:
+            node = node.setdefault(key, {})
+        node[path[-1]] = value
+    return tree
+
+
+def export_yolox_to_torch_names(variables: Any) -> Dict[str, np.ndarray]:
+    """Our Flax variables -> Megvii-named numpy state dict (test fixture +
+    interop export)."""
+    out: Dict[str, np.ndarray] = {}
+    for collection in ("params", "batch_stats"):
+        for path, leaf in _flatten(variables.get(collection, {})).items():
+            name = flax_path_to_torch_name(collection, path)
+            out[name] = _to_torch_value(path[-1], np.asarray(leaf))
+    return out
+
+
+def convert_yolox_from_torch(state_dict: Dict[str, Any],
+                             reference_variables: Any) -> Any:
+    """Megvii YOLOX state dict -> Flax variables matching
+    ``reference_variables``'s structure (shapes verified leaf-by-leaf).
+
+    Accepts raw tensors or numpy arrays; Megvii checkpoints store the model
+    under 'model' key — handled by load_variables().
+    """
+    converted: Dict[str, Dict] = {}
+    missing = []
+    for collection in ("params", "batch_stats"):
+        flat_ref = _flatten(reference_variables.get(collection, {}))
+        flat_new = {}
+        for path, ref_leaf in flat_ref.items():
+            name = flax_path_to_torch_name(collection, path)
+            if name not in state_dict:
+                missing.append(name)
+                flat_new[path] = np.asarray(ref_leaf)
+                continue
+            value = state_dict[name]
+            if hasattr(value, "detach"):
+                value = value.detach().cpu().numpy()
+            flat_new[path] = _from_torch_value(
+                path[-1], np.asarray(value), np.shape(ref_leaf))
+        converted[collection] = _unflatten(flat_new)
+    if missing:
+        logger.warning("checkpoint missing %d tensors (kept random init for "
+                       "them); first: %s", len(missing), missing[:5])
+    return converted
+
+
+# ---------------------------------------------------------------------------
+# Native checkpoint IO
+# ---------------------------------------------------------------------------
+
+def save_variables(variables: Any, path: str) -> None:
+    """Save a Flax variable tree as msgpack (the framework-native format)."""
+    from flax import serialization
+    import jax
+    host = jax.device_get(variables)
+    data = serialization.msgpack_serialize(host)
+    p = Path(path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    with open(p, "wb") as f:
+        f.write(data)
+
+
+def load_variables(path: str, reference_variables: Optional[Any] = None) -> Optional[Any]:
+    """Load weights from .msgpack (native), .npz, or torch .pth/.pt
+    (Megvii YOLOX layout; needs reference_variables for structure)."""
+    p = Path(path)
+    if not p.exists():
+        logger.warning("weights not found: %s", path)
+        return None
+    suffix = p.suffix.lower()
+    if suffix == ".msgpack":
+        from flax import serialization
+        with open(p, "rb") as f:
+            return serialization.msgpack_restore(f.read())
+    if suffix == ".npz":
+        flat = dict(np.load(p, allow_pickle=False))
+        return _unflatten({tuple(k.split("/")): v for k, v in flat.items()})
+    if suffix in (".pth", ".pt"):
+        import torch
+        ckpt = torch.load(str(p), map_location="cpu", weights_only=True)
+        state = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
+        if reference_variables is None:
+            logger.warning("torch checkpoint needs reference variables for "
+                           "structure; skipping %s", path)
+            return None
+        return convert_yolox_from_torch(state, reference_variables)
+    logger.warning("unknown checkpoint format: %s", path)
+    return None

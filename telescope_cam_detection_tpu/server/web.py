@@ -1,0 +1,570 @@
+"""HTTP / WebSocket / MJPEG serving plane.
+
+Byte-compatible with the reference's FastAPI surface (src/web_server.py:36-
+1233) but built on stdlib ``ThreadingHTTPServer`` plus a hand-rolled RFC 6455
+upgrade (utils/wsproto.py) since fastapi/uvicorn are not in this image:
+
+  GET  /                         -> web/index.html
+  GET  /app.js, /clips_browser   -> static assets
+  GET  /health                   -> status + queue-utilization alerts
+  GET  /cameras                  -> camera list
+  GET  /stats                    -> per-component stats
+  GET  /api/cameras/{id}/health|stats
+  POST /api/cameras/{id}/restart
+  GET  /api/cameras/health/summary
+  GET  /api/system/stats         -> aggregate fps, HBM, queue depths
+  GET  /api/clips[?camera=...]   -> product listing
+  GET  /api/clips/{name}         -> serve product (Bearer token + traversal guard)
+  POST /api/config/reload        -> hot reload
+  GET  /api/config/current       -> redacted live config
+  GET  /video/feed/{camera_id}   -> multipart MJPEG
+  WS   /ws/detections            -> detection stream (skip-empty + 5s status
+                                    + 1s heartbeat, reference :743-801)
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import queue
+import socket
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+
+from telescope_cam_detection_tpu import constants as C
+from telescope_cam_detection_tpu.utils import wsproto
+from telescope_cam_detection_tpu.utils.visualization import draw_detections
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+logger = logging.getLogger(__name__)
+
+WEB_ROOT = Path(__file__).resolve().parent.parent.parent / "web"
+
+
+def _percentile_alerts(depth: int, maxsize: int, warning: float,
+                       critical: float, name: str) -> List[Dict[str, Any]]:
+    if maxsize <= 0:
+        return []
+    util = depth / maxsize
+    if util >= critical:
+        return [{"level": "critical", "queue": name,
+                 "utilization": round(util, 2),
+                 "message": f"{name} at {util:.0%} capacity"}]
+    if util >= warning:
+        return [{"level": "warning", "queue": name,
+                 "utilization": round(util, 2),
+                 "message": f"{name} at {util:.0%} capacity"}]
+    return []
+
+
+class WebServer:
+    """Holds references to live components; never owns them."""
+
+    def __init__(
+        self,
+        host: str = "0.0.0.0",
+        port: int = 8000,
+        detection_queue: Optional[queue.Queue] = None,
+        cameras: Optional[List[Dict[str, Any]]] = None,
+        captures: Optional[Dict[str, Any]] = None,       # camera_id -> capture
+        engines: Optional[Dict[str, Any]] = None,
+        processors: Optional[Dict[str, Any]] = None,
+        coordinator=None,
+        snapshot_saver=None,
+        health_monitor=None,
+        memory_manager=None,
+        face_mask_cache=None,
+        restart_callback: Optional[Callable[[str], bool]] = None,
+        reload_callback: Optional[Callable[[], Dict[str, Any]]] = None,
+        get_config: Optional[Callable[[], Dict[str, Any]]] = None,
+        mjpeg_fps: float = C.DEFAULT_MJPEG_FPS,
+        jpeg_quality: int = C.DEFAULT_JPEG_QUALITY,
+        clips_dir: str = "clips",
+        queue_health: Optional[Dict[str, Any]] = None,
+    ):
+        self.host = host
+        self.port = port
+        self.detection_queue = detection_queue
+        self.cameras = cameras or []
+        self.captures = captures or {}
+        self.engines = engines or {}
+        self.processors = processors or {}
+        self.coordinator = coordinator
+        self.snapshot_saver = snapshot_saver
+        self.health_monitor = health_monitor
+        self.memory_manager = memory_manager
+        self.face_mask_cache = face_mask_cache
+        self.restart_callback = restart_callback
+        self.reload_callback = reload_callback
+        self.get_config = get_config
+        self.mjpeg_fps = mjpeg_fps
+        self.jpeg_quality = jpeg_quality
+        self.clips_dir = Path(clips_dir)
+        self.queue_health = queue_health or {"enabled": True,
+                                             "warning_threshold": 0.70,
+                                             "critical_threshold": 0.90}
+
+        self.latest_detections: Dict[str, Dict[str, Any]] = {}
+        self._latest_lock = threading.Lock()
+        self._ws_clients: List[Any] = []
+        self._ws_lock = threading.Lock()
+        self.start_time = time.time()
+        self.camera_start_times: Dict[str, float] = {}
+
+        self._httpd: Optional[ThreadingHTTPServer] = None
+        self._serve_thread: Optional[threading.Thread] = None
+        self._pump_thread: Optional[threading.Thread] = None
+        self._running = threading.Event()
+
+    # ------------------------------------------------------------------ lifecycle
+    def start(self) -> None:
+        """Non-blocking start (run() is the blocking variant)."""
+        if self._httpd is not None:
+            return
+        server = self
+
+        class Handler(_Handler):
+            web = server
+
+        self._httpd = ThreadingHTTPServer((self.host, self.port), Handler)
+        self._httpd.daemon_threads = True
+        self._running.set()
+        self._serve_thread = threading.Thread(
+            target=self._httpd.serve_forever, name="web-server", daemon=True)
+        self._serve_thread.start()
+        self._pump_thread = threading.Thread(
+            target=self._detection_pump, name="detection-pump", daemon=True)
+        self._pump_thread.start()
+        logger.info("web server listening on %s:%d", self.host, self.port)
+
+    def run(self) -> None:
+        """Blocking serve (reference web_server.py:1168: uvicorn.run blocks)."""
+        self.start()
+        try:
+            while self._running.is_set():
+                time.sleep(0.5)
+        except KeyboardInterrupt:
+            pass
+
+    def stop(self) -> None:
+        self._running.clear()
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+        with self._ws_lock:
+            for wfile in list(self._ws_clients):
+                try:
+                    wfile.write(wsproto.encode_close())
+                except Exception:
+                    pass
+            self._ws_clients.clear()
+
+    def set_camera_start_time(self, camera_id: str) -> None:
+        self.camera_start_times[camera_id] = time.time()
+
+    # ------------------------------------------------------------------ WS plane
+    def _detection_pump(self) -> None:
+        """Drain the shared detection queue; fan out to WS clients
+        (reference :743-801 semantics: send when detections > 0, 5s status,
+        1s heartbeat)."""
+        last_status = 0.0
+        last_heartbeat = 0.0
+        while self._running.is_set():
+            result = None
+            if self.detection_queue is not None:
+                try:
+                    result = self.detection_queue.get(
+                        timeout=C.QUEUE_GET_TIMEOUT_SECONDS)
+                except queue.Empty:
+                    result = None
+            else:
+                time.sleep(C.QUEUE_GET_TIMEOUT_SECONDS)
+            now = time.time()
+            if result is not None:
+                cam = result.get("camera_id", "unknown")
+                with self._latest_lock:
+                    self.latest_detections[cam] = result
+                if result.get("total_detections", 0) > 0:
+                    self._broadcast(self._detection_message(result))
+                    continue
+            if now - last_status >= C.WEBSOCKET_STATUS_INTERVAL_SECONDS:
+                last_status = now
+                self._broadcast({"type": "status",
+                                 "timestamp": now,
+                                 "cameras": self._camera_statuses()})
+            elif now - last_heartbeat >= C.WEBSOCKET_HEARTBEAT_INTERVAL_SECONDS:
+                last_heartbeat = now
+                self._broadcast({"type": "heartbeat", "timestamp": now})
+
+    @staticmethod
+    def _detection_message(result: Dict[str, Any]) -> Dict[str, Any]:
+        msg = {k: v for k, v in result.items() if k != "frame"}
+        msg["type"] = "detections"
+        return msg
+
+    def _broadcast(self, message: Dict[str, Any]) -> None:
+        with self._ws_lock:
+            clients = list(self._ws_clients)
+        if not clients:
+            return
+        try:
+            frame = wsproto.encode_text(json.dumps(message, default=str))
+        except (TypeError, ValueError):
+            logger.exception("unserializable WS message")
+            return
+        dead = []
+        for wfile in clients:
+            try:
+                wfile.write(frame)
+                wfile.flush()
+            except (OSError, ValueError):
+                dead.append(wfile)
+        if dead:
+            with self._ws_lock:
+                for d in dead:
+                    if d in self._ws_clients:
+                        self._ws_clients.remove(d)
+
+    # ------------------------------------------------------------------ payloads
+    def _camera_statuses(self) -> List[Dict[str, Any]]:
+        out = []
+        for cam in self.cameras:
+            cid = cam.get("id")
+            cap = self.captures.get(cid)
+            stats = cap.get_stats() if cap else {}
+            out.append({"id": cid, "name": cam.get("name", cid),
+                        "connected": stats.get("connected", False),
+                        "fps": stats.get("fps", 0.0)})
+        return out
+
+    def health_payload(self) -> Dict[str, Any]:
+        alerts: List[Dict[str, Any]] = []
+        qh = self.queue_health
+        if qh.get("enabled", True):
+            warn = qh.get("warning_threshold", 0.70)
+            crit = qh.get("critical_threshold", 0.90)
+            if self.detection_queue is not None:
+                alerts += _percentile_alerts(
+                    self.detection_queue.qsize(),
+                    self.detection_queue.maxsize or 0, warn, crit,
+                    "detection_queue")
+            if self.coordinator is not None:
+                cstats = self.coordinator.get_stats()
+                alerts += _percentile_alerts(
+                    cstats.get("queue_depth", 0),
+                    getattr(self.coordinator, "MAX_QUEUE_DEPTH", 60),
+                    warn, crit, "coordinator_queue")
+        status = "healthy"
+        if any(a["level"] == "critical" for a in alerts):
+            status = "critical"
+        elif alerts:
+            status = "warning"
+        return {
+            "status": status,
+            "uptime_seconds": round(time.time() - self.start_time, 1),
+            "cameras": self._camera_statuses(),
+            "alerts": alerts,
+        }
+
+    def stats_payload(self) -> Dict[str, Any]:
+        return {
+            "cameras": {cid: cap.get_stats()
+                        for cid, cap in self.captures.items()},
+            "engines": {cid: e.get_stats() for cid, e in self.engines.items()},
+            "processors": {cid: p.get_stats()
+                           for cid, p in self.processors.items()},
+            "coordinator": (self.coordinator.get_stats()
+                            if self.coordinator else None),
+            "snapshots": (self.snapshot_saver.get_stats()
+                          if self.snapshot_saver else None),
+        }
+
+    def system_stats_payload(self) -> Dict[str, Any]:
+        total_fps = sum(c.get_stats().get("fps", 0.0)
+                        for c in self.captures.values())
+        payload = {
+            "timestamp": time.time(),
+            "uptime_seconds": round(time.time() - self.start_time, 1),
+            "aggregate_fps": round(total_fps, 2),
+            "queue_depths": {
+                "detection_queue": (self.detection_queue.qsize()
+                                    if self.detection_queue else 0),
+            },
+            "device_memory": (self.memory_manager.get_stats()
+                              if self.memory_manager else None),
+        }
+        try:
+            import resource
+            payload["rss_mb"] = round(
+                resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1)
+        except Exception:
+            pass
+        return payload
+
+    def config_payload(self) -> Dict[str, Any]:
+        if self.get_config is None:
+            return {}
+        cfg = json.loads(json.dumps(self.get_config(), default=str))
+        for cam in cfg.get("cameras", []) or []:
+            cam.pop("password", None)
+            cam.pop("username", None)
+        return cfg
+
+    # ------------------------------------------------------------------ clips auth
+    def verify_clips_token(self, auth_header: Optional[str]) -> bool:
+        """Bearer token from TELESCOPE_CLIPS_TOKEN; public-with-warning when
+        unset (reference web_server.py:120-158)."""
+        token = os.environ.get("TELESCOPE_CLIPS_TOKEN")
+        if not token:
+            if not getattr(self, "_warned_public_clips", False):
+                logger.warning("TELESCOPE_CLIPS_TOKEN not set; clips endpoint "
+                               "is public")
+                self._warned_public_clips = True
+            return True
+        if not auth_header or not auth_header.startswith("Bearer "):
+            return False
+        return auth_header[7:] == token
+
+
+class _Handler(BaseHTTPRequestHandler):
+    web: WebServer  # injected subclass attribute
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, fmt, *args):  # route to logging, not stderr
+        logger.debug("%s " + fmt, self.address_string(), *args)
+
+    # ---- helpers -----------------------------------------------------------
+    def _json(self, payload: Any, code: int = 200) -> None:
+        body = json.dumps(payload, default=str).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _error(self, code: int, detail: str) -> None:
+        self._json({"detail": detail}, code)
+
+    def _static(self, rel: str, content_type: str) -> None:
+        path = WEB_ROOT / rel
+        if not path.exists():
+            self._error(404, f"{rel} not found")
+            return
+        body = path.read_bytes()
+        self.send_response(200)
+        self.send_header("Content-Type", content_type)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    # ---- GET ----------------------------------------------------------------
+    def do_GET(self):  # noqa: N802
+        path = self.path.split("?")[0].rstrip("/") or "/"
+        try:
+            if path == "/" :
+                return self._static("index.html", "text/html")
+            if path == "/app.js":
+                return self._static("app.js", "application/javascript")
+            if path == "/clips_browser":
+                return self._static("clips.html", "text/html")
+            if path == "/health":
+                return self._json(self.web.health_payload())
+            if path == "/cameras":
+                return self._json({"cameras": self.web._camera_statuses()})
+            if path == "/stats":
+                return self._json(self.web.stats_payload())
+            if path == "/api/system/stats":
+                return self._json(self.web.system_stats_payload())
+            if path == "/api/cameras/health/summary":
+                hm = self.web.health_monitor
+                return self._json(hm.get_health_summary() if hm
+                                  else {"cameras": {}})
+            if path.startswith("/api/cameras/"):
+                return self._camera_route(path)
+            if path == "/api/config/current":
+                return self._json(self.web.config_payload())
+            if path == "/api/clips":
+                return self._clips_list()
+            if path.startswith("/api/clips/"):
+                return self._clips_serve(path[len("/api/clips/"):])
+            if path.startswith("/video/feed/"):
+                return self._mjpeg(path[len("/video/feed/"):])
+            if path == "/ws/detections":
+                return self._websocket()
+            self._error(404, "not found")
+        except BrokenPipeError:
+            pass
+        except Exception:
+            logger.exception("GET %s failed", path)
+            try:
+                self._error(500, "internal error")
+            except Exception:
+                pass
+
+    def do_POST(self):  # noqa: N802
+        path = self.path.split("?")[0].rstrip("/")
+        try:
+            if path == "/api/config/reload":
+                if self.web.reload_callback is None:
+                    return self._error(503, "reload unavailable")
+                return self._json(self.web.reload_callback())
+            if path.startswith("/api/cameras/") and path.endswith("/restart"):
+                cam_id = path[len("/api/cameras/"):-len("/restart")]
+                if self.web.restart_callback is None:
+                    return self._error(503, "restart unavailable")
+                ok = self.web.restart_callback(cam_id)
+                self.web.set_camera_start_time(cam_id)
+                return self._json({"success": bool(ok), "camera_id": cam_id})
+            self._error(404, "not found")
+        except BrokenPipeError:
+            pass
+        except Exception:
+            logger.exception("POST %s failed", path)
+            try:
+                self._error(500, "internal error")
+            except Exception:
+                pass
+
+    # ---- camera sub-routes ------------------------------------------------------
+    def _camera_route(self, path: str) -> None:
+        parts = path.strip("/").split("/")  # api cameras {id} {leaf}
+        if len(parts) != 4:
+            return self._error(404, "not found")
+        cam_id, leaf = parts[2], parts[3]
+        if leaf == "stats":
+            engine = self.web.engines.get(cam_id)
+            cap = self.web.captures.get(cam_id)
+            proc = self.web.processors.get(cam_id)
+            if engine is None and cap is None:
+                return self._error(404, f"camera {cam_id} not found")
+            return self._json({
+                "camera_id": cam_id,
+                "capture": cap.get_stats() if cap else None,
+                "engine": engine.get_stats() if engine else None,
+                "processor": proc.get_stats() if proc else None,
+            })
+        if leaf == "health":
+            hm = self.web.health_monitor
+            if hm is None:
+                return self._error(503, "health monitor unavailable")
+            summary = hm.get_health_summary().get("cameras", {})
+            if cam_id not in summary:
+                return self._error(404, f"camera {cam_id} not found")
+            return self._json(summary[cam_id])
+        return self._error(404, "not found")
+
+    # ---- clips -----------------------------------------------------------------
+    def _clips_list(self) -> None:
+        root = self.web.clips_dir
+        clips: List[Dict[str, Any]] = []
+        if root.exists():
+            for p in sorted(root.rglob("*"),
+                            key=lambda q: q.stat().st_mtime, reverse=True):
+                if p.is_file() and p.suffix in (".jpg", ".mp4", ".json"):
+                    clips.append({
+                        "name": str(p.relative_to(root)),
+                        "size": p.stat().st_size,
+                        "mtime": p.stat().st_mtime,
+                    })
+                if len(clips) >= 500:
+                    break
+        self._json({"clips": clips})
+
+    def _clips_serve(self, rel: str) -> None:
+        if not self.web.verify_clips_token(self.headers.get("Authorization")):
+            return self._error(401, "unauthorized")
+        root = self.web.clips_dir.resolve()
+        target = (root / rel).resolve()
+        if not str(target).startswith(str(root) + os.sep):
+            return self._error(403, "path traversal rejected")
+        if not target.is_file():
+            return self._error(404, "clip not found")
+        ctype = {"jpg": "image/jpeg", "mp4": "video/mp4",
+                 "json": "application/json"}.get(
+            target.suffix.lstrip("."), "application/octet-stream")
+        body = target.read_bytes()
+        self.send_response(200)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    # ---- MJPEG --------------------------------------------------------------------
+    def _mjpeg(self, camera_id: str) -> None:
+        cap = self.web.captures.get(camera_id)
+        if cap is None or cv2 is None:
+            return self._error(404, f"camera {camera_id} not found")
+        self.send_response(200)
+        self.send_header("Content-Type",
+                         "multipart/x-mixed-replace; boundary=frame")
+        self.end_headers()
+        interval = 1.0 / max(self.web.mjpeg_fps, 1.0)
+        try:
+            while self.web._running.is_set():
+                frame = cap.get_latest_frame()
+                if frame is not None:
+                    if self.web.face_mask_cache is not None:
+                        frame = self.web.face_mask_cache.mask_frame(
+                            camera_id, frame, copy=False)
+                    with self.web._latest_lock:
+                        latest = self.web.latest_detections.get(camera_id)
+                    if latest and latest.get("detections"):
+                        frame = draw_detections(frame, latest["detections"],
+                                                copy=False)
+                    ok, jpeg = cv2.imencode(
+                        ".jpg", frame,
+                        [cv2.IMWRITE_JPEG_QUALITY, self.web.jpeg_quality])
+                    if ok:
+                        data = jpeg.tobytes()
+                        self.wfile.write(b"--frame\r\n"
+                                         b"Content-Type: image/jpeg\r\n"
+                                         b"Content-Length: " +
+                                         str(len(data)).encode() +
+                                         b"\r\n\r\n" + data + b"\r\n")
+                        self.wfile.flush()
+                time.sleep(interval)
+        except (BrokenPipeError, ConnectionResetError, OSError):
+            pass
+
+    # ---- WebSocket --------------------------------------------------------------------
+    def _websocket(self) -> None:
+        key = self.headers.get("Sec-WebSocket-Key")
+        if (self.headers.get("Upgrade", "").lower() != "websocket"
+                or not key):
+            return self._error(400, "expected websocket upgrade")
+        self.connection.sendall(wsproto.handshake_response(key))
+        wfile = self.connection.makefile("wb")
+        with self.web._ws_lock:
+            self.web._ws_clients.append(wfile)
+        logger.info("WS client connected (%d total)",
+                    len(self.web._ws_clients))
+        reader = wsproto.FrameReader(self.connection.makefile("rb"))
+        try:
+            while self.web._running.is_set():
+                frame = reader.read_frame()
+                if frame is None:
+                    break
+                opcode, payload = frame
+                if opcode == wsproto.OP_CLOSE:
+                    break
+                if opcode == wsproto.OP_PING:
+                    wfile.write(wsproto.encode_pong(payload))
+                    wfile.flush()
+                # inbound text messages are ignored (server-push protocol)
+        except (OSError, ValueError):
+            pass
+        finally:
+            with self.web._ws_lock:
+                if wfile in self.web._ws_clients:
+                    self.web._ws_clients.remove(wfile)
+            self.close_connection = True

@@ -1,0 +1,519 @@
+"""System orchestrator: config -> components -> lifecycle.
+
+Counterpart of reference ``main.py:44-1840`` (TelescopeDetectionSystem):
+loads and validates config, builds the shared coordinator + per-camera
+pipelines (capture -> engine -> processor), fault-tolerant startup (failed
+cameras are skipped, the rest run), graceful shutdown, per-camera restart,
+and REST-driven hot reload with reloaded/requires-restart diffing.
+"""
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+import time
+from typing import Any, Dict, List, Optional
+
+from telescope_cam_detection_tpu import constants as C
+from telescope_cam_detection_tpu.config.loader import (
+    load_config,
+    merge_camera_detection_config,
+    merge_stage2_preprocessing,
+    validate_config,
+    validate_model_files,
+)
+from telescope_cam_detection_tpu.pipeline.enhancement import ImageEnhancer
+from telescope_cam_detection_tpu.pipeline.face_mask import (
+    FaceMasker,
+    FaceMaskingCache,
+)
+from telescope_cam_detection_tpu.pipeline.filters import (
+    EmptyFrameFilter,
+    MotionFilter,
+)
+from telescope_cam_detection_tpu.pipeline.species import SpeciesClassifier
+from telescope_cam_detection_tpu.pipeline.time_of_day import TimeOfDayFilter
+from telescope_cam_detection_tpu.pipeline.two_stage import (
+    TwoStageDetectionPipeline,
+)
+from telescope_cam_detection_tpu.runtime.capture import create_stream_capture
+from telescope_cam_detection_tpu.runtime.coordinator import (
+    SharedInferenceCoordinator,
+)
+from telescope_cam_detection_tpu.runtime.engine import InferenceEngine
+from telescope_cam_detection_tpu.runtime.health import CameraHealthMonitor
+from telescope_cam_detection_tpu.runtime.memory import MemoryManager
+from telescope_cam_detection_tpu.runtime.processor import DetectionProcessor
+from telescope_cam_detection_tpu.runtime.program import (
+    DetectorProgram,
+    FilterSettings,
+    ProgramSpec,
+)
+from telescope_cam_detection_tpu.runtime.snapshot import SnapshotSaver
+from telescope_cam_detection_tpu.server.web import WebServer
+
+logger = logging.getLogger(__name__)
+
+# settings that cannot hot-reload (reference main.py:604-651)
+RESTART_REQUIRED_KEYS = (
+    "cameras", "detection.detector_type", "detection.yolox",
+    "detection.rtdetr", "detection.input_size", "detection.device",
+    "detection.use_two_stage", "web",
+)
+
+
+class TelescopeDetectionSystem:
+    def __init__(self, config_path: str = "config/config.yaml",
+                 load_weights: bool = True):
+        self.config_path = config_path
+        self.load_weights = load_weights
+        self.config: Dict[str, Any] = {}
+
+        self.detection_queue: Optional[queue.Queue] = None
+        self.program: Optional[DetectorProgram] = None
+        self.coordinator: Optional[SharedInferenceCoordinator] = None
+        self.memory_manager: Optional[MemoryManager] = None
+        self.snapshot_saver: Optional[SnapshotSaver] = None
+        self.species_classifier: Optional[SpeciesClassifier] = None
+        self.face_masker: Optional[FaceMasker] = None
+        self.face_mask_cache: Optional[FaceMaskingCache] = None
+        self.health_monitor: Optional[CameraHealthMonitor] = None
+        self.web_server: Optional[WebServer] = None
+
+        self.captures: Dict[str, Any] = {}
+        self.engines: Dict[str, InferenceEngine] = {}
+        self.processors: Dict[str, DetectionProcessor] = {}
+        self.frame_queues: Dict[str, queue.Queue] = {}
+        self.inference_queues: Dict[str, queue.Queue] = {}
+        self.motion_filters: Dict[str, MotionFilter] = {}
+        self.time_filters: Dict[str, TimeOfDayFilter] = {}
+
+        self._shutdown_lock = threading.RLock()
+        self._restart_lock = threading.RLock()
+        self._reload_lock = threading.RLock()
+        self._started = False
+
+    # ---------------------------------------------------------------- config
+    def load_config(self) -> None:
+        self.config = load_config(self.config_path)
+
+    def validate_config(self) -> None:
+        errors = validate_config(self.config)
+        if errors:
+            raise ValueError("invalid config: " + "; ".join(errors))
+
+    def validate_model_files(self) -> List[str]:
+        return validate_model_files(self.config)
+
+    # ---------------------------------------------------------------- build
+    def initialize_components(self) -> None:
+        cfg = self.config
+        perf = cfg.get("performance", {}) or {}
+        detection = cfg.get("detection", {}) or {}
+
+        self.detection_queue = queue.Queue(
+            maxsize=perf.get("detection_queue_size", 10))
+
+        # privacy
+        privacy = cfg.get("privacy", {}) or {}
+        if privacy.get("enable_face_masking"):
+            self.face_masker = FaceMasker(
+                mask_style=privacy.get("mask_style", "gaussian_blur"),
+                detection_backend=privacy.get("detection_backend",
+                                              "opencv_haar"),
+                min_face_size=privacy.get("min_face_size", 30),
+                blur_strength=privacy.get("blur_strength", 25),
+                pixelate_blocks=privacy.get("pixelate_blocks", 10),
+                scale_factor=privacy.get("scale_factor", 1.1),
+                min_neighbors=privacy.get("min_neighbors", 5))
+            self.face_mask_cache = FaceMaskingCache(
+                self.face_masker,
+                detection_interval=privacy.get("live_feed_detection_interval", 5))
+
+        # shared detector program (+ weights)
+        det_type = detection.get("detector_type", "yolox")
+        model_cfg = detection.get(det_type) or detection.get("model") or {}
+        input_size = detection.get("input_size", [640, 640])
+        spec = ProgramSpec(
+            detector_type=det_type,
+            variant=model_cfg.get("model_name",
+                                  "yolox-s" if det_type == "yolox"
+                                  else "rtdetrv2-r18vd"),
+            input_hw=(int(input_size[0]), int(input_size[1])),
+            nms_threshold=detection.get("nms_threshold", 0.45),
+            max_det=detection.get("max_detections", 300),
+        )
+        self.program = DetectorProgram(spec)
+        weights = model_cfg.get("weights")
+        if self.load_weights and weights:
+            from telescope_cam_detection_tpu.models.convert import (
+                load_variables)
+            loaded = load_variables(
+                weights, reference_variables=self.program.variables)
+            if loaded is not None:
+                self.program.variables = loaded
+                logger.info("loaded detector weights from %s", weights)
+        self.program.update_filters(FilterSettings(
+            conf_threshold=detection.get("conf_threshold", 0.25),
+            class_confidence_overrides=detection.get(
+                "class_confidence_overrides") or {},
+            min_box_area=detection.get("min_box_area", 0),
+            wildlife_only=detection.get("wildlife_only", True)))
+
+        # memory + coordinator
+        self.memory_manager = MemoryManager()
+        batching = detection.get("batching", {}) or {}
+        if batching.get("enabled", True):
+            self.coordinator = SharedInferenceCoordinator(
+                self.program,
+                max_batch_size=batching.get("max_batch_size", 8),
+                max_batch_wait_ms=batching.get("max_batch_wait_ms", 35.0),
+                enable_metrics=batching.get("enable_metrics", True),
+                memory_manager=self.memory_manager)
+
+        # snapshots (shared)
+        snaps = cfg.get("snapshots", {}) or {}
+        self.snapshot_saver = SnapshotSaver(
+            output_dir=snaps.get("output_dir", "clips"),
+            enabled=snaps.get("enabled", True),
+            save_mode=snaps.get("save_mode", "image"),
+            trigger_classes=snaps.get("trigger_classes") or [],
+            min_confidence=snaps.get("min_confidence", 0.30),
+            cooldown_seconds=snaps.get("cooldown_seconds", 45.0),
+            save_annotated=snaps.get("save_annotated", True),
+            clip_duration=snaps.get("clip_duration", 10.0),
+            pre_buffer_seconds=snaps.get("pre_buffer_seconds", 5.0),
+            fps=snaps.get("fps", 30.0),
+            face_masker=self.face_masker)
+
+        # stage 2 (shared classifier; per-camera pipelines below)
+        sc = cfg.get("species_classification", {}) or {}
+        if detection.get("use_two_stage") and sc.get("enabled"):
+            inat = sc.get("inat_classifier", {}) or {}
+            geo = sc.get("geographic_filter", {}) or {}
+            self.species_classifier = SpeciesClassifier(
+                model_name=self._classifier_variant(inat.get("model_name", "")),
+                num_classes=10000,
+                input_size=inat.get("input_size", 336),
+                taxonomy_file=inat.get("taxonomy_file"),
+                confidence_threshold=inat.get("confidence_threshold", 0.3),
+                use_hierarchical=inat.get("use_hierarchical", True),
+                enable_geographic_filter=geo.get("enabled", False),
+                allowed_species=geo.get("allowed_species") or [])
+
+        # per-camera pipelines (fault-tolerant: a broken camera config skips)
+        for cam in cfg.get("cameras", []) or []:
+            if not cam.get("enabled", True):
+                continue
+            try:
+                self._initialize_camera_pipeline(cam)
+            except Exception:
+                logger.exception("camera %s init failed; skipping",
+                                 cam.get("id"))
+
+        # health monitor
+        ch = cfg.get("camera_health", {}) or {}
+        if ch.get("enabled", True):
+            self.health_monitor = CameraHealthMonitor(
+                self.captures,
+                restart_callback=self.restart_camera,
+                check_interval_seconds=ch.get("check_interval_seconds", 10),
+                min_fps=ch.get("min_fps", 5),
+                max_frame_age_seconds=ch.get("max_frame_age_seconds", 30),
+                max_consecutive_errors=ch.get("max_consecutive_errors", 5),
+                auto_restart=ch.get("auto_restart", True),
+                max_restart_attempts=ch.get("max_restart_attempts", 10),
+                restart_cooldown_seconds=ch.get("restart_cooldown_seconds", 300),
+                backoff_multiplier=ch.get("backoff_multiplier", 2),
+                initial_backoff_seconds=ch.get("initial_backoff_seconds", 5))
+
+        # web server
+        web = cfg.get("web", {}) or {}
+        self.web_server = WebServer(
+            host=web.get("host", "0.0.0.0"),
+            port=web.get("port", 8000),
+            detection_queue=self.detection_queue,
+            cameras=cfg.get("cameras", []),
+            captures=self.captures,
+            engines=self.engines,
+            processors=self.processors,
+            coordinator=self.coordinator,
+            snapshot_saver=self.snapshot_saver,
+            health_monitor=self.health_monitor,
+            memory_manager=self.memory_manager,
+            face_mask_cache=self.face_mask_cache,
+            restart_callback=self.restart_camera,
+            reload_callback=self.reload_config,
+            get_config=lambda: self.config,
+            mjpeg_fps=web.get("mjpeg_fps", C.DEFAULT_MJPEG_FPS),
+            jpeg_quality=web.get("jpeg_quality", C.DEFAULT_JPEG_QUALITY),
+            clips_dir=(cfg.get("snapshots", {}) or {}).get("output_dir",
+                                                           "clips"),
+            queue_health=(perf.get("queue_health") or {}))
+
+    @staticmethod
+    def _classifier_variant(model_name: str) -> str:
+        name = (model_name or "").lower()
+        for variant in ("eva02-tiny", "eva02-small", "eva02-base"):
+            if variant in name:
+                return variant
+        return "eva02-large"
+
+    def _initialize_camera_pipeline(self, cam: Dict[str, Any]) -> None:
+        cfg = self.config
+        perf = cfg.get("performance", {}) or {}
+        detection = cfg.get("detection", {}) or {}
+        cam_id = cam["id"]
+
+        frame_q = self.frame_queues.get(cam_id) or queue.Queue(
+            maxsize=perf.get("frame_queue_size", 2))
+        infer_q = self.inference_queues.get(cam_id) or queue.Queue(maxsize=10)
+        self.frame_queues[cam_id] = frame_q
+        self.inference_queues[cam_id] = infer_q
+
+        capture = create_stream_capture(cam, frame_q, perf)
+        self.captures[cam_id] = capture
+
+        merged = merge_camera_detection_config(detection, cam)
+
+        eff = perf.get("empty_frame_filter", {}) or {}
+        empty_filter = None
+        if eff.get("enabled"):
+            empty_filter = EmptyFrameFilter(
+                min_motion_area=eff.get("min_motion_area", 200),
+                blur_size=eff.get("blur_size", 21),
+                threshold=eff.get("threshold", 25))
+
+        sparse = perf.get("sparse_detection", {}) or {}
+        sparse_interval = (sparse.get("keyframe_interval", 1)
+                           if sparse.get("enabled") else 1)
+
+        two_stage = None
+        if self.species_classifier is not None:
+            sc = cfg.get("species_classification", {}) or {}
+            pre = merge_stage2_preprocessing(sc, cam)
+            enh_cfg = sc.get("enhancement", {}) or {}
+            enhancer = None
+            if enh_cfg.get("enabled") and enh_cfg.get("method", "none") != "none":
+                clahe = enh_cfg.get("clahe", {}) or {}
+                bila = enh_cfg.get("bilateral", {}) or {}
+                enhancer = ImageEnhancer(
+                    method=enh_cfg.get("method", "clahe"),
+                    clahe_clip_limit=clahe.get("clip_limit", 2.0),
+                    clahe_tile_grid=tuple(clahe.get("tile_grid_size", (8, 8))),
+                    bilateral_d=bila.get("d", 9),
+                    bilateral_sigma_color=bila.get("sigma_color", 75),
+                    bilateral_sigma_space=bila.get("sigma_space", 75))
+            two_stage = TwoStageDetectionPipeline(
+                species_classifier=self.species_classifier,
+                enhancer=enhancer,
+                crop_padding_percent=pre.get("crop_padding_percent", 20),
+                min_crop_size=pre.get("min_crop_size", 64),
+                confidence_threshold=(cfg.get("species_classification", {})
+                                      or {}).get("confidence_threshold", 0.3))
+
+        engine = InferenceEngine(
+            frame_q, infer_q, camera_id=cam_id,
+            program=None if self.coordinator else self.program,
+            coordinator=self.coordinator,
+            detection_config=merged,
+            two_stage_pipeline=two_stage,
+            empty_frame_filter=empty_filter,
+            sparse_interval=sparse_interval)
+        self.engines[cam_id] = engine
+
+        mf_cfg = cfg.get("motion_filter", {}) or {}
+        motion_filter = None
+        if mf_cfg.get("enabled"):
+            motion_filter = MotionFilter(
+                history=mf_cfg.get("history", 500),
+                var_threshold=mf_cfg.get("var_threshold", 16),
+                detect_shadows=mf_cfg.get("detect_shadows", True),
+                min_motion_area=mf_cfg.get("min_motion_area", 100),
+                motion_blur_size=mf_cfg.get("motion_blur_size", 21))
+            self.motion_filters[cam_id] = motion_filter
+
+        tf_cfg = cfg.get("time_of_day_filter", {}) or {}
+        time_filter = None
+        if tf_cfg.get("enabled"):
+            time_filter = TimeOfDayFilter(
+                confidence_penalty=tf_cfg.get("confidence_penalty", 0.3),
+                hard_filter=tf_cfg.get("hard_filter", False),
+                use_system_timezone=tf_cfg.get("use_system_timezone", True))
+            self.time_filters[cam_id] = time_filter
+
+        processor = DetectionProcessor(
+            infer_q, self.detection_queue, camera_id=cam_id,
+            get_latest_frame=capture.get_latest_frame,
+            motion_filter=motion_filter,
+            time_of_day_filter=time_filter,
+            snapshot_saver=self.snapshot_saver,
+            history_size=perf.get("history_size", 30))
+        self.processors[cam_id] = processor
+
+    # ---------------------------------------------------------------- lifecycle
+    def start(self, block: bool = True) -> None:
+        """Fault-tolerant start (reference main.py:1446-1534): cameras that
+        fail to connect are cleaned up and skipped."""
+        with self._shutdown_lock:
+            failed = []
+            for cam_id, capture in list(self.captures.items()):
+                if not capture.start():
+                    logger.error("[%s] capture failed to start; skipping",
+                                 cam_id)
+                    failed.append(cam_id)
+            for cam_id in failed:
+                self.captures.pop(cam_id, None)
+                self.engines.pop(cam_id, None)
+                self.processors.pop(cam_id, None)
+            if self.coordinator is not None:
+                self.coordinator.start()
+            for engine in self.engines.values():
+                engine.start()
+            for processor in self.processors.values():
+                processor.start()
+            if self.health_monitor is not None:
+                self.health_monitor.start()
+            self._started = True
+            for cam_id in self.captures:
+                if self.web_server:
+                    self.web_server.set_camera_start_time(cam_id)
+        if self.web_server is not None:
+            if block:
+                self.web_server.run()
+            else:
+                self.web_server.start()
+
+    def stop(self) -> None:
+        with self._shutdown_lock:
+            if not self._started:
+                return
+            self._started = False
+            logger.info("stopping system...")
+            if self.web_server is not None:
+                self.web_server.stop()
+            if self.health_monitor is not None:
+                self.health_monitor.stop()
+            for processor in self.processors.values():
+                processor.stop()
+            for engine in self.engines.values():
+                engine.stop()
+            if self.coordinator is not None:
+                self.coordinator.stop()
+            for capture in self.captures.values():
+                capture.stop()
+            logger.info("system stopped")
+
+    def restart_camera(self, camera_id: str) -> bool:
+        """Stop and rebuild one camera's pipeline reusing its queues
+        (reference main.py:1621-1733)."""
+        with self._restart_lock:
+            cam_cfg = next((c for c in self.config.get("cameras", [])
+                            if c.get("id") == camera_id), None)
+            if cam_cfg is None:
+                logger.error("restart: unknown camera %s", camera_id)
+                return False
+            logger.info("[%s] restarting camera pipeline", camera_id)
+            for registry in (self.processors, self.engines, self.captures):
+                comp = registry.get(camera_id)
+                if comp is not None:
+                    try:
+                        comp.stop()
+                    except Exception:
+                        logger.exception("[%s] stop failed", camera_id)
+            time.sleep(1.0)
+            try:
+                self._initialize_camera_pipeline(cam_cfg)
+            except Exception:
+                logger.exception("[%s] rebuild failed", camera_id)
+                return False
+            ok = self.captures[camera_id].start()
+            if ok:
+                self.engines[camera_id].start()
+                self.processors[camera_id].start()
+                if self.web_server:
+                    self.web_server.set_camera_start_time(camera_id)
+            return ok
+
+    # ---------------------------------------------------------------- hot reload
+    def reload_config(self) -> Dict[str, Any]:
+        """Re-read + validate config; apply hot-reloadable settings; report
+        what needs a restart (reference main.py:429-655)."""
+        with self._reload_lock:
+            result: Dict[str, Any] = {"success": False, "reloaded": [],
+                                      "requires_restart": [], "warnings": [],
+                                      "errors": []}
+            try:
+                new_cfg = load_config(self.config_path)
+            except (OSError, ValueError) as e:
+                result["errors"].append(f"load failed: {e}")
+                return result
+            errors = validate_config(new_cfg)
+            if errors:
+                result["errors"] = errors
+                return result
+
+            old_cfg = self.config
+            detection = new_cfg.get("detection", {}) or {}
+
+            # engine settings (per camera merge)
+            for cam in new_cfg.get("cameras", []) or []:
+                engine = self.engines.get(cam.get("id"))
+                if engine is None:
+                    continue
+                merged = merge_camera_detection_config(detection, cam)
+                updated = engine.update_settings({
+                    "conf_threshold": merged.get("conf_threshold", 0.25),
+                    "class_confidence_overrides": merged.get(
+                        "class_confidence_overrides") or {},
+                    "min_box_area": merged.get("min_box_area", 0),
+                    "max_detections": merged.get("max_detections", 100),
+                })
+                result["reloaded"] += [f"{cam['id']}.{u}" for u in updated]
+            if self.program is not None:
+                self.program.update_filters(FilterSettings(
+                    conf_threshold=detection.get("conf_threshold", 0.25),
+                    class_confidence_overrides=detection.get(
+                        "class_confidence_overrides") or {},
+                    min_box_area=detection.get("min_box_area", 0),
+                    wildlife_only=detection.get("wildlife_only", True)))
+
+            if self.snapshot_saver is not None:
+                updated = self.snapshot_saver.update_settings(
+                    new_cfg.get("snapshots", {}) or {})
+                result["reloaded"] += [f"snapshots.{u}" for u in updated]
+            for cam_id, mf in self.motion_filters.items():
+                updated = mf.update_params(new_cfg.get("motion_filter", {}) or {})
+                result["reloaded"] += [f"{cam_id}.motion.{u}" for u in updated]
+            for cam_id, tf in self.time_filters.items():
+                updated = tf.update_params(
+                    new_cfg.get("time_of_day_filter", {}) or {})
+                result["reloaded"] += [f"{cam_id}.tod.{u}" for u in updated]
+
+            # restart-required diff
+            for dotted in RESTART_REQUIRED_KEYS:
+                node_old, node_new = old_cfg, new_cfg
+                for key in dotted.split("."):
+                    node_old = (node_old or {}).get(key) if isinstance(
+                        node_old, dict) else None
+                    node_new = (node_new or {}).get(key) if isinstance(
+                        node_new, dict) else None
+                if node_old != node_new:
+                    result["requires_restart"].append(dotted)
+
+            self.config = new_cfg  # atomic swap
+            result["success"] = True
+            return result
+
+    # ---------------------------------------------------------------- stats
+    def get_stats(self) -> Dict[str, Any]:
+        return {
+            "captures": {c: cap.get_stats() for c, cap in self.captures.items()},
+            "engines": {c: e.get_stats() for c, e in self.engines.items()},
+            "processors": {c: p.get_stats()
+                           for c, p in self.processors.items()},
+            "coordinator": (self.coordinator.get_stats()
+                            if self.coordinator else None),
+            "memory": (self.memory_manager.get_stats()
+                       if self.memory_manager else None),
+        }

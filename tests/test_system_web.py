@@ -1,0 +1,279 @@
+"""Full-system integration: synthetic cameras -> whole pipeline -> web plane.
+
+The hermetic end-to-end test the reference never had (its tests need live
+cameras + CUDA; SURVEY §4). Boots TelescopeDetectionSystem from a config with
+synthetic cameras and a tiny random-weight model, then exercises REST, the
+WebSocket detections stream, and the MJPEG feed over real sockets.
+"""
+import http.client
+import json
+import socket
+import textwrap
+import time
+
+import numpy as np
+import pytest
+
+from telescope_cam_detection_tpu.system import TelescopeDetectionSystem
+from telescope_cam_detection_tpu.utils import wsproto
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture(scope="module")
+def system(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("sys")
+    port = _free_port()
+    cfg = textwrap.dedent(f"""
+        cameras:
+          - id: cam1
+            name: Synth One
+            protocol: synthetic
+            target_width: 128
+            target_height: 128
+            fps: 20
+            enabled: true
+          - id: cam2
+            name: Synth Two
+            protocol: synthetic
+            target_width: 128
+            target_height: 128
+            fps: 20
+            enabled: true
+        detection:
+          detector_type: yolox
+          yolox:
+            model_name: yolox-nano
+          input_size: [128, 128]
+          conf_threshold: 0.0
+          nms_threshold: 0.45
+          wildlife_only: false
+          min_box_area: 0
+          max_detections: 10
+          use_two_stage: false
+          batching:
+            enabled: true
+            max_batch_size: 4
+            max_batch_wait_ms: 30.0
+        performance:
+          frame_queue_size: 2
+          detection_queue_size: 10
+          empty_frame_filter:
+            enabled: false
+          sparse_detection:
+            enabled: false
+        motion_filter:
+          enabled: false
+        time_of_day_filter:
+          enabled: true
+          confidence_penalty: 0.3
+        snapshots:
+          enabled: true
+          save_mode: image
+          output_dir: {tmp}/clips
+          trigger_classes: []
+          min_confidence: 0.99
+        web:
+          host: 127.0.0.1
+          port: {port}
+        camera_health:
+          enabled: true
+          check_interval_seconds: 1
+          auto_restart: false
+    """)
+    cfg_path = tmp / "config.yaml"
+    cfg_path.write_text(cfg)
+
+    sys_obj = TelescopeDetectionSystem(str(cfg_path), load_weights=False)
+    sys_obj.load_config()
+    sys_obj.validate_config()
+    sys_obj.initialize_components()
+    # shrink the device program for test speed
+    sys_obj.start(block=False)
+    # wait for the web server socket
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        try:
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=2)
+            conn.request("GET", "/health")
+            conn.getresponse().read()
+            break
+        except OSError:
+            time.sleep(0.2)
+    yield sys_obj, port
+    sys_obj.stop()
+
+
+def _get(port, path, headers=None):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("GET", path, headers=headers or {})
+    resp = conn.getresponse()
+    body = resp.read()
+    conn.close()
+    return resp.status, body
+
+
+def _post(port, path):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request("POST", path)
+    resp = conn.getresponse()
+    body = resp.read()
+    conn.close()
+    return resp.status, body
+
+
+def test_health_endpoint(system):
+    _, port = system
+    status, body = _get(port, "/health")
+    assert status == 200
+    data = json.loads(body)
+    assert data["status"] in ("healthy", "warning", "critical")
+    assert len(data["cameras"]) == 2
+    assert "alerts" in data
+
+
+def test_cameras_and_stats(system):
+    _, port = system
+    status, body = _get(port, "/cameras")
+    assert status == 200
+    cams = json.loads(body)["cameras"]
+    assert {c["id"] for c in cams} == {"cam1", "cam2"}
+
+    status, body = _get(port, "/stats")
+    data = json.loads(body)
+    assert "cam1" in data["cameras"] and "cam1" in data["engines"]
+    assert data["coordinator"] is not None
+
+
+def test_per_camera_routes(system):
+    _, port = system
+    status, body = _get(port, "/api/cameras/cam1/stats")
+    assert status == 200
+    data = json.loads(body)
+    assert data["camera_id"] == "cam1"
+    assert data["capture"]["is_running"]
+    status, _ = _get(port, "/api/cameras/nope/stats")
+    assert status == 404
+    status, body = _get(port, "/api/cameras/cam1/health")
+    assert status == 200
+    assert json.loads(body)["status"] in (
+        "healthy", "degraded", "failed", "restarting")
+
+
+def test_system_stats_and_health_summary(system):
+    _, port = system
+    status, body = _get(port, "/api/system/stats")
+    data = json.loads(body)
+    assert status == 200 and "aggregate_fps" in data
+    status, body = _get(port, "/api/cameras/health/summary")
+    assert status == 200
+    assert set(json.loads(body)["cameras"]) == {"cam1", "cam2"}
+
+
+def test_config_current_redacts_credentials(system):
+    sys_obj, port = system
+    sys_obj.config["cameras"][0]["password"] = "secret"
+    try:
+        status, body = _get(port, "/api/config/current")
+        assert status == 200
+        assert b"secret" not in body
+    finally:
+        sys_obj.config["cameras"][0].pop("password", None)
+
+
+def test_config_reload_endpoint(system):
+    _, port = system
+    status, body = _post(port, "/api/config/reload")
+    assert status == 200
+    data = json.loads(body)
+    assert data["success"] is True
+    assert data["requires_restart"] == []
+
+
+def test_clips_traversal_guard(system):
+    _, port = system
+    status, _ = _get(port, "/api/clips/../../etc/passwd")
+    assert status in (403, 404)
+    status, body = _get(port, "/api/clips")
+    assert status == 200
+
+
+def test_detections_flow_and_websocket(system):
+    _, port = system
+    sock = socket.create_connection(("127.0.0.1", port), timeout=60)
+    key = "dGhlIHNhbXBsZSBub25jZQ=="
+    sock.sendall((f"GET /ws/detections HTTP/1.1\r\nHost: x\r\n"
+                  f"Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                  f"Sec-WebSocket-Key: {key}\r\n"
+                  f"Sec-WebSocket-Version: 13\r\n\r\n").encode())
+    resp = b""
+    while b"\r\n\r\n" not in resp:
+        resp += sock.recv(4096)
+    assert b"101" in resp.split(b"\r\n")[0]
+    assert wsproto.accept_key(key).encode() in resp
+
+    reader = wsproto.FrameReader(sock.makefile("rb"))
+    messages = []
+    deadline = time.time() + 90
+    while time.time() < deadline and len(messages) < 3:
+        frame = reader.read_frame()
+        if frame is None:
+            break
+        opcode, payload = frame
+        if opcode == wsproto.OP_TEXT:
+            messages.append(json.loads(payload))
+    sock.close()
+    assert messages, "no websocket messages received"
+    types = {m["type"] for m in messages}
+    assert types & {"detections", "status", "heartbeat"}
+    det_msgs = [m for m in messages if m["type"] == "detections"]
+    if det_msgs:  # random weights at conf 0 should produce some
+        m = det_msgs[0]
+        assert m["camera_id"] in ("cam1", "cam2")
+        assert "total_latency_ms" in m
+        assert all("bbox" in d for d in m["detections"])
+
+
+def test_mjpeg_stream(system):
+    _, port = system
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("GET", "/video/feed/cam1")
+    resp = conn.getresponse()
+    assert resp.status == 200
+    assert "multipart/x-mixed-replace" in resp.getheader("Content-Type")
+    data = b""
+    deadline = time.time() + 30
+    while time.time() < deadline and data.count(b"--frame") < 2:
+        chunk = resp.read1(65536)
+        if not chunk:
+            break
+        data += chunk
+    conn.close()
+    assert data.count(b"--frame") >= 2
+    assert b"\xff\xd8" in data  # JPEG SOI marker
+
+
+def test_index_and_static(system):
+    _, port = system
+    status, body = _get(port, "/")
+    assert status == 200 and b"Wildlife Detection" in body
+    status, body = _get(port, "/app.js")
+    assert status == 200 and b"DetectionApp" in body
+    status, _ = _get(port, "/nonexistent")
+    assert status == 404
+
+
+def test_camera_restart_endpoint(system):
+    sys_obj, port = system
+    status, body = _post(port, "/api/cameras/cam2/restart")
+    assert status == 200
+    data = json.loads(body)
+    assert data["success"] is True
+    # pipeline is functional after restart
+    assert sys_obj.captures["cam2"].get_stats()["is_running"]
