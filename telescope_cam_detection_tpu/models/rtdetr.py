@@ -1,0 +1,478 @@
+"""RT-DETRv2 detector family in Flax.
+
+Functional re-implementation of the architecture the reference wraps via the
+vendored RT-DETR repo (reference src/rtdetr_detector.py:26-425 drives it):
+ResNet-vd backbone -> HybridEncoder (AIFI transformer on the /32 level with
+runtime-shape 2D sincos positions — the reference's "dynamic resolution"
+modification, rtdetr_detector.py:143-158 — plus CCFF cross-scale CSP fusion)
+-> deformable-attention decoder (300 queries, iterative box refinement,
+encoder top-k query selection) -> NMS-free top-k postprocess.
+
+TPU-first: NHWC; multi-scale deformable attention is expressed as batched
+bilinear gathers (XLA lowers to fused dynamic-gathers; a Pallas variant lives
+in ops/deformable.py); all shapes static per compiled resolution.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from telescope_cam_detection_tpu.models.common import ConvBnAct
+
+# name -> (depth tuple per stage, decoder_layers)
+RTDETR_VARIANTS: Dict[str, Tuple[Tuple[int, ...], int]] = {
+    "rtdetrv2-r18vd": ((2, 2, 2, 2), 3),
+    "rtdetrv2-r34vd": ((3, 4, 6, 3), 4),
+    "rtdetrv2-r50vd": ((3, 4, 6, 3), 6),
+}
+
+HIDDEN = 256
+NUM_QUERIES = 300
+N_HEADS = 8
+N_POINTS = 4
+N_LEVELS = 3
+FEAT_STRIDES = (8, 16, 32)
+
+
+# ---------------------------------------------------------------------------
+# ResNet-vd backbone
+# ---------------------------------------------------------------------------
+
+class BasicBlockVd(nn.Module):
+    features: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        y = ConvBnAct(self.features, 3, self.stride, act="relu",
+                      dtype=self.dtype, name="conv1")(x, train)
+        y = ConvBnAct(self.features, 3, 1, act="identity", dtype=self.dtype,
+                      name="conv2")(y, train)
+        if self.stride != 1 or x.shape[-1] != self.features:
+            if self.stride != 1:  # vd: avgpool before 1x1 in the shortcut
+                identity = nn.avg_pool(identity, (2, 2), (2, 2))
+            identity = ConvBnAct(self.features, 1, 1, act="identity",
+                                 dtype=self.dtype, name="down")(identity, train)
+        return nn.relu(y + identity)
+
+
+class BottleneckVd(nn.Module):
+    features: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        y = ConvBnAct(self.features, 1, 1, act="relu", dtype=self.dtype,
+                      name="conv1")(x, train)
+        y = ConvBnAct(self.features, 3, self.stride, act="relu",
+                      dtype=self.dtype, name="conv2")(y, train)
+        y = ConvBnAct(self.features * 4, 1, 1, act="identity",
+                      dtype=self.dtype, name="conv3")(y, train)
+        if self.stride != 1 or x.shape[-1] != self.features * 4:
+            if self.stride != 1:
+                identity = nn.avg_pool(identity, (2, 2), (2, 2))
+            identity = ConvBnAct(self.features * 4, 1, 1, act="identity",
+                                 dtype=self.dtype, name="down")(identity, train)
+        return nn.relu(y + identity)
+
+
+class ResNetVd(nn.Module):
+    depths: Tuple[int, ...] = (2, 2, 2, 2)
+    bottleneck: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = self.dtype
+        # vd stem: three 3x3 convs
+        x = ConvBnAct(32, 3, 2, act="relu", dtype=dt, name="stem1")(x, train)
+        x = ConvBnAct(32, 3, 1, act="relu", dtype=dt, name="stem2")(x, train)
+        x = ConvBnAct(64, 3, 1, act="relu", dtype=dt, name="stem3")(x, train)
+        x = nn.max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
+
+        block = BottleneckVd if self.bottleneck else BasicBlockVd
+        feats = []
+        for stage, (depth, ch) in enumerate(zip(self.depths,
+                                                (64, 128, 256, 512))):
+            for i in range(depth):
+                stride = 2 if (i == 0 and stage > 0) else 1
+                x = block(ch, stride, dtype=dt,
+                          name=f"stage{stage}_block{i}")(x, train)
+            if stage >= 1:  # S3 (/8), S4 (/16), S5 (/32)
+                feats.append(x)
+        return feats
+
+
+# ---------------------------------------------------------------------------
+# Hybrid encoder
+# ---------------------------------------------------------------------------
+
+def sincos_pos_embed_2d(h: int, w: int, dim: int,
+                        temperature: float = 10000.0) -> np.ndarray:
+    """(h*w, dim) 2D sine-cosine embedding, built from static trace-time
+    shapes — works at ANY compiled resolution (the reference patches the
+    vendored RT-DETR for exactly this; rtdetr_detector.py:143-158)."""
+    assert dim % 4 == 0
+    quarter = dim // 4
+    omega = 1.0 / (temperature ** (np.arange(quarter) / quarter))
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    out_x = np.outer(xs.reshape(-1), omega)
+    out_y = np.outer(ys.reshape(-1), omega)
+    return np.concatenate([np.sin(out_x), np.cos(out_x),
+                           np.sin(out_y), np.cos(out_y)], axis=1).astype(np.float32)
+
+
+class TransformerEncoderLayer(nn.Module):
+    dim: int = HIDDEN
+    heads: int = N_HEADS
+    ffn: int = 1024
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, pos):
+        q = k = x + pos
+        b, t, _ = x.shape
+        hd = self.dim // self.heads
+        qh = nn.Dense(self.dim, dtype=self.dtype, name="q")(q).reshape(
+            b, t, self.heads, hd)
+        kh = nn.Dense(self.dim, dtype=self.dtype, name="k")(k).reshape(
+            b, t, self.heads, hd)
+        vh = nn.Dense(self.dim, dtype=self.dtype, name="v")(x).reshape(
+            b, t, self.heads, hd)
+        attn = jax.nn.dot_product_attention(qh, kh, vh).reshape(b, t, self.dim)
+        attn = nn.Dense(self.dim, dtype=self.dtype, name="proj")(attn)
+        x = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x + attn)
+        y = nn.Dense(self.ffn, dtype=self.dtype, name="ffn1")(x)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="ffn2")(nn.gelu(y))
+        return nn.LayerNorm(dtype=jnp.float32, name="norm2")(x + y)
+
+
+class RepBlock(nn.Module):
+    """Train-time RepVGG-style block collapses to conv3x3+conv1x1 sum."""
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        a = ConvBnAct(self.features, 3, 1, act="identity", dtype=self.dtype,
+                      name="conv3")(x, train)
+        b = ConvBnAct(self.features, 1, 1, act="identity", dtype=self.dtype,
+                      name="conv1")(x, train)
+        return nn.silu(a + b)
+
+
+class CSPRepLayer(nn.Module):
+    features: int
+    n: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        a = ConvBnAct(self.features, 1, 1, act="silu", dtype=self.dtype,
+                      name="conv1")(x, train)
+        b = ConvBnAct(self.features, 1, 1, act="silu", dtype=self.dtype,
+                      name="conv2")(x, train)
+        for i in range(self.n):
+            a = RepBlock(self.features, dtype=self.dtype,
+                         name=f"rep{i}")(a, train)
+        return ConvBnAct(self.features, 1, 1, act="silu", dtype=self.dtype,
+                         name="conv3")(a + b, train)
+
+
+class HybridEncoder(nn.Module):
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        dt = self.dtype
+        # channel projection
+        proj = [ConvBnAct(HIDDEN, 1, 1, act="identity", dtype=dt,
+                          name=f"input_proj{i}")(f, train)
+                for i, f in enumerate(feats)]
+        s3, s4, s5 = proj
+
+        # AIFI on S5
+        b, h5, w5, _ = s5.shape
+        tokens = s5.reshape(b, h5 * w5, HIDDEN)
+        pos = jnp.asarray(sincos_pos_embed_2d(h5, w5, HIDDEN))[None]
+        tokens = TransformerEncoderLayer(dtype=dt, name="aifi")(
+            tokens, pos.astype(tokens.dtype))
+        s5 = tokens.reshape(b, h5, w5, HIDDEN)
+
+        # CCFF top-down
+        def up2(x):
+            n, h, w, c = x.shape
+            x = jnp.broadcast_to(x[:, :, None, :, None, :],
+                                 (n, h, 2, w, 2, c))
+            return x.reshape(n, h * 2, w * 2, c)
+
+        lat5 = ConvBnAct(HIDDEN, 1, 1, act="silu", dtype=dt,
+                         name="lateral1")(s5, train)
+        p4 = CSPRepLayer(HIDDEN, dtype=dt, name="fpn_block1")(
+            jnp.concatenate([up2(lat5), s4], -1), train)
+        lat4 = ConvBnAct(HIDDEN, 1, 1, act="silu", dtype=dt,
+                         name="lateral2")(p4, train)
+        p3 = CSPRepLayer(HIDDEN, dtype=dt, name="fpn_block2")(
+            jnp.concatenate([up2(lat4), s3], -1), train)
+
+        # bottom-up
+        d3 = ConvBnAct(HIDDEN, 3, 2, act="silu", dtype=dt,
+                       name="down1")(p3, train)
+        n4 = CSPRepLayer(HIDDEN, dtype=dt, name="pan_block1")(
+            jnp.concatenate([d3, lat4], -1), train)
+        d4 = ConvBnAct(HIDDEN, 3, 2, act="silu", dtype=dt,
+                       name="down2")(n4, train)
+        n5 = CSPRepLayer(HIDDEN, dtype=dt, name="pan_block2")(
+            jnp.concatenate([d4, lat5], -1), train)
+        return [p3, n4, n5]
+
+
+# ---------------------------------------------------------------------------
+# Multi-scale deformable attention (gather-based bilinear sampling)
+# ---------------------------------------------------------------------------
+
+def ms_deformable_attention(
+    values: Sequence[jnp.ndarray],       # per level (B, H_l, W_l, heads, hd)
+    sampling_locs: jnp.ndarray,          # (B, Q, heads, L, P, 2) normalized xy
+    attn_weights: jnp.ndarray,           # (B, Q, heads, L, P) softmaxed
+) -> jnp.ndarray:
+    """Bilinear-sample each level at predicted locations and reduce.
+
+    Returns (B, Q, heads, hd). Pure gathers + elementwise — fuses well on
+    TPU; sampling coords are in [0, 1] normalized to each level.
+    """
+    b, q, heads, n_levels, n_points, _ = sampling_locs.shape
+    outputs = []
+    for lvl in range(n_levels):
+        v = values[lvl]                      # (B, H, W, heads, hd)
+        _, h, w, _, hd = v.shape
+        loc = sampling_locs[:, :, :, lvl]    # (B, Q, heads, P, 2)
+        x = loc[..., 0] * w - 0.5
+        y = loc[..., 1] * h - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = x - x0
+        fy = y - y0
+
+        def gather(yy, xx):
+            yy = jnp.clip(yy.astype(jnp.int32), 0, h - 1)
+            xx = jnp.clip(xx.astype(jnp.int32), 0, w - 1)
+            flat = v.reshape(b, h * w, heads, hd)
+            idx = yy * w + xx                # (B, Q, heads, P)
+            # gather per batch & head: take_along_axis over the HW axis
+            idx_e = idx.transpose(0, 2, 1, 3).reshape(b, heads, q * n_points)
+            flat_e = flat.transpose(0, 2, 1, 3)  # (B, heads, HW, hd)
+            g = jnp.take_along_axis(
+                flat_e, idx_e[..., None].astype(jnp.int32), axis=2)
+            return g.reshape(b, heads, q, n_points, hd).transpose(0, 2, 1, 3, 4)
+
+        g00 = gather(y0, x0)
+        g01 = gather(y0, x0 + 1)
+        g10 = gather(y0 + 1, x0)
+        g11 = gather(y0 + 1, x0 + 1)
+        fx = fx[..., None]
+        fy = fy[..., None]
+        sampled = ((1 - fy) * (1 - fx) * g00 + (1 - fy) * fx * g01
+                   + fy * (1 - fx) * g10 + fy * fx * g11)
+        outputs.append(sampled * attn_weights[:, :, :, lvl][..., None])
+    return sum(outputs).sum(axis=3)          # reduce points -> (B,Q,heads,hd)
+
+
+class MSDeformAttn(nn.Module):
+    dim: int = HIDDEN
+    heads: int = N_HEADS
+    points: int = N_POINTS
+    levels: int = N_LEVELS
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, reference_points, value_levels):
+        """query (B,Q,C); reference_points (B,Q,4) normalized cxcywh;
+        value_levels: list of (B,H,W,C)."""
+        b, q, _ = query.shape
+        hd = self.dim // self.heads
+        # one shared value projection applied per level
+        vproj = nn.DenseGeneral((self.heads, hd), axis=-1, dtype=self.dtype,
+                                name="value_proj")
+        values = [vproj(v) for v in value_levels]
+
+        off = nn.Dense(self.heads * self.levels * self.points * 2,
+                       dtype=jnp.float32, name="sampling_offsets")(query)
+        off = off.reshape(b, q, self.heads, self.levels, self.points, 2)
+        w = nn.Dense(self.heads * self.levels * self.points,
+                     dtype=jnp.float32, name="attention_weights")(query)
+        w = jax.nn.softmax(
+            w.reshape(b, q, self.heads, self.levels * self.points), -1
+        ).reshape(b, q, self.heads, self.levels, self.points)
+
+        center = reference_points[:, :, None, None, None, :2]
+        wh = reference_points[:, :, None, None, None, 2:]
+        locs = center + off / self.points * wh * 0.5
+        out = ms_deformable_attention(values, locs, w)
+        return nn.Dense(self.dim, dtype=self.dtype,
+                        name="output_proj")(out.reshape(b, q, self.dim))
+
+
+class DecoderLayer(nn.Module):
+    dim: int = HIDDEN
+    heads: int = N_HEADS
+    ffn: int = 1024
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, query_pos, reference_points, value_levels):
+        b, q, _ = query.shape
+        hd = self.dim // self.heads
+        # self attention
+        qk = query + query_pos
+        qh = nn.Dense(self.dim, dtype=self.dtype, name="sa_q")(qk).reshape(
+            b, q, self.heads, hd)
+        kh = nn.Dense(self.dim, dtype=self.dtype, name="sa_k")(qk).reshape(
+            b, q, self.heads, hd)
+        vh = nn.Dense(self.dim, dtype=self.dtype, name="sa_v")(query).reshape(
+            b, q, self.heads, hd)
+        sa = jax.nn.dot_product_attention(qh, kh, vh).reshape(b, q, self.dim)
+        sa = nn.Dense(self.dim, dtype=self.dtype, name="sa_proj")(sa)
+        query = nn.LayerNorm(dtype=jnp.float32, name="norm1")(query + sa)
+        # cross (deformable) attention
+        ca = MSDeformAttn(self.dim, self.heads, dtype=self.dtype,
+                          name="cross_attn")(query + query_pos,
+                                             reference_points, value_levels)
+        query = nn.LayerNorm(dtype=jnp.float32, name="norm2")(query + ca)
+        # ffn
+        y = nn.Dense(self.ffn, dtype=self.dtype, name="ffn1")(query)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="ffn2")(nn.relu(y))
+        return nn.LayerNorm(dtype=jnp.float32, name="norm3")(query + y)
+
+
+class MLP(nn.Module):
+    hidden: int
+    out: int
+    layers: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.layers - 1):
+            x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype,
+                                 name=f"l{i}")(x))
+        return nn.Dense(self.out, dtype=jnp.float32,
+                        name=f"l{self.layers - 1}")(x)
+
+
+def _inverse_sigmoid(x, eps=1e-5):
+    x = jnp.clip(x, eps, 1 - eps)
+    return jnp.log(x / (1 - x))
+
+
+class RTDETR(nn.Module):
+    num_classes: int = 80
+    depths: Tuple[int, ...] = (2, 2, 2, 2)
+    bottleneck: bool = False
+    decoder_layers: int = 3
+    num_queries: int = NUM_QUERIES
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, train: bool = False):
+        """images: (B, H, W, 3) float RGB 0..1.
+
+        Returns (logits (B, Q, classes), boxes cxcywh normalized (B, Q, 4)).
+        """
+        dt = self.dtype
+        feats = ResNetVd(self.depths, self.bottleneck, dtype=dt,
+                         name="backbone")(images, train)
+        levels = HybridEncoder(dtype=dt, name="encoder")(feats, train)
+
+        b = images.shape[0]
+        # flatten encoder memory
+        tokens, anchors, valid = [], [], []
+        for lvl, f in enumerate(levels):
+            _, h, w, _ = f.shape
+            tokens.append(f.reshape(b, h * w, HIDDEN))
+            gy = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5) / h
+            gx = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5) / w
+            wh = jnp.full((h, w, 2), 0.05 * (2.0 ** lvl), jnp.float32)
+            anchor = jnp.concatenate(
+                [gx[..., None], gy[..., None], wh], -1).reshape(h * w, 4)
+            anchors.append(anchor)
+        memory = jnp.concatenate(tokens, axis=1)          # (B, T, C)
+        anchors = jnp.concatenate(anchors, axis=0)[None]  # (1, T, 4)
+
+        # encoder-side query selection (top-k by max class logit)
+        enc_out = nn.Dense(HIDDEN, dtype=dt, name="enc_output")(memory)
+        enc_out = nn.LayerNorm(dtype=jnp.float32, name="enc_norm")(enc_out)
+        enc_logits = nn.Dense(self.num_classes, dtype=jnp.float32,
+                              name="enc_score_head")(enc_out)
+        enc_boxes = MLP(HIDDEN, 4, dtype=dt, name="enc_bbox_head")(enc_out)
+        enc_boxes = jax.nn.sigmoid(enc_boxes + _inverse_sigmoid(anchors))
+
+        topk = jnp.argsort(-jnp.max(enc_logits, -1), axis=1)[:, :self.num_queries]
+        ref_boxes = jnp.take_along_axis(enc_boxes, topk[..., None], axis=1)
+        query = jnp.take_along_axis(enc_out, topk[..., None], axis=1)
+        query = jax.lax.stop_gradient(query)
+        ref_boxes = jax.lax.stop_gradient(ref_boxes)
+
+        pos_head = MLP(HIDDEN * 2, HIDDEN, layers=2, dtype=dt,
+                       name="query_pos_head")
+
+        boxes = ref_boxes
+        for i in range(self.decoder_layers):
+            query_pos = pos_head(boxes.astype(dt))
+            query = DecoderLayer(dtype=dt, name=f"decoder{i}")(
+                query, query_pos, boxes, levels)
+            delta = MLP(HIDDEN, 4, dtype=dt, name=f"bbox_head{i}")(query)
+            boxes = jax.nn.sigmoid(delta + _inverse_sigmoid(boxes))
+        logits = nn.Dense(self.num_classes, dtype=jnp.float32,
+                          name="class_head")(query)
+        return logits, boxes
+
+    def predict(self, images: jnp.ndarray, train: bool = False):
+        """NMS-free rows like the reference deploy postprocessor
+        (rtdetr_detector.py:161-172 + :280): flattened top-k over sigmoid
+        scores -> (B, Q, 7) rows [x1,y1,x2,y2,obj=1,score,class] in
+        model-input pixel coordinates."""
+        logits, boxes = self(images, train=train)
+        b, q, c = logits.shape
+        h, w = images.shape[1:3]
+        scores = jax.nn.sigmoid(logits)
+        flat = scores.reshape(b, q * c)
+        top_scores, top_idx = jax.lax.top_k(flat, q)
+        query_idx = top_idx // c
+        class_idx = (top_idx % c).astype(jnp.float32)
+        sel = jnp.take_along_axis(boxes, (top_idx // c)[..., None], axis=1)
+        cx, cy, bw, bh = (sel[..., 0] * w, sel[..., 1] * h,
+                          sel[..., 2] * w, sel[..., 3] * h)
+        rows = jnp.stack([
+            cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2,
+            jnp.ones_like(top_scores), top_scores, class_idx], axis=-1)
+        return rows
+
+
+def build_rtdetr(name: str = "rtdetrv2-r18vd", num_classes: int = 80,
+                 dtype=jnp.float32) -> RTDETR:
+    if name not in RTDETR_VARIANTS:
+        raise ValueError(f"unknown RT-DETR variant {name!r}; valid: "
+                         f"{sorted(RTDETR_VARIANTS)}")
+    depths, dec_layers = RTDETR_VARIANTS[name]
+    return RTDETR(num_classes=num_classes, depths=depths,
+                  bottleneck=name.endswith(("r50vd", "r101vd")),
+                  decoder_layers=dec_layers, dtype=dtype)
+
+
+def init_rtdetr(name: str = "rtdetrv2-r18vd", num_classes: int = 80,
+                input_hw: Tuple[int, int] = (640, 640), seed: int = 0,
+                dtype=jnp.float32):
+    model = build_rtdetr(name, num_classes, dtype)
+    dummy = jnp.zeros((1, *input_hw, 3), dtype)
+    variables = model.init(jax.random.PRNGKey(seed), dummy, train=False)
+    return model, variables

@@ -197,17 +197,25 @@ class DetectorProgram:
                 x = preprocess_yolox(frames_u8, spec.input_hw)
                 outs = model.apply(variables, x, train=False)
                 boxes, obj, cls_probs = yolox_lib.decode_outputs(outs)
+                rows = batched_nms(
+                    boxes, obj, cls_probs,
+                    conf_threshold=0.0,  # confidence via runtime arrays below
+                    iou_threshold=spec.nms_threshold,
+                    max_det=spec.max_det,
+                    pre_nms_topk=spec.pre_nms_topk,
+                )
             else:
+                # RT-DETR is NMS-free: the model's top-k postprocess already
+                # yields (B, Q, 7) rows (rtdetr.py predict)
                 x = preprocess_rtdetr(frames_u8, spec.input_hw)
-                boxes, obj, cls_probs = model.apply(
-                    variables, x, train=False, method=model.predict)
-            rows = batched_nms(
-                boxes, obj, cls_probs,
-                conf_threshold=0.0,  # confidence handled by runtime arrays below
-                iou_threshold=spec.nms_threshold,
-                max_det=spec.max_det,
-                pre_nms_topk=spec.pre_nms_topk,
-            )
+                rows = model.apply(variables, x, train=False,
+                                   method=model.predict)
+                rows = rows[:, :spec.max_det]
+                if rows.shape[1] < spec.max_det:
+                    pad = jnp.full((rows.shape[0],
+                                    spec.max_det - rows.shape[1], 7), -1.0,
+                                   rows.dtype)
+                    rows = jnp.concatenate([rows, pad], axis=1)
             # scale boxes back to capture coords, then filter
             rows = rows.at[..., :4].multiply(back_scale)
             rows = _filter_rows(rows, {

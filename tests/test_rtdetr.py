@@ -1,0 +1,134 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from telescope_cam_detection_tpu.models.rtdetr import (
+    RTDETR_VARIANTS,
+    build_rtdetr,
+    init_rtdetr,
+    ms_deformable_attention,
+    sincos_pos_embed_2d,
+)
+from telescope_cam_detection_tpu.runtime.program import (
+    DetectorProgram,
+    FilterSettings,
+    ProgramSpec,
+)
+
+
+def test_sincos_pos_embed_shapes_and_range():
+    pe = sincos_pos_embed_2d(5, 7, 64)
+    assert pe.shape == (35, 64)
+    assert np.all(np.abs(pe) <= 1.0 + 1e-6)
+    # dynamic resolution: different shapes give different tables
+    assert sincos_pos_embed_2d(6, 7, 64).shape == (42, 64)
+
+
+def test_ms_deformable_attention_exact_center_sampling():
+    """A sampling location exactly at a pixel center must return that pixel's
+    value; weights must scale linearly."""
+    b, h, w, heads, hd = 1, 4, 4, 2, 3
+    v = np.zeros((b, h, w, heads, hd), np.float32)
+    v[0, 1, 2, :, :] = 7.0  # distinctive pixel at (y=1, x=2)
+    # normalized coords of pixel center (x=2, y=1): ((2+0.5)/4, (1+0.5)/4)
+    locs = np.zeros((b, 1, heads, 1, 1, 2), np.float32)
+    locs[..., 0] = 2.5 / 4
+    locs[..., 1] = 1.5 / 4
+    weights = np.ones((b, 1, heads, 1, 1), np.float32) * 0.5
+    out = np.asarray(ms_deformable_attention(
+        [jnp.asarray(v)], jnp.asarray(locs), jnp.asarray(weights)))
+    assert out.shape == (b, 1, heads, hd)
+    assert np.allclose(out, 3.5)  # 7.0 * 0.5
+
+
+def test_ms_deformable_attention_bilinear_midpoint():
+    b, h, w, heads, hd = 1, 2, 2, 1, 1
+    v = np.array([[[[[0.0]], [[10.0]]], [[[20.0]], [[30.0]]]]], np.float32)
+    # midpoint of the 2x2 grid: average of all four
+    locs = np.full((b, 1, heads, 1, 1, 2), 0.5, np.float32)
+    weights = np.ones((b, 1, heads, 1, 1), np.float32)
+    out = np.asarray(ms_deformable_attention(
+        [jnp.asarray(v)], jnp.asarray(locs), jnp.asarray(weights)))
+    assert np.allclose(out, 15.0)
+
+
+@pytest.fixture(scope="module")
+def tiny_rtdetr():
+    # minimal config for CPU test speed
+    model = RTDETR(num_classes=8, depths=(1, 1, 1, 1), bottleneck=False,
+                   decoder_layers=2, num_queries=20)
+    x = jnp.zeros((1, 128, 128, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    return model, variables
+
+
+from telescope_cam_detection_tpu.models.rtdetr import RTDETR  # noqa: E402
+
+
+def test_rtdetr_forward_shapes(tiny_rtdetr):
+    model, variables = tiny_rtdetr
+    x = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 1, (2, 128, 128, 3)), jnp.float32)
+    logits, boxes = model.apply(variables, x, train=False)
+    assert logits.shape == (2, 20, 8)
+    assert boxes.shape == (2, 20, 4)
+    boxes = np.asarray(boxes)
+    assert np.all(boxes >= 0) and np.all(boxes <= 1)  # sigmoid space
+
+
+def test_rtdetr_predict_rows(tiny_rtdetr):
+    model, variables = tiny_rtdetr
+    x = jnp.asarray(np.random.default_rng(1).uniform(
+        0, 1, (1, 128, 128, 3)), jnp.float32)
+    rows = np.asarray(model.apply(variables, x, train=False,
+                                  method=model.predict))
+    assert rows.shape == (1, 20, 7)
+    scores = rows[0, :, 5]
+    assert np.all(np.diff(scores) <= 1e-6)  # sorted descending
+    assert np.all(rows[0, :, 4] == 1.0)     # obj placeholder
+    assert np.all((rows[0, :, 6] >= 0) & (rows[0, :, 6] < 8))
+
+
+def test_rtdetr_dynamic_resolution(tiny_rtdetr):
+    """Same weights must run at a different input resolution (the reference
+    patched the vendored repo for this; we get it from shape-traced tables)."""
+    model, variables = tiny_rtdetr
+    x = jnp.zeros((1, 192, 160, 3), jnp.float32)
+    logits, boxes = model.apply(variables, x, train=False)
+    assert logits.shape == (1, 20, 8)
+
+
+def test_variants_table():
+    assert set(RTDETR_VARIANTS) == {"rtdetrv2-r18vd", "rtdetrv2-r34vd",
+                                    "rtdetrv2-r50vd"}
+    with pytest.raises(ValueError):
+        build_rtdetr("rtdetr-nope")
+
+
+def test_rtdetr_detector_program_end_to_end():
+    spec = ProgramSpec(detector_type="rtdetr", variant="rtdetrv2-r18vd",
+                       input_hw=(128, 128), max_det=20)
+    # shrink via direct model override for test speed
+    prog = DetectorProgram.__new__(DetectorProgram)
+    from telescope_cam_detection_tpu.utils.jaxconfig import configure_jax
+    configure_jax()
+    prog.spec = spec
+    prog.model = RTDETR(num_classes=80, depths=(1, 1, 1, 1),
+                        decoder_layers=1, num_queries=30)
+    prog.variables = prog.model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)), train=False)
+    prog._filters = FilterSettings(conf_threshold=0.0, wildlife_only=False)
+    prog._filter_arrays = prog._filters.to_arrays(80)
+    prog._compiled = {}
+    prog.stats = {"compilations": 0, "batches": 0, "frames": 0,
+                  "last_infer_ms": 0.0}
+    frames = np.random.default_rng(0).integers(
+        0, 256, (2, 256, 256, 3), np.uint8)
+    rows = prog.detect_batch_rows(frames)
+    assert rows.shape == (2, 20, 7)
+    valid = rows[0][rows[0][:, 5] >= 0]
+    # boxes scaled back to 256x256 capture coords
+    assert valid.shape[0] > 0
+    assert np.all(valid[:, [0, 2]] <= 256 * 1.5)
