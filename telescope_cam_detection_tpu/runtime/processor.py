@@ -151,3 +151,43 @@ class DetectionProcessor:
             "latency_ms_p99": round(pct(0.99), 2),
             "history_size": len(self.history),
         }
+
+
+class CollisionDetector:
+    """Phase-3 placeholder (reference detection_processor.py:388-437):
+    will flag person/animal detections entering configured danger zones
+    around telescope equipment. Currently distance-to-zone checks only."""
+
+    def __init__(self, zones: Optional[List[Dict[str, Any]]] = None,
+                 danger_threshold: float = 50.0, enabled: bool = False):
+        self.zones = zones or []
+        self.danger_threshold = danger_threshold
+        self.enabled = enabled
+        self.alerts_raised = 0
+
+    def check(self, detections: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
+        """Returns alert dicts for detections whose bbox center is within
+        danger_threshold px of a zone polygon's bounding box."""
+        if not self.enabled or not self.zones:
+            return []
+        alerts = []
+        for det in detections:
+            bbox = det.get("bbox", {})
+            cx = (bbox.get("x1", 0) + bbox.get("x2", 0)) / 2
+            cy = (bbox.get("y1", 0) + bbox.get("y2", 0)) / 2
+            for zone in self.zones:
+                pts = zone.get("points") or []
+                if not pts:
+                    continue
+                xs = [p[0] for p in pts]
+                ys = [p[1] for p in pts]
+                dx = max(min(xs) - cx, 0, cx - max(xs))
+                dy = max(min(ys) - cy, 0, cy - max(ys))
+                if (dx * dx + dy * dy) ** 0.5 <= self.danger_threshold:
+                    watch = zone.get("alert_on_entry") or []
+                    if not watch or det.get("class_name") in watch:
+                        self.alerts_raised += 1
+                        alerts.append({"zone": zone.get("name", "zone"),
+                                       "class_name": det.get("class_name"),
+                                       "distance_px": round((dx * dx + dy * dy) ** 0.5, 1)})
+        return alerts

