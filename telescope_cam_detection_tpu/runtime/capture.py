@@ -318,6 +318,14 @@ class FFmpegStreamCapture(BaseStreamCapture):
             return None
         if proc.poll() is not None:  # process died
             return None
+        # native exact-read (GIL-free) when the library is built
+        from telescope_cam_detection_tpu.utils import native
+        if native.available():
+            buf_arr = native.read_exact(proc.stdout.fileno(),
+                                        self._frame_bytes)
+            if buf_arr is None:
+                return None
+            return buf_arr.reshape(self.height, self.width, 3)
         buf = proc.stdout.read(self._frame_bytes)
         if buf is None or len(buf) != self._frame_bytes:
             return None

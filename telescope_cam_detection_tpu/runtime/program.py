@@ -248,11 +248,19 @@ class DetectorProgram:
         batch = frames.shape[0]
         capture_hw = (frames.shape[1], frames.shape[2])
         if self._host_resize_active(capture_hw):
-            import cv2
             ih, iw = self.spec.input_hw
-            frames = np.stack([cv2.resize(f, (iw, ih),
-                                          interpolation=cv2.INTER_LINEAR)
-                               for f in frames])
+            try:  # cv2's SIMD resize wins (measured 3x vs our scalar C++)
+                import cv2
+                frames = np.stack([cv2.resize(f, (iw, ih),
+                                              interpolation=cv2.INTER_LINEAR)
+                                   for f in frames])
+            except ImportError:
+                from telescope_cam_detection_tpu.utils import native
+                resized = native.resize_batch(frames, (ih, iw))
+                if resized is None:
+                    raise RuntimeError("host-resize needs cv2 or the native "
+                                       "frameio library")
+                frames = resized
         fn = self._get_program(batch, capture_hw)
         f = self._filter_arrays
         rows = fn(self.variables, jnp.asarray(frames), f["class_conf"],

@@ -1,0 +1,126 @@
+"""ctypes bindings for the native frame I/O library (native/frameio.cpp).
+
+Auto-builds the shared library with g++ on first use; every caller has a
+pure-Python/cv2 fallback, so the framework stays functional without a
+toolchain.
+"""
+from __future__ import annotations
+
+import ctypes
+import logging
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+_LIB_PATH = _NATIVE_DIR / "libframeio.so"
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
+                       capture_output=True, timeout=120)
+        return _LIB_PATH.exists()
+    except (subprocess.CalledProcessError, subprocess.TimeoutExpired,
+            OSError) as e:
+        logger.warning("native frameio build failed (%s); using fallbacks", e)
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not _LIB_PATH.exists() and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(str(_LIB_PATH))
+        except OSError:
+            logger.exception("could not load %s", _LIB_PATH)
+            return None
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.frameio_read_exact.argtypes = [ctypes.c_int, u8p, ctypes.c_long]
+        lib.frameio_read_exact.restype = ctypes.c_long
+        lib.frameio_resize_bilinear_u8.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.frameio_resize_bilinear_u8.restype = None
+        lib.frameio_resize_batch_u8.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            u8p, ctypes.c_int, ctypes.c_int]
+        lib.frameio_resize_batch_u8.restype = None
+        lib.frameio_bgr_to_yuv420.argtypes = [u8p, ctypes.c_int, ctypes.c_int,
+                                              u8p]
+        lib.frameio_bgr_to_yuv420.restype = None
+        _lib = lib
+        logger.info("native frameio loaded: %s", _LIB_PATH)
+        return _lib
+
+
+def _ptr(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def read_exact(fd: int, size: int) -> Optional[np.ndarray]:
+    """Exact-size read from a file descriptor (GIL released). Returns the
+    buffer or None on EOF/short read."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = np.empty(size, np.uint8)
+    n = lib.frameio_read_exact(fd, _ptr(buf), size)
+    return buf if n == size else None
+
+
+def resize_bilinear(frame: np.ndarray, out_hw, n_threads: int = 4
+                    ) -> Optional[np.ndarray]:
+    """(H, W, C) uint8 -> (h, w, C), half-pixel bilinear; None if no lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    frame = np.ascontiguousarray(frame)
+    h, w = out_hw
+    out = np.empty((h, w, frame.shape[2]), np.uint8)
+    lib.frameio_resize_bilinear_u8(
+        _ptr(frame), frame.shape[0], frame.shape[1], frame.shape[2],
+        _ptr(out), h, w, n_threads)
+    return out
+
+
+def resize_batch(frames: np.ndarray, out_hw) -> Optional[np.ndarray]:
+    """(N, H, W, 3) uint8 -> (N, h, w, 3), one thread per frame."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    frames = np.ascontiguousarray(frames)
+    n, sh, sw, _ = frames.shape
+    h, w = out_hw
+    out = np.empty((n, h, w, 3), np.uint8)
+    lib.frameio_resize_batch_u8(_ptr(frames), n, sh, sw, _ptr(out), h, w)
+    return out
+
+
+def bgr_to_yuv420(frame: np.ndarray) -> Optional[np.ndarray]:
+    """(H, W, 3) uint8 BGR -> (H*3//2, W) planar I420; H and W must be even."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    frame = np.ascontiguousarray(frame)
+    h, w, _ = frame.shape
+    out = np.empty((h * 3 // 2, w), np.uint8)
+    lib.frameio_bgr_to_yuv420(_ptr(frame), h, w, _ptr(out))
+    return out
