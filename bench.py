@@ -31,8 +31,10 @@ def main() -> None:
     iters = int(os.environ.get("BENCH_ITERS", "40"))
     pipeline_depth = int(os.environ.get("BENCH_PIPELINE", "2"))
 
+    transfer = os.environ.get("BENCH_TRANSFER", "auto")
     spec = ProgramSpec(detector_type="yolox", variant="yolox-s",
-                       input_hw=input_hw, max_det=300, pre_nms_topk=1000)
+                       input_hw=input_hw, max_det=300, pre_nms_topk=1000,
+                       transfer=transfer)
     program = DetectorProgram(spec, seed=0)
     program.update_filters(FilterSettings(conf_threshold=0.25,
                                           wildlife_only=True))
@@ -90,6 +92,7 @@ def main() -> None:
         "p50_frame_latency_ms": round(p50 / batch, 2),
         "p95_batch_latency_ms": round(p95, 2),
         "batch": batch,
+        "transfer": transfer,
         "capture_hw": list(capture_hw),
         "input_hw": list(input_hw),
         "backend": jax.default_backend(),

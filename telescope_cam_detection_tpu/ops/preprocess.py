@@ -74,6 +74,33 @@ def scale_boxes_back(boxes: jnp.ndarray, model_hw: Tuple[int, int],
     return boxes * scale
 
 
+def yuv420_to_bgr(yuv: jnp.ndarray) -> jnp.ndarray:
+    """(B, H*3//2, W) planar I420 uint8 -> (B, H, W, 3) float32 BGR.
+
+    Transfer-compression decode for low-bandwidth host->device links: the
+    host packs BGR to 4:2:0 (native/frameio.cpp, 2x fewer bytes), the device
+    unpacks with a nearest-neighbor chroma upsample + BT.601 inverse. Fuses
+    into the same program as the detector preprocess.
+    """
+    b, h15, w = yuv.shape
+    h = h15 * 2 // 3
+    y = yuv[:, :h, :].astype(jnp.float32)
+    u = yuv[:, h:h + h // 4, :].reshape(b, h // 2, w // 2)
+    v = yuv[:, h + h // 4:, :].reshape(b, h // 2, w // 2)
+
+    def up2(c):
+        c = jnp.broadcast_to(c[:, :, None, :, None],
+                             (b, h // 2, 2, w // 2, 2))
+        return c.reshape(b, h, w).astype(jnp.float32)
+
+    u = up2(u) - 128.0
+    v = up2(v) - 128.0
+    r = y + 1.403 * v
+    g = y - 0.714 * v - 0.344 * u
+    bch = y + 1.773 * u
+    return jnp.clip(jnp.stack([bch, g, r], axis=-1), 0.0, 255.0)
+
+
 @functools.partial(jax.jit, static_argnames=("out_hw", "mode"))
 def preprocess_jit(frames_bgr_u8: jnp.ndarray, out_hw: Tuple[int, int],
                    mode: str = "yolox") -> jnp.ndarray:

@@ -60,8 +60,10 @@ class ProgramSpec:
     # uint8 — 9x fewer host->device bytes at 1440p->640. On this environment
     # the device link runs ~20 MB/s (measured), so shipping full 1440p
     # frames costs ~2.2 s/batch vs ~50 ms for the entire fused compute;
-    # "device" keeps the reference-style fully-fused on-device resize.
-    transfer: str = "auto"                # "auto" | "device" | "host"
+    # "device" keeps the reference-style fully-fused on-device resize;
+    # "yuv420" additionally packs to 4:2:0 on host (2x fewer bytes again,
+    # slight chroma loss — opt-in, breaks bit-parity with the reference).
+    transfer: str = "auto"                # "auto" | "device" | "host" | "yuv420"
 
 
 @dataclasses.dataclass
@@ -177,7 +179,7 @@ class DetectorProgram:
     def _host_resize_active(self, capture_hw: Tuple[int, int]) -> bool:
         if self.spec.transfer == "device":
             return False
-        if self.spec.transfer == "host":
+        if self.spec.transfer in ("host", "yuv420"):
             return capture_hw != self.spec.input_hw
         # auto: only when it shrinks the transfer
         return (capture_hw[0] * capture_hw[1] >
@@ -193,6 +195,10 @@ class DetectorProgram:
 
         def program(variables, frames_u8, class_conf, min_area, max_area,
                     class_allowed):
+            if spec.transfer == "yuv420":
+                from telescope_cam_detection_tpu.ops.preprocess import (
+                    yuv420_to_bgr)
+                frames_u8 = yuv420_to_bgr(frames_u8).astype(jnp.uint8)
             if spec.detector_type == "yolox":
                 x = preprocess_yolox(frames_u8, spec.input_hw)
                 outs = model.apply(variables, x, train=False)
@@ -261,6 +267,8 @@ class DetectorProgram:
                     raise RuntimeError("host-resize needs cv2 or the native "
                                        "frameio library")
                 frames = resized
+        if self.spec.transfer == "yuv420":
+            frames = self._pack_yuv420(frames)
         fn = self._get_program(batch, capture_hw)
         f = self._filter_arrays
         rows = fn(self.variables, jnp.asarray(frames), f["class_conf"],
@@ -268,6 +276,20 @@ class DetectorProgram:
         self.stats["batches"] += 1
         self.stats["frames"] += batch
         return rows
+
+    @staticmethod
+    def _pack_yuv420(frames: np.ndarray) -> np.ndarray:
+        """(B, H, W, 3) BGR -> (B, H*3//2, W) planar I420, FULL-range BT.601
+        (matches ops.preprocess.yuv420_to_bgr; note cv2's I420 is
+        studio-range, so we use our native packer or a numpy fallback)."""
+        from telescope_cam_detection_tpu.utils import native
+        packed = []
+        for f in frames:
+            out = native.bgr_to_yuv420(f)
+            if out is None:
+                out = _pack_yuv420_numpy(f)
+            packed.append(out)
+        return np.stack(packed)
 
     def detect_batch_rows(self, frames: np.ndarray) -> np.ndarray:
         """(B, H, W, 3) uint8 BGR -> (B, max_det, 7) numpy rows in capture
@@ -294,6 +316,23 @@ class DetectorProgram:
 
     def get_stats(self) -> Dict[str, Any]:
         return dict(self.stats)
+
+
+def _pack_yuv420_numpy(frame: np.ndarray) -> np.ndarray:
+    """Full-range BT.601 BGR -> planar I420 (numpy fallback packer)."""
+    h, w, _ = frame.shape
+    f = frame.astype(np.float32)
+    b, g, r = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    u = (b - y) * 0.564 + 128.0
+    v = (r - y) * 0.713 + 128.0
+    out = np.empty((h * 3 // 2, w), np.uint8)
+    out[:h] = np.clip(y + 0.5, 0, 255).astype(np.uint8)
+    u_sub = np.clip(u[0::2, 0::2] + 0.5, 0, 255).astype(np.uint8)
+    v_sub = np.clip(v[0::2, 0::2] + 0.5, 0, 255).astype(np.uint8)
+    out[h:h + h // 4] = u_sub.reshape(h // 4, w)
+    out[h + h // 4:] = v_sub.reshape(h // 4, w)
+    return out
 
 
 def rows_to_detections(rows: np.ndarray) -> List[Dict[str, Any]]:

@@ -393,6 +393,8 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._camera_route(path)
             if path == "/api/config/current":
                 return self._json(self.web.config_payload())
+            if path == "/api/profiler/trace":
+                return self._profiler_trace()
             if path == "/api/clips":
                 return self._clips_list()
             if path.startswith("/api/clips/"):
@@ -462,6 +464,26 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._error(404, f"camera {cam_id} not found")
             return self._json(summary[cam_id])
         return self._error(404, "not found")
+
+    # ---- profiler --------------------------------------------------------------
+    def _profiler_trace(self) -> None:
+        """Capture a jax.profiler trace (device + host) for N seconds; returns
+        the trace directory for TensorBoard/xprof. The reference had no
+        tracer at all (SURVEY §5) — this is the TPU-native upgrade."""
+        from urllib.parse import parse_qs, urlparse
+        query = parse_qs(urlparse(self.path).query)
+        seconds = min(float(query.get("seconds", ["3"])[0]), 60.0)
+        trace_dir = query.get("dir", ["/tmp/tcd_traces"])[0]
+        try:
+            import jax
+            with jax.profiler.trace(trace_dir):
+                time.sleep(seconds)
+            return self._json({"success": True, "trace_dir": trace_dir,
+                               "seconds": seconds,
+                               "hint": "tensorboard --logdir " + trace_dir})
+        except Exception as e:
+            logger.exception("profiler trace failed")
+            return self._json({"success": False, "error": str(e)}, 500)
 
     # ---- clips -----------------------------------------------------------------
     def _clips_list(self) -> None:

@@ -143,7 +143,11 @@ class TelescopeDetectionSystem:
             nms_threshold=detection.get("nms_threshold", 0.45),
             max_det=detection.get("max_detections", 300),
         )
-        self.program = DetectorProgram(spec)
+        import jax.numpy as jnp
+        precision = detection.get("precision", "fp32")
+        param_dtype = jnp.bfloat16 if precision in ("bf16", "bfloat16") \
+            else jnp.float32
+        self.program = DetectorProgram(spec, param_dtype=param_dtype)
         weights = model_cfg.get("weights")
         if self.load_weights and weights:
             from telescope_cam_detection_tpu.models.convert import (

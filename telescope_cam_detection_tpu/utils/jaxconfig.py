@@ -24,6 +24,13 @@ def configure_jax(cache_dir: str | None = None) -> None:
         return
     import jax
 
+    if jax.default_backend() == "cpu":
+        # CPU compiles are fast and cached CPU executables are machine-
+        # feature sensitive (cross-process AOT loads warn about SIGILL
+        # risk); the persistent cache only pays off for TPU.
+        _configured = True
+        return
+
     if cache_dir is None:
         cache_dir = os.environ.get(
             "TCD_XLA_CACHE_DIR",

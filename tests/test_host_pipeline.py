@@ -121,7 +121,7 @@ def test_engine_sparse_gate_reuses_detections(program):
     for i in range(3):
         in_q.put({"frame": frame, "timestamp": time.time(), "frame_id": i,
                   "camera_id": "sparse", "camera_name": ""})
-    results = [out_q.get(timeout=30) for _ in range(3)]
+    results = [out_q.get(timeout=120) for _ in range(3)]
     engine.stop()
     by_id = {r["frame_id"]: r for r in results}
     assert not by_id[0]["detections_reused"]

@@ -269,6 +269,16 @@ def test_index_and_static(system):
     assert status == 404
 
 
+def test_profiler_trace_endpoint(system, tmp_path):
+    _, port = system
+    status, body = _get(port, f"/api/profiler/trace?seconds=0.2&dir={tmp_path}/tr")
+    assert status == 200
+    data = json.loads(body)
+    assert data["success"] is True
+    import pathlib
+    assert any(pathlib.Path(data["trace_dir"]).rglob("*"))  # trace files exist
+
+
 def test_camera_restart_endpoint(system):
     sys_obj, port = system
     status, body = _post(port, "/api/cameras/cam2/restart")
