@@ -24,14 +24,16 @@ def main() -> None:
         DetectorProgram, FilterSettings, ProgramSpec)
     from telescope_cam_detection_tpu.utils.frames import SyntheticFrameSource
 
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
     capture_hw = (1440, 2560)
     input_hw = (640, 640)
     warmup = int(os.environ.get("BENCH_WARMUP", "5"))
     iters = int(os.environ.get("BENCH_ITERS", "40"))
     pipeline_depth = int(os.environ.get("BENCH_PIPELINE", "2"))
 
-    transfer = os.environ.get("BENCH_TRANSFER", "auto")
+    # yuv420: host packs 4:2:0 (2x fewer link bytes); measured 42.7 -> 64.1
+    # fps at batch 16 vs plain host-resize on this tunneled-TPU environment
+    transfer = os.environ.get("BENCH_TRANSFER", "yuv420")
     spec = ProgramSpec(detector_type="yolox", variant="yolox-s",
                        input_hw=input_hw, max_det=300, pre_nms_topk=1000,
                        transfer=transfer)

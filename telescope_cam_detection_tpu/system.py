@@ -197,13 +197,23 @@ class TelescopeDetectionSystem:
             geo = sc.get("geographic_filter", {}) or {}
             self.species_classifier = SpeciesClassifier(
                 model_name=self._classifier_variant(inat.get("model_name", "")),
-                num_classes=10000,
+                num_classes=inat.get("num_classes", 10000),
                 input_size=inat.get("input_size", 336),
                 taxonomy_file=inat.get("taxonomy_file"),
                 confidence_threshold=inat.get("confidence_threshold", 0.3),
                 use_hierarchical=inat.get("use_hierarchical", True),
                 enable_geographic_filter=geo.get("enabled", False),
                 allowed_species=geo.get("allowed_species") or [])
+            weights = inat.get("weights")
+            if self.load_weights and weights:
+                from telescope_cam_detection_tpu.models.convert import (
+                    load_variables)
+                loaded = load_variables(
+                    weights,
+                    reference_variables=self.species_classifier.variables)
+                if loaded is not None:
+                    self.species_classifier.variables = loaded
+                    logger.info("loaded classifier weights from %s", weights)
 
         # per-camera pipelines (fault-tolerant: a broken camera config skips)
         for cam in cfg.get("cameras", []) or []:
