@@ -6,7 +6,7 @@ BN statistics; matmul/conv accumulation is fp32 via preferred_element_type.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ species at 336x336. NHWC/TPU-first; attention is jax.nn.dot_product_attention
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any
 
 import flax.linen as nn
 import jax

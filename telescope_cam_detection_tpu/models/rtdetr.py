@@ -14,8 +14,7 @@ in ops/deformable.py); all shapes static per compiled resolution.
 """
 from __future__ import annotations
 
-import math
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Sequence, Tuple
 
 import flax.linen as nn
 import jax

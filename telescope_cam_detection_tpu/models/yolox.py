@@ -11,8 +11,7 @@ convert 1:1 (models/convert.py).
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict, Sequence, Tuple
 
 import flax.linen as nn
 import jax

@@ -14,7 +14,6 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from telescope_cam_detection_tpu.ops.motion import _gaussian_kernel_np  # noqa: F401
 
 _N_BINS = 256
 

@@ -18,7 +18,6 @@ on the VPU and fuses with the surrounding program.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

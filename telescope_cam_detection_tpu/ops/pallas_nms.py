@@ -12,7 +12,6 @@ greedy, torchvision-compatible); tests cross-check both paths.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ single padded batch — bounding Stage-2 latency when many detections fire
 """
 from __future__ import annotations
 
-import functools
 import json
 import logging
 import time

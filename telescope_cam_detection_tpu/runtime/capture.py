@@ -19,7 +19,7 @@ import subprocess
 import threading
 import time
 from queue import Full, Queue
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import numpy as np
 

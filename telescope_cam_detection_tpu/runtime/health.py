@@ -128,7 +128,7 @@ class CameraHealthMonitor:
                 score -= 10
             m.health_score = max(score, 0.0)
             if m.status != STATUS_RESTARTING:
-                if m.health_score >= 80:
+                if m.health_score >= 80 and not m.issues:
                     m.status = STATUS_HEALTHY
                     if now - m.last_restart_time > self.restart_cooldown:
                         m.restart_attempts = 0  # cooldown resets the counter

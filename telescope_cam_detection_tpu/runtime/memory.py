@@ -14,7 +14,7 @@ import enum
 import logging
 import threading
 import time
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 from telescope_cam_detection_tpu import constants as C
 

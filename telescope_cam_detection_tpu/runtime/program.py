@@ -20,7 +20,6 @@ cached; the coordinator pads batches up to the bucket.
 from __future__ import annotations
 
 import dataclasses
-import functools
 import logging
 import time
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple

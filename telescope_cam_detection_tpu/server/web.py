@@ -34,7 +34,6 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 from typing import Any, Callable, Dict, List, Optional
 
-import numpy as np
 
 from telescope_cam_detection_tpu import constants as C
 from telescope_cam_detection_tpu.utils import wsproto

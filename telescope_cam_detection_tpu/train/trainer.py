@@ -9,7 +9,6 @@ Checkpointing via orbax (utils/checkpoint.py).
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
