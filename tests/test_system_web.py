@@ -196,6 +196,51 @@ def test_config_reload_endpoint(system):
     assert data["requires_restart"] == []
 
 
+def test_config_reload_applies_and_diffs(system):
+    """Edit the config file on disk, reload over HTTP: hot-reloadable keys
+    apply; restart-required sections are reported, not applied."""
+    sys_obj, port = system
+    path = sys_obj.config_path
+    original = open(path).read()
+    try:
+        modified = original.replace("conf_threshold: 0.0",
+                                    "conf_threshold: 0.11")
+        modified = modified.replace("input_size: [128, 128]",
+                                    "input_size: [256, 256]")
+        with open(path, "w") as f:
+            f.write(modified)
+        status, body = _post(port, "/api/config/reload")
+        data = json.loads(body)
+        assert data["success"] is True
+        assert any("conf_threshold" in r for r in data["reloaded"])
+        assert "detection.input_size" in data["requires_restart"]
+        # engine picked up the new threshold
+        assert sys_obj.engines["cam1"].get_settings()["conf_threshold"] == 0.11
+    finally:
+        with open(path, "w") as f:
+            f.write(original)
+        _post(port, "/api/config/reload")
+
+
+def test_config_reload_rejects_invalid(system):
+    sys_obj, port = system
+    path = sys_obj.config_path
+    original = open(path).read()
+    try:
+        with open(path, "w") as f:
+            f.write(original.replace("conf_threshold: 0.0",
+                                     "conf_threshold: 7.5"))
+        status, body = _post(port, "/api/config/reload")
+        data = json.loads(body)
+        assert data["success"] is False
+        assert any("conf_threshold" in e for e in data["errors"])
+        # live config untouched
+        assert sys_obj.config["detection"]["conf_threshold"] == 0.0
+    finally:
+        with open(path, "w") as f:
+            f.write(original)
+
+
 def test_clips_traversal_guard(system):
     _, port = system
     status, _ = _get(port, "/api/clips/../../etc/passwd")
