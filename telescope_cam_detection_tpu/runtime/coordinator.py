@@ -59,6 +59,16 @@ class SharedInferenceCoordinator:
         self.max_batch_wait_ms = max_batch_wait_ms
         self.enable_metrics = enable_metrics
         self.memory_manager = memory_manager
+        # Callbacks (which include per-camera post-processing and Stage-2)
+        # run on a dedicated single worker, NOT the coordinator thread — the
+        # reference executes Stage-2 on its coordinator thread, serializing
+        # classification against the next batch's dispatch (SURVEY §3.3
+        # note at inference_engine_yolox.py:390-442). One worker preserves
+        # per-camera result ordering while the dispatch loop keeps the
+        # device fed.
+        from concurrent.futures import ThreadPoolExecutor
+        self._callback_pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="coordinator-callbacks")
 
         self._queue: deque = deque()
         self._cond = threading.Condition()
@@ -93,6 +103,7 @@ class SharedInferenceCoordinator:
             if self._thread.is_alive():
                 logger.critical("coordinator thread did not stop (leak)")
             self._thread = None
+        self._callback_pool.shutdown(wait=True)
 
     # -- submission -----------------------------------------------------------
     def infer_async(self, frame: np.ndarray,
@@ -193,12 +204,19 @@ class SharedInferenceCoordinator:
         self.total_batches += 1
         self.total_frames += n
         self._batch_sizes.append(n)
-        for i, req in enumerate(reqs):
-            try:
-                req.callback(rows[i])
-            except Exception:
-                logger.exception("inference callback failed (camera %s)",
-                                 req.camera_id)
+
+        def dispatch_callbacks(reqs=reqs, rows=rows):
+            for i, req in enumerate(reqs):
+                try:
+                    req.callback(rows[i])
+                except Exception:
+                    logger.exception("inference callback failed (camera %s)",
+                                     req.camera_id)
+
+        try:
+            self._callback_pool.submit(dispatch_callbacks)
+        except RuntimeError:  # pool shut down during stop()
+            dispatch_callbacks()
 
     # -- stats ---------------------------------------------------------------
     def get_stats(self) -> Dict[str, Any]:
