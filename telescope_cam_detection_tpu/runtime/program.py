@@ -134,9 +134,16 @@ class DetectorProgram:
         variables: Optional[Any] = None,
         seed: int = 0,
         param_dtype=jnp.float32,
+        mesh=None,
     ):
+        """mesh: optional jax.sharding.Mesh — shards the stream-batch axis
+        over the mesh's dp axis (cameras across chips) and replicates
+        parameters; XLA inserts any collectives. Single-chip when None
+        (the reference is single-GPU; multi-chip is the TPU scale-out,
+        SURVEY §2.4)."""
         from telescope_cam_detection_tpu.utils.jaxconfig import configure_jax
         configure_jax()
+        self.mesh = mesh
         self.spec = spec
         if spec.detector_type == "yolox":
             self.model = yolox_lib.build_yolox(spec.variant, spec.num_classes,
@@ -228,7 +235,21 @@ class DetectorProgram:
                 "max_area": max_area, "class_allowed": class_allowed})
             return rows
 
-        jitted = jax.jit(program)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from telescope_cam_detection_tpu.parallel.mesh import (
+                DATA_AXIS, param_shardings, replicated)
+            frames_ndim = 3 if spec.transfer == "yuv420" else 4
+            frames_sh = NamedSharding(
+                self.mesh, P(DATA_AXIS, *([None] * (frames_ndim - 1))))
+            rep = replicated(self.mesh)
+            var_sh = jax.tree.map(lambda _: rep, self.variables)
+            jitted = jax.jit(
+                program,
+                in_shardings=(var_sh, frames_sh, rep, rep, rep, rep),
+                out_shardings=NamedSharding(self.mesh, P(DATA_AXIS)))
+        else:
+            jitted = jax.jit(program)
         self.stats["compilations"] += 1
         logger.info("compiling detector program batch=%d capture=%s input=%s",
                     batch, capture_hw, spec.input_hw)
@@ -250,6 +271,14 @@ class DetectorProgram:
         execution/readback (np.asarray the result to materialize)."""
         if frames.ndim != 4 or frames.shape[-1] != 3:
             raise ValueError(f"expected (B,H,W,3) uint8 frames, got {frames.shape}")
+        if self.mesh is not None:
+            # the dp-sharded batch axis must divide the mesh; pad with blank
+            # frames (their rows come back invalid and callers slice anyway)
+            dp = self.mesh.shape.get("dp", 1)
+            short = (-frames.shape[0]) % dp
+            if short:
+                frames = np.concatenate(
+                    [frames, np.zeros((short, *frames.shape[1:]), np.uint8)])
         batch = frames.shape[0]
         capture_hw = (frames.shape[1], frames.shape[2])
         if self._host_resize_active(capture_hw):
@@ -294,7 +323,8 @@ class DetectorProgram:
         """(B, H, W, 3) uint8 BGR -> (B, max_det, 7) numpy rows in capture
         coords; invalid rows are all -1."""
         t0 = time.perf_counter()
-        rows = np.asarray(self.dispatch_batch(frames))
+        n = frames.shape[0]
+        rows = np.asarray(self.dispatch_batch(frames))[:n]  # drop mesh padding
         self.stats["last_infer_ms"] = (time.perf_counter() - t0) * 1000.0
         return rows
 

@@ -147,7 +147,14 @@ class TelescopeDetectionSystem:
         precision = detection.get("precision", "fp32")
         param_dtype = jnp.bfloat16 if precision in ("bf16", "bfloat16") \
             else jnp.float32
-        self.program = DetectorProgram(spec, param_dtype=param_dtype)
+        mesh = None
+        mesh_devices = detection.get("mesh_devices", 0)
+        if mesh_devices and mesh_devices > 1:
+            from telescope_cam_detection_tpu.parallel.mesh import create_mesh
+            mesh = create_mesh(mesh_devices)
+            logger.info("sharding inference over %d devices", mesh_devices)
+        self.program = DetectorProgram(spec, param_dtype=param_dtype,
+                                       mesh=mesh)
         weights = model_cfg.get("weights")
         if self.load_weights and weights:
             from telescope_cam_detection_tpu.models.convert import (
