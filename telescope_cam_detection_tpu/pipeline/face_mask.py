@@ -125,17 +125,29 @@ class FaceMaskingCache:
     (reference face_masker.py:367-455)."""
 
     def __init__(self, masker: FaceMasker, detection_interval: int = 5,
-                 ttl_seconds: float = 2.0):
+                 ttl_seconds: float = 2.0,
+                 camera_overrides: Dict[str, Dict[str, Any]] = None):
         self.masker = masker
         self.detection_interval = max(int(detection_interval), 1)
         self.ttl_seconds = ttl_seconds
+        # per-camera enable/disable (reference privacy.camera_overrides,
+        # face_masker cache consulted per camera in web_server MJPEG path)
+        self.camera_overrides = dict(camera_overrides or {})
         self._lock = threading.Lock()
         self._faces: Dict[str, List[Tuple[int, int, int, int]]] = {}
         self._stamp: Dict[str, float] = {}
         self._counter: Dict[str, int] = {}
 
+    def enabled_for(self, camera_id: str) -> bool:
+        override = self.camera_overrides.get(camera_id)
+        if override is None:
+            return True
+        return bool(override.get("enable_face_masking", True))
+
     def mask_frame(self, camera_id: str, frame: np.ndarray,
                    copy: bool = True) -> np.ndarray:
+        if not self.enabled_for(camera_id):
+            return frame.copy() if copy else frame
         with self._lock:
             count = self._counter.get(camera_id, 0)
             self._counter[camera_id] = count + 1

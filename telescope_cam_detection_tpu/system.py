@@ -128,7 +128,8 @@ class TelescopeDetectionSystem:
                 min_neighbors=privacy.get("min_neighbors", 5))
             self.face_mask_cache = FaceMaskingCache(
                 self.face_masker,
-                detection_interval=privacy.get("live_feed_detection_interval", 5))
+                detection_interval=privacy.get("live_feed_detection_interval", 5),
+                camera_overrides=privacy.get("camera_overrides") or {})
 
         # shared detector program (+ weights)
         det_type = detection.get("detector_type", "yolox")

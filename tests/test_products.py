@@ -131,6 +131,19 @@ def test_face_masker_styles():
         FaceMasker(mask_style="nope")
 
 
+def test_face_masking_camera_overrides():
+    masker = FaceMasker(mask_style="black_box")
+    cache = FaceMaskingCache(masker, camera_overrides={
+        "cam1": {"enable_face_masking": False}})
+    masker.detect_faces = lambda f: [(2, 2, 4, 4)]
+    frame = np.full((10, 10, 3), 200, np.uint8)
+    # cam1 disabled -> untouched; cam2 default -> masked
+    assert np.array_equal(cache.mask_frame("cam1", frame), frame)
+    assert (cache.mask_frame("cam2", frame)[2:6, 2:6] == 0).all()
+    assert cache.enabled_for("cam1") is False
+    assert cache.enabled_for("cam2") is True
+
+
 def test_face_masking_cache_interval():
     masker = FaceMasker()
     calls = []
