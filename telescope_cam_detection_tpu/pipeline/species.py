@@ -154,6 +154,56 @@ class SpeciesClassifier:
         """Single-crop convenience (reference species_classifier.py:354-420)."""
         return self.classify_batch_uniform(crop[None], top_k)[0]
 
+    # -- device-side crop path ----------------------------------------------
+    def _device_crop_program(self, n_frames: int, frame_hw: Tuple[int, int],
+                             k: int):
+        """Fused: ROI-sample K crops from on-device frames -> normalize ->
+        EVA02 -> top-k. Avoids re-shipping crops to the device (the frames
+        already went up for detection)."""
+        key = ("devcrop", n_frames, *frame_hw, k)
+        fn = self._programs.get(key)
+        if fn is None:
+            from telescope_cam_detection_tpu.ops.crops import sample_crops
+            from telescope_cam_detection_tpu.ops.preprocess import (
+                CLIP_MEAN, CLIP_STD)
+            model, size = self.model, self.input_size
+            mean = jnp.asarray(CLIP_MEAN, jnp.float32)
+            inv_std = 1.0 / jnp.asarray(CLIP_STD, jnp.float32)
+
+            def program(variables, frames, boxes):
+                crops = sample_crops(frames, boxes, (size, size))  # BGR float
+                x = crops[..., ::-1] * (1.0 / 255.0)
+                x = (x - mean) * inv_std
+                logits = model.apply(variables, x, train=False)
+                probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+                return jax.lax.top_k(probs, 10)
+
+            fn = jax.jit(program)
+            self._programs[key] = fn
+        return fn
+
+    def classify_boxes_device(
+        self, frames_dev, boxes: np.ndarray, n_valid: int, top_k: int = 5
+    ) -> List[List[Dict[str, Any]]]:
+        """frames_dev: (B, H, W, 3) device array (uint8); boxes: (K, 5)
+        [batch_idx, x1, y1, x2, y2] with padding rows batch_idx < 0.
+        Returns top-k prediction lists for the first n_valid boxes."""
+        t0 = time.perf_counter()
+        k = boxes.shape[0]
+        fn = self._device_crop_program(frames_dev.shape[0],
+                                       tuple(frames_dev.shape[1:3]), k)
+        top_p, top_i = fn(self.variables, frames_dev, jnp.asarray(boxes))
+        top_p = np.asarray(top_p)[:n_valid, :top_k]
+        top_i = np.asarray(top_i)[:n_valid, :top_k]
+        results = [self._format_predictions(p, i)
+                   for p, i in zip(top_p, top_i)]
+        self.total_batches += 1
+        self.total_classified += n_valid
+        self._classify_times.append((time.perf_counter() - t0) * 1000.0)
+        if len(self._classify_times) > 200:
+            self._classify_times = self._classify_times[-200:]
+        return results
+
     # -- label logic ------------------------------------------------------------
     def _format_predictions(self, probs: np.ndarray,
                             ids: np.ndarray) -> List[Dict[str, Any]]:

@@ -88,7 +88,12 @@ class TwoStageDetectionPipeline:
         classify_classes: Optional[Dict[int, str]] = None,
         crop_batch_size_hw: int = 336,
         enhancement_cache_size: int = 100,
+        device_crops: bool = False,
     ):
+        # device_crops: sample crops ON DEVICE from an already-uploaded frame
+        # (ops/crops.py) instead of host crop+resize+re-upload. Wins when the
+        # full-resolution frame is device-resident (transfer="device" on
+        # local-PCIe TPU); incompatible with host-side enhancement.
         self.species_classifier = species_classifier
         self.enhancer = enhancer
         self.crop_padding_percent = crop_padding_percent
@@ -99,6 +104,7 @@ class TwoStageDetectionPipeline:
                                  if classify_classes is not None
                                  else dict(CLASS_ID_TO_CATEGORY))
         self.crop_hw = crop_batch_size_hw
+        self.device_crops = device_crops
         self.cache = EnhancementCache(enhancement_cache_size)
 
         self.total_detections = 0
@@ -140,37 +146,84 @@ class TwoStageDetectionPipeline:
         return enhanced
 
     # -- main entry -------------------------------------------------------------
+    def _eligible_indices(self, frame: np.ndarray,
+                          detections: List[Dict[str, Any]]) -> List[int]:
+        out = []
+        h, w = frame.shape[:2]
+        for idx, det in enumerate(detections):
+            if det.get("class_id") not in self.classify_classes:
+                continue
+            bbox = det["bbox"]
+            if min(bbox["x2"] - bbox["x1"], bbox["y2"] - bbox["y1"]) \
+                    < self.min_crop_size:
+                with self._lock:
+                    self.total_skipped_small += 1
+                continue
+            out.append(idx)
+        return out
+
     def process_detections(
-        self, frame: np.ndarray, detections: List[Dict[str, Any]]
+        self, frame: np.ndarray, detections: List[Dict[str, Any]],
+        frame_dev=None,
     ) -> List[Dict[str, Any]]:
         """Annotate eligible detections with species info. Batched: all
-        eligible crops classify in one device dispatch."""
+        eligible crops classify in one device dispatch. With device_crops and
+        a device-resident frame, crops never touch the host."""
         if self.species_classifier is None or not detections:
             return detections
         t0 = time.perf_counter()
         with self._lock:
             self.total_detections += len(detections)
 
-        eligible: List[Tuple[int, np.ndarray]] = []
-        for idx, det in enumerate(detections):
-            if det.get("class_id") not in self.classify_classes:
-                continue
-            crop = self.extract_crop(frame, det["bbox"])
-            if crop is None or min(crop.shape[:2]) < self.min_crop_size:
-                with self._lock:
-                    self.total_skipped_small += 1
-                continue
-            crop = self._enhance(crop)
-            eligible.append((idx, crop))
+        if self.device_crops and self.enhancer is None:
+            import jax
+            from telescope_cam_detection_tpu.ops.crops import (
+                boxes_with_padding)
+            indices = self._eligible_indices(frame, detections)
+            if not indices:
+                return detections
+            if frame_dev is None:
+                frame_dev = jax.device_put(frame)
+            k = 1
+            from telescope_cam_detection_tpu.pipeline.species import (
+                CROP_BATCH_BUCKETS)
+            for bucket in CROP_BATCH_BUCKETS:
+                if len(indices) <= bucket:
+                    k = bucket
+                    break
+            else:
+                k = CROP_BATCH_BUCKETS[-1]
+                indices = indices[:k]
+            boxes = boxes_with_padding(
+                frame.shape[:2], [detections[i]["bbox"] for i in indices],
+                [0] * len(indices), self.crop_padding_percent, k)
+            results = self.species_classifier.classify_boxes_device(
+                frame_dev[None] if frame_dev.ndim == 3 else frame_dev,
+                boxes, n_valid=len(indices), top_k=5)
+            eligible = [(i, None) for i in indices]
+        else:
+            eligible = []
+            for idx, det in enumerate(detections):
+                if det.get("class_id") not in self.classify_classes:
+                    continue
+                crop = self.extract_crop(frame, det["bbox"])
+                if crop is None or min(crop.shape[:2]) < self.min_crop_size:
+                    with self._lock:
+                        self.total_skipped_small += 1
+                    continue
+                crop = self._enhance(crop)
+                eligible.append((idx, crop))
 
-        if not eligible:
-            return detections
+            if not eligible:
+                return detections
 
-        # uniform square resize host-side (cheap), batch on device
-        import cv2
-        size = self.crop_hw
-        batch = np.stack([cv2.resize(c, (size, size)) for _, c in eligible])
-        results = self.species_classifier.classify_batch_uniform(batch, top_k=5)
+            # uniform square resize host-side (cheap), batch on device
+            import cv2
+            size = self.crop_hw
+            batch = np.stack([cv2.resize(c, (size, size))
+                              for _, c in eligible])
+            results = self.species_classifier.classify_batch_uniform(
+                batch, top_k=5)
 
         for (idx, _), preds in zip(eligible, results):
             det = detections[idx]

@@ -332,7 +332,8 @@ class TelescopeDetectionSystem:
                 crop_padding_percent=pre.get("crop_padding_percent", 20),
                 min_crop_size=pre.get("min_crop_size", 64),
                 confidence_threshold=(cfg.get("species_classification", {})
-                                      or {}).get("confidence_threshold", 0.3))
+                                      or {}).get("confidence_threshold", 0.3),
+                device_crops=sc.get("device_crops", False))
 
         engine = InferenceEngine(
             frame_q, infer_q, camera_id=cam_id,
