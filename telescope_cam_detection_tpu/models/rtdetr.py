@@ -292,6 +292,10 @@ class MSDeformAttn(nn.Module):
     points: int = N_POINTS
     levels: int = N_LEVELS
     dtype: Any = jnp.float32
+    # "xla" = take_along_axis gathers; "pallas" = the MXU-formulated kernel
+    # (ops/pallas_deform.py) that builds blockwise weighted-one-hot matrices
+    # in VMEM instead of gathering.
+    sampling_impl: str = "xla"
 
     @nn.compact
     def __call__(self, query, reference_points, value_levels):
@@ -316,7 +320,12 @@ class MSDeformAttn(nn.Module):
         center = reference_points[:, :, None, None, None, :2]
         wh = reference_points[:, :, None, None, None, 2:]
         locs = center + off / self.points * wh * 0.5
-        out = ms_deformable_attention(values, locs, w)
+        if self.sampling_impl == "pallas":
+            from telescope_cam_detection_tpu.ops.pallas_deform import (
+                ms_deformable_attention_pallas)
+            out = ms_deformable_attention_pallas(values, locs, w)
+        else:
+            out = ms_deformable_attention(values, locs, w)
         return nn.Dense(self.dim, dtype=self.dtype,
                         name="output_proj")(out.reshape(b, q, self.dim))
 
@@ -326,6 +335,7 @@ class DecoderLayer(nn.Module):
     heads: int = N_HEADS
     ffn: int = 1024
     dtype: Any = jnp.float32
+    sampling_impl: str = "xla"
 
     @nn.compact
     def __call__(self, query, query_pos, reference_points, value_levels):
@@ -344,6 +354,7 @@ class DecoderLayer(nn.Module):
         query = nn.LayerNorm(dtype=jnp.float32, name="norm1")(query + sa)
         # cross (deformable) attention
         ca = MSDeformAttn(self.dim, self.heads, dtype=self.dtype,
+                          sampling_impl=self.sampling_impl,
                           name="cross_attn")(query + query_pos,
                                              reference_points, value_levels)
         query = nn.LayerNorm(dtype=jnp.float32, name="norm2")(query + ca)
@@ -380,6 +391,7 @@ class RTDETR(nn.Module):
     decoder_layers: int = 3
     num_queries: int = NUM_QUERIES
     dtype: Any = jnp.float32
+    sampling_impl: str = "xla"   # "xla" | "pallas" (deformable attention)
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False):
@@ -427,7 +439,8 @@ class RTDETR(nn.Module):
         boxes = ref_boxes
         for i in range(self.decoder_layers):
             query_pos = pos_head(boxes.astype(dt))
-            query = DecoderLayer(dtype=dt, name=f"decoder{i}")(
+            query = DecoderLayer(dtype=dt, sampling_impl=self.sampling_impl,
+                                 name=f"decoder{i}")(
                 query, query_pos, boxes, levels)
             delta = MLP(HIDDEN, 4, dtype=dt, name=f"bbox_head{i}")(query)
             boxes = jax.nn.sigmoid(delta + _inverse_sigmoid(boxes))

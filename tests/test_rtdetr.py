@@ -115,6 +115,7 @@ def test_rtdetr_detector_program_end_to_end():
     from telescope_cam_detection_tpu.utils.jaxconfig import configure_jax
     configure_jax()
     prog.spec = spec
+    prog.mesh = None
     prog.model = RTDETR(num_classes=80, depths=(1, 1, 1, 1),
                         decoder_layers=1, num_queries=30)
     prog.variables = prog.model.init(
