@@ -10,7 +10,7 @@ encoder top-k query selection) -> NMS-free top-k postprocess.
 
 TPU-first: NHWC; multi-scale deformable attention is expressed as batched
 bilinear gathers (XLA lowers to fused dynamic-gathers; a Pallas variant lives
-in ops/deformable.py); all shapes static per compiled resolution.
+in ops/pallas_deform.py); all shapes static per compiled resolution.
 """
 from __future__ import annotations
 
@@ -239,6 +239,18 @@ class HybridEncoder(nn.Module):
 # Multi-scale deformable attention (gather-based bilinear sampling)
 # ---------------------------------------------------------------------------
 
+def bilinear_corner_fractions(loc: jnp.ndarray, h: int, w: int):
+    """Shared sampling convention for BOTH deformable-attention
+    implementations (this XLA path and ops/pallas_deform.py): half-pixel
+    centers, border clamp applied by callers. loc (..., 2) normalized xy ->
+    (x0, y0, fx, fy) with x0/y0 the floor corners (float)."""
+    x = loc[..., 0] * w - 0.5
+    y = loc[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    return x0, y0, x - x0, y - y0
+
+
 def ms_deformable_attention(
     values: Sequence[jnp.ndarray],       # per level (B, H_l, W_l, heads, hd)
     sampling_locs: jnp.ndarray,          # (B, Q, heads, L, P, 2) normalized xy
@@ -255,12 +267,7 @@ def ms_deformable_attention(
         v = values[lvl]                      # (B, H, W, heads, hd)
         _, h, w, _, hd = v.shape
         loc = sampling_locs[:, :, :, lvl]    # (B, Q, heads, P, 2)
-        x = loc[..., 0] * w - 0.5
-        y = loc[..., 1] * h - 0.5
-        x0 = jnp.floor(x)
-        y0 = jnp.floor(y)
-        fx = x - x0
-        fy = y - y0
+        x0, y0, fx, fy = bilinear_corner_fractions(loc, h, w)
 
         def gather(yy, xx):
             yy = jnp.clip(yy.astype(jnp.int32), 0, h - 1)
@@ -324,8 +331,11 @@ class MSDeformAttn(nn.Module):
             from telescope_cam_detection_tpu.ops.pallas_deform import (
                 ms_deformable_attention_pallas)
             out = ms_deformable_attention_pallas(values, locs, w)
-        else:
+        elif self.sampling_impl == "xla":
             out = ms_deformable_attention(values, locs, w)
+        else:
+            raise ValueError(f"unknown sampling_impl "
+                             f"{self.sampling_impl!r} (xla | pallas)")
         return nn.Dense(self.dim, dtype=self.dtype,
                         name="output_proj")(out.reshape(b, q, self.dim))
 
@@ -471,20 +481,21 @@ class RTDETR(nn.Module):
 
 
 def build_rtdetr(name: str = "rtdetrv2-r18vd", num_classes: int = 80,
-                 dtype=jnp.float32) -> RTDETR:
+                 dtype=jnp.float32, sampling_impl: str = "xla") -> RTDETR:
     if name not in RTDETR_VARIANTS:
         raise ValueError(f"unknown RT-DETR variant {name!r}; valid: "
                          f"{sorted(RTDETR_VARIANTS)}")
     depths, dec_layers = RTDETR_VARIANTS[name]
     return RTDETR(num_classes=num_classes, depths=depths,
                   bottleneck=name.endswith(("r50vd", "r101vd")),
-                  decoder_layers=dec_layers, dtype=dtype)
+                  decoder_layers=dec_layers, dtype=dtype,
+                  sampling_impl=sampling_impl)
 
 
 def init_rtdetr(name: str = "rtdetrv2-r18vd", num_classes: int = 80,
                 input_hw: Tuple[int, int] = (640, 640), seed: int = 0,
-                dtype=jnp.float32):
-    model = build_rtdetr(name, num_classes, dtype)
+                dtype=jnp.float32, sampling_impl: str = "xla"):
+    model = build_rtdetr(name, num_classes, dtype, sampling_impl)
     dummy = jnp.zeros((1, *input_hw, 3), dtype)
     variables = model.init(jax.random.PRNGKey(seed), dummy, train=False)
     return model, variables

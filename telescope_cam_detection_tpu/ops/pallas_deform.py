@@ -111,18 +111,26 @@ def ms_deformable_attention_pallas(
     on non-TPU backends (so the model flag works under CPU tests)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    from telescope_cam_detection_tpu.models.rtdetr import (
+        bilinear_corner_fractions, ms_deformable_attention)
     b, q, heads, n_levels, n_points, _ = sampling_locs.shape
     out = None
     for lvl in range(n_levels):
         v = values[lvl]
         _, h, w, _, hd = v.shape
+        # VMEM guard: the kernel keeps the whole (hw_pad, hd) level slab
+        # resident (lane-padded to 128). Levels too big for VMEM fall back
+        # to the XLA gather path — e.g. the /8 level of a 1280x1280 input.
+        hw_pad = _round_up(h * w, HW_TILE)
+        slab_bytes = hw_pad * max(hd, 128) * 4
+        if slab_bytes > 6 * 1024 * 1024:
+            lvl_out = ms_deformable_attention(
+                [v], sampling_locs[:, :, :, lvl:lvl + 1],
+                attn_weights[:, :, :, lvl:lvl + 1])
+            out = lvl_out if out is None else out + lvl_out
+            continue
         loc = sampling_locs[:, :, :, lvl]            # (B, Q, heads, P, 2)
-        x = loc[..., 0] * w - 0.5
-        y = loc[..., 1] * h - 0.5
-        x0 = jnp.floor(x)
-        y0 = jnp.floor(y)
-        fx = x - x0
-        fy = y - y0
+        x0, y0, fx, fy = bilinear_corner_fractions(loc, h, w)
         aw = attn_weights[:, :, :, lvl]              # (B, Q, heads, P)
 
         corner_idx = []

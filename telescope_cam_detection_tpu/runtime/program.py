@@ -63,6 +63,9 @@ class ProgramSpec:
     # "yuv420" additionally packs to 4:2:0 on host (2x fewer bytes again,
     # slight chroma loss — opt-in, breaks bit-parity with the reference).
     transfer: str = "auto"                # "auto" | "device" | "host" | "yuv420"
+    # RT-DETR deformable-attention sampling: "xla" gathers or the "pallas"
+    # MXU kernel (ops/pallas_deform.py). Ignored for yolox.
+    sampling_impl: str = "xla"
 
 
 @dataclasses.dataclass
@@ -155,13 +158,14 @@ class DetectorProgram:
                     dtype=param_dtype)
         elif spec.detector_type == "rtdetr":
             from telescope_cam_detection_tpu.models import rtdetr as rtdetr_lib
-            self.model = rtdetr_lib.build_rtdetr(spec.variant, spec.num_classes,
-                                                 dtype=param_dtype)
+            self.model = rtdetr_lib.build_rtdetr(
+                spec.variant, spec.num_classes, dtype=param_dtype,
+                sampling_impl=spec.sampling_impl)
             if variables is None:
                 logger.warning("DetectorProgram: random-init weights (no checkpoint)")
                 _, variables = rtdetr_lib.init_rtdetr(
                     spec.variant, spec.num_classes, spec.input_hw, seed,
-                    dtype=param_dtype)
+                    dtype=param_dtype, sampling_impl=spec.sampling_impl)
         else:
             raise ValueError(f"unknown detector_type {spec.detector_type!r}")
         self.variables = variables

@@ -143,6 +143,8 @@ class TelescopeDetectionSystem:
             input_hw=(int(input_size[0]), int(input_size[1])),
             nms_threshold=detection.get("nms_threshold", 0.45),
             max_det=detection.get("max_detections", 300),
+            transfer=detection.get("transfer", "auto"),
+            sampling_impl=model_cfg.get("sampling_impl", "xla"),
         )
         import jax.numpy as jnp
         precision = detection.get("precision", "fp32")
