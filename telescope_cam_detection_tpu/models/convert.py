@@ -221,6 +221,14 @@ def load_variables(path: str, reference_variables: Optional[Any] = None) -> Opti
             logger.warning("torch checkpoint needs reference variables for "
                            "structure; skipping %s", path)
             return None
-        return convert_yolox_from_torch(state, reference_variables)
+        try:
+            return convert_yolox_from_torch(state, reference_variables)
+        except (KeyError, ValueError) as e:
+            # only the Megvii YOLOX layout has a converter today; RT-DETR /
+            # EVA02 .pth checkpoints must not crash startup (convert them
+            # offline to .msgpack via scripts/setup_model.py analogues)
+            logger.warning("torch checkpoint %s is not convertible (%s); "
+                           "continuing without it", path, e)
+            return None
     logger.warning("unknown checkpoint format: %s", path)
     return None

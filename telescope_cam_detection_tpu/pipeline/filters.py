@@ -154,11 +154,18 @@ class MotionFilter:
         with jax.default_device(self._device):
             ratios = np.asarray(
                 motion_ops.bbox_motion_ratios(jnp.asarray(mask), boxes))
+        areas = np.clip(boxes[:, 2] - boxes[:, 0], 0, None) * \
+            np.clip(boxes[:, 3] - boxes[:, 1], 0, None)
         out = []
         with self._lock:
             self.total_processed += len(detections)
-        for det, ratio in zip(detections, ratios):
-            if ratio >= self.min_motion_ratio:
+        for det, ratio, area in zip(detections, ratios, areas):
+            motion_pixels = float(ratio) * float(area)
+            # both gates, like the reference: enough relative motion AND an
+            # absolute motion area (min_motion_area px^2, capped by the box
+            # size so small-but-fully-moving animals still pass)
+            area_gate = min(self.min_motion_area, 0.5 * float(area))
+            if ratio >= self.min_motion_ratio and motion_pixels >= area_gate:
                 det["motion_ratio"] = float(ratio)
                 out.append(det)
             else:

@@ -143,6 +143,12 @@ class TimeOfDayFilter:
                 with self._lock:
                     self.filtered_count += 1
                 continue
+            if det.get("time_of_day_penalty"):
+                # already penalized: the sparse-keyframe gate re-delivers the
+                # SAME dicts on non-keyframes; applying the multiplier again
+                # would decay confidence exponentially between keyframes
+                out.append(det)
+                continue
             original = det.get("confidence", 0.0)
             det["confidence"] = original * self.confidence_penalty
             det["time_of_day_penalty"] = True

@@ -139,7 +139,9 @@ class TwoStageDetectionPipeline:
             return crop
         key = EnhancementCache.crop_key(crop)
         cached = self.cache.get(key)
-        if cached is not None and cached.shape == crop.shape:
+        # no shape comparison: enhancement may upscale (Real-ESRGAN 4x), so
+        # the cached output legitimately differs in shape from the input
+        if cached is not None:
             return cached
         enhanced = self.enhancer.enhance(crop)
         self.cache.put(key, enhanced)

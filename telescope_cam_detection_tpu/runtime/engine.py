@@ -28,6 +28,7 @@ from typing import Any, Dict, List, Optional
 import numpy as np
 
 from telescope_cam_detection_tpu import constants as C
+from telescope_cam_detection_tpu.coco_constants import WILDLIFE_CLASSES
 from telescope_cam_detection_tpu.runtime.program import rows_to_detections
 from telescope_cam_detection_tpu.utils.bbox import ensure_valid_bbox
 
@@ -168,6 +169,8 @@ class InferenceEngine:
         out = []
         for det in detections:
             det["bbox"] = ensure_valid_bbox(det["bbox"])
+            if s["wildlife_only"] and det.get("class_id") not in WILDLIFE_CLASSES:
+                continue
             thr = overrides.get(det["class_name"], s["conf_threshold"])
             if det["confidence"] < thr:
                 continue

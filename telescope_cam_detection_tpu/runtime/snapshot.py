@@ -109,6 +109,8 @@ class SnapshotSaver:
         with self._buffer_lock:
             ring = self._buffers.get(camera_id)
             if ring is None or ring.maxlen != maxlen:
+                if ring is not None:  # settings changed: release old bytes
+                    self._buffer_bytes -= sum(len(d) for _, d in ring)
                 ring = deque(maxlen=maxlen)
                 self._buffers[camera_id] = ring
             if len(ring) == ring.maxlen and ring:

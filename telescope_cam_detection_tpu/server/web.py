@@ -49,6 +49,21 @@ logger = logging.getLogger(__name__)
 WEB_ROOT = Path(__file__).resolve().parent.parent.parent / "web"
 
 
+class _WSClient:
+    """A WebSocket client's buffered writer + lock: the detection pump
+    (broadcast) and the handler thread (pong replies) both write the socket,
+    and interleaved partial writes would corrupt RFC 6455 framing."""
+
+    def __init__(self, wfile):
+        self.wfile = wfile
+        self.lock = threading.Lock()
+
+    def send(self, frame: bytes) -> None:
+        with self.lock:
+            self.wfile.write(frame)
+            self.wfile.flush()
+
+
 def _percentile_alerts(depth: int, maxsize: int, warning: float,
                        critical: float, name: str) -> List[Dict[str, Any]]:
     if maxsize <= 0:
@@ -161,9 +176,9 @@ class WebServer:
             self._httpd.server_close()
             self._httpd = None
         with self._ws_lock:
-            for wfile in list(self._ws_clients):
+            for client in list(self._ws_clients):
                 try:
-                    wfile.write(wsproto.encode_close())
+                    client.send(wsproto.encode_close())
                 except Exception:
                     pass
             self._ws_clients.clear()
@@ -195,9 +210,11 @@ class WebServer:
                     self.latest_detections[cam] = result
                 if result.get("total_detections", 0) > 0:
                     self._broadcast(self._detection_message(result))
-                    continue
+            # timers run every iteration — a busy camera must not starve
+            # the 5s status updates (dashboard offline badges) or heartbeats
             if now - last_status >= C.WEBSOCKET_STATUS_INTERVAL_SECONDS:
                 last_status = now
+                last_heartbeat = now  # status doubles as a heartbeat
                 self._broadcast({"type": "status",
                                  "timestamp": now,
                                  "cameras": self._camera_statuses()})
@@ -222,12 +239,11 @@ class WebServer:
             logger.exception("unserializable WS message")
             return
         dead = []
-        for wfile in clients:
+        for client in clients:
             try:
-                wfile.write(frame)
-                wfile.flush()
+                client.send(frame)
             except (OSError, ValueError):
-                dead.append(wfile)
+                dead.append(client)
         if dead:
             with self._ws_lock:
                 for d in dead:
@@ -564,9 +580,9 @@ class _Handler(BaseHTTPRequestHandler):
                 or not key):
             return self._error(400, "expected websocket upgrade")
         self.connection.sendall(wsproto.handshake_response(key))
-        wfile = self.connection.makefile("wb")
+        client = _WSClient(self.connection.makefile("wb"))
         with self.web._ws_lock:
-            self.web._ws_clients.append(wfile)
+            self.web._ws_clients.append(client)
         logger.info("WS client connected (%d total)",
                     len(self.web._ws_clients))
         reader = wsproto.FrameReader(self.connection.makefile("rb"))
@@ -579,13 +595,12 @@ class _Handler(BaseHTTPRequestHandler):
                 if opcode == wsproto.OP_CLOSE:
                     break
                 if opcode == wsproto.OP_PING:
-                    wfile.write(wsproto.encode_pong(payload))
-                    wfile.flush()
+                    client.send(wsproto.encode_pong(payload))
                 # inbound text messages are ignored (server-push protocol)
         except (OSError, ValueError):
             pass
         finally:
             with self.web._ws_lock:
-                if wfile in self.web._ws_clients:
-                    self.web._ws_clients.remove(wfile)
+                if client in self.web._ws_clients:
+                    self.web._ws_clients.remove(client)
             self.close_connection = True

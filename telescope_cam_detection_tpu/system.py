@@ -158,6 +158,8 @@ class TelescopeDetectionSystem:
             logger.info("sharding inference over %d devices", mesh_devices)
         self.program = DetectorProgram(spec, param_dtype=param_dtype,
                                        mesh=mesh)
+        self.program.update_filters(
+            self._compute_filter_floor(detection, cfg.get("cameras") or []))
         weights = model_cfg.get("weights")
         if self.load_weights and weights:
             from telescope_cam_detection_tpu.models.convert import (
@@ -167,13 +169,6 @@ class TelescopeDetectionSystem:
             if loaded is not None:
                 self.program.variables = loaded
                 logger.info("loaded detector weights from %s", weights)
-        self.program.update_filters(FilterSettings(
-            conf_threshold=detection.get("conf_threshold", 0.25),
-            class_confidence_overrides=detection.get(
-                "class_confidence_overrides") or {},
-            min_box_area=detection.get("min_box_area", 0),
-            wildlife_only=detection.get("wildlife_only", True)))
-
         # memory + coordinator
         self.memory_manager = MemoryManager()
         batching = detection.get("batching", {}) or {}
@@ -274,6 +269,38 @@ class TelescopeDetectionSystem:
             clips_dir=(cfg.get("snapshots", {}) or {}).get("output_dir",
                                                            "clips"),
             queue_health=(perf.get("queue_health") or {}))
+
+    @staticmethod
+    def _compute_filter_floor(detection: Dict[str, Any],
+                              cameras: List[Dict[str, Any]]) -> FilterSettings:
+        """The shared device program's filters must be the LOOSEST (minimum)
+        thresholds across all cameras — per-camera tightening happens in each
+        engine's host-side refinement. Otherwise a camera with a lower
+        override than the global value would silently lose detections the
+        reference reports."""
+        merged_configs = [merge_camera_detection_config(detection, cam)
+                          for cam in cameras
+                          if cam.get("enabled", True)] or [detection]
+        conf = min(m.get("conf_threshold", 0.25) for m in merged_configs)
+        min_area = min(m.get("min_box_area", 0) for m in merged_configs)
+        # per-class floor: for each class named anywhere, the min across
+        # cameras of that camera's effective threshold for the class (its
+        # override if set, else its base conf)
+        named = {cls for m in merged_configs
+                 for cls in (m.get("class_confidence_overrides") or {})}
+        class_floor: Dict[str, float] = {}
+        for cls in named:
+            class_floor[cls] = min(
+                (m.get("class_confidence_overrides") or {}).get(
+                    cls, m.get("conf_threshold", 0.25))
+                for m in merged_configs)
+        # the device wildlife mask applies only if EVERY camera wants it
+        wildlife = all(m.get("wildlife_only", True) for m in merged_configs)
+        return FilterSettings(
+            conf_threshold=conf,
+            class_confidence_overrides=class_floor,
+            min_box_area=min_area,
+            wildlife_only=wildlife)
 
     @staticmethod
     def _classifier_variant(model_name: str) -> str:
@@ -493,15 +520,12 @@ class TelescopeDetectionSystem:
                         "class_confidence_overrides") or {},
                     "min_box_area": merged.get("min_box_area", 0),
                     "max_detections": merged.get("max_detections", 100),
+                    "wildlife_only": merged.get("wildlife_only", True),
                 })
                 result["reloaded"] += [f"{cam['id']}.{u}" for u in updated]
             if self.program is not None:
-                self.program.update_filters(FilterSettings(
-                    conf_threshold=detection.get("conf_threshold", 0.25),
-                    class_confidence_overrides=detection.get(
-                        "class_confidence_overrides") or {},
-                    min_box_area=detection.get("min_box_area", 0),
-                    wildlife_only=detection.get("wildlife_only", True)))
+                self.program.update_filters(self._compute_filter_floor(
+                    detection, new_cfg.get("cameras") or []))
 
             if self.snapshot_saver is not None:
                 updated = self.snapshot_saver.update_settings(

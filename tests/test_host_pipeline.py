@@ -258,3 +258,48 @@ def test_full_pipeline_capture_to_detection(program):
     assert result["camera_id"] == "full"
     assert "total_latency_ms" in result
     assert isinstance(result["detections"], list)
+
+
+def test_engine_wildlife_only_per_camera(program):
+    """Per-camera wildlife_only must filter non-wildlife classes host-side
+    (regression: the setting was stored but never enforced)."""
+    from telescope_cam_detection_tpu.runtime.engine import InferenceEngine
+    engine = InferenceEngine(queue.Queue(1), queue.Queue(1), program=program,
+                             detection_config={"conf_threshold": 0.0,
+                                               "wildlife_only": True,
+                                               "min_box_area": 0})
+    dets = [
+        {"class_id": 15, "class_name": "cat", "confidence": 0.9,
+         "bbox": {"x1": 0, "y1": 0, "x2": 10, "y2": 10}},
+        {"class_id": 2, "class_name": "car", "confidence": 0.9,
+         "bbox": {"x1": 0, "y1": 0, "x2": 10, "y2": 10}},
+    ]
+    out = engine._apply_camera_filters(dets)
+    assert [d["class_name"] for d in out] == ["cat"]
+    engine.update_settings({"wildlife_only": False})
+    out = engine._apply_camera_filters([dict(d) for d in dets])
+    assert len(out) == 2
+
+
+def test_system_filter_floor():
+    """Shared device filters must take the loosest per-camera thresholds."""
+    from telescope_cam_detection_tpu.system import TelescopeDetectionSystem
+    detection = {"conf_threshold": 0.5, "min_box_area": 100,
+                 "wildlife_only": True,
+                 "class_confidence_overrides": {"person": 0.9}}
+    cameras = [
+        {"id": "a", "enabled": True,
+         "detection_overrides": {"conf_threshold": 0.2,
+                                 "class_confidence_overrides": {"bird": 0.4}}},
+        {"id": "b", "enabled": True,
+         "detection_overrides": {"min_box_area": 10, "wildlife_only": False}},
+    ]
+    floor = TelescopeDetectionSystem._compute_filter_floor(detection, cameras)
+    assert floor.conf_threshold == 0.2
+    assert floor.min_box_area == 10
+    assert floor.wildlife_only is False          # one camera wants all classes
+    # person: the global 0.9 override merges into every camera -> floor 0.9
+    assert floor.class_confidence_overrides["person"] == 0.9
+    # bird: cam a overrides 0.4; cam b has no bird override so its base 0.5
+    # applies -> floor 0.4
+    assert floor.class_confidence_overrides["bird"] == 0.4

@@ -116,3 +116,25 @@ def test_motion_filter_hot_reload():
     out = filt.filter_detections(np.zeros((8, 8, 3), np.uint8),
                                  [{"bbox": {"x1": 0, "y1": 0, "x2": 4, "y2": 4}}])
     assert len(out) == 1
+
+
+def test_motion_filter_min_motion_area_gate():
+    """min_motion_area must reject boxes whose absolute motion area is tiny
+    even when the ratio passes (regression: knob was ignored)."""
+    filt = MotionFilter(history=10, motion_blur_size=5, min_motion_ratio=0.05,
+                        min_motion_area=400)
+    bg = np.full((64, 64, 3), 90, np.uint8)
+    for _ in range(15):
+        filt.filter_detections(bg, [])
+    moved = bg.copy()
+    moved[10:14, 10:14] = 240  # 16px of motion
+    small_det = {"class_name": "bird",
+                 "bbox": {"x1": 8, "y1": 8, "x2": 16, "y2": 16}}  # 64px box
+    out = filt.filter_detections(moved, [dict(small_det)])
+    # ratio ~0.25 passes, but motion pixels (~16) < min(400, 32) -> filtered
+    assert out == []
+    # a fully-moving small box passes via the box-size cap
+    moved2 = bg.copy()
+    moved2[8:16, 8:16] = 240
+    out = filt.filter_detections(moved2, [dict(small_det)])
+    assert len(out) == 1

@@ -161,3 +161,23 @@ def test_rrdbnet_shapes():
     variables = model.init(jax.random.PRNGKey(0), x)
     y = model.apply(variables, x)
     assert y.shape == (1, 64, 64, 3)
+
+
+def test_enhancement_cache_hits_on_upscaled_output():
+    """Real-ESRGAN outputs 4x the input shape; the cache must still hit
+    (regression: shape guard forced 0% hit rate)."""
+
+    class FakeUpscaler:
+        calls = 0
+
+        def enhance(self, crop):
+            FakeUpscaler.calls += 1
+            return np.repeat(np.repeat(crop, 4, 0), 4, 1)
+
+    pipe = TwoStageDetectionPipeline(enhancer=FakeUpscaler())
+    crop = np.random.default_rng(0).integers(0, 256, (32, 32, 3), np.uint8)
+    out1 = pipe._enhance(crop)
+    out2 = pipe._enhance(crop)
+    assert FakeUpscaler.calls == 1          # second call was a cache hit
+    assert out1.shape == (128, 128, 3)
+    assert np.array_equal(out1, out2)

@@ -82,3 +82,16 @@ def test_disabled_passthrough_and_hot_reload():
     assert set(updated) == {"enabled", "confidence_penalty"}
     out = filt.filter_detections([_bird()], datetime(2026, 6, 1, 23, 0))
     assert out[0]["confidence"] == pytest.approx(0.4)
+
+
+def test_penalty_idempotent_for_reused_dicts():
+    """The sparse-keyframe gate re-delivers the SAME detection dicts; the
+    penalty must not compound (regression)."""
+    filt = TimeOfDayFilter(confidence_penalty=0.3)
+    det = {"class_name": "bird", "confidence": 0.8}
+    at_night = datetime(2026, 6, 1, 23, 0)
+    out1 = filt.filter_detections([det], at_night)
+    assert out1[0]["confidence"] == pytest.approx(0.24)
+    out2 = filt.filter_detections(out1, at_night)  # same dicts again
+    assert out2[0]["confidence"] == pytest.approx(0.24)  # not 0.072
+    assert out2[0]["original_confidence"] == pytest.approx(0.8)
