@@ -27,8 +27,10 @@ def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     capture_hw = (1440, 2560)
     input_hw = (640, 640)
+    # the device link's throughput fluctuates heavily run-to-run (shared
+    # relay); longer runs average the congestion windows
     warmup = int(os.environ.get("BENCH_WARMUP", "5"))
-    iters = int(os.environ.get("BENCH_ITERS", "40"))
+    iters = int(os.environ.get("BENCH_ITERS", "60"))
     pipeline_depth = int(os.environ.get("BENCH_PIPELINE", "2"))
 
     # yuv420: host packs 4:2:0 (2x fewer link bytes); measured 42.7 -> 64.1
