@@ -161,10 +161,12 @@ def convert_yolox_from_torch(state_dict: Dict[str, Any],
     """
     converted: Dict[str, Dict] = {}
     missing = []
+    total = 0
     for collection in ("params", "batch_stats"):
         flat_ref = _flatten(reference_variables.get(collection, {}))
         flat_new = {}
         for path, ref_leaf in flat_ref.items():
+            total += 1
             name = flax_path_to_torch_name(collection, path)
             if name not in state_dict:
                 missing.append(name)
@@ -176,6 +178,13 @@ def convert_yolox_from_torch(state_dict: Dict[str, Any],
             flat_new[path] = _from_torch_value(
                 path[-1], np.asarray(value), np.shape(ref_leaf))
         converted[collection] = _unflatten(flat_new)
+    if total and len(missing) > total // 2:
+        # almost nothing matched: this is not a Megvii YOLOX checkpoint.
+        # Returning the reference tree here would silently serve random
+        # weights while claiming a successful load.
+        raise ValueError(
+            f"checkpoint matches only {total - len(missing)}/{total} model "
+            f"tensors — not a compatible YOLOX state dict")
     if missing:
         logger.warning("checkpoint missing %d tensors (kept random init for "
                        "them); first: %s", len(missing), missing[:5])
@@ -214,16 +223,18 @@ def load_variables(path: str, reference_variables: Optional[Any] = None) -> Opti
         flat = dict(np.load(p, allow_pickle=False))
         return _unflatten({tuple(k.split("/")): v for k, v in flat.items()})
     if suffix in (".pth", ".pt"):
-        import torch
-        ckpt = torch.load(str(p), map_location="cpu", weights_only=True)
-        state = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
         if reference_variables is None:
             logger.warning("torch checkpoint needs reference variables for "
                            "structure; skipping %s", path)
             return None
         try:
+            import torch
+            # weights_only load can itself raise (pickled training objects
+            # in non-YOLOX checkpoints) — that must not crash startup either
+            ckpt = torch.load(str(p), map_location="cpu", weights_only=True)
+            state = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
             return convert_yolox_from_torch(state, reference_variables)
-        except (KeyError, ValueError) as e:
+        except Exception as e:  # any load/convert failure degrades gracefully
             # only the Megvii YOLOX layout has a converter today; RT-DETR /
             # EVA02 .pth checkpoints must not crash startup (convert them
             # offline to .msgpack via scripts/setup_model.py analogues)

@@ -96,8 +96,15 @@ class MotionFilter:
     def __init__(self, enabled: bool = True, history: int = 500,
                  var_threshold: float = 16.0, detect_shadows: bool = True,
                  min_motion_area: int = 100, motion_blur_size: int = 21,
-                 min_motion_ratio: float = 0.1, device: str = "cpu"):
+                 min_motion_ratio: float = 0.05, min_motion_pixels: int = 10,
+                 device: str = "cpu"):
+        # Gate semantics match the reference exactly (motion_filter.py:125):
+        # keep a detection when motion_pixels >= min_motion_pixels (fixed
+        # absolute floor, default 10) AND motion_ratio > min_motion_ratio.
+        # min_motion_area is accepted/stored/hot-reloadable like the
+        # reference but does NOT gate per-bbox decisions there either.
         self._device = _gate_device(device)
+        self.min_motion_pixels = int(min_motion_pixels)
         self.enabled = enabled
         self.history = int(history)
         self.var_threshold = float(var_threshold)
@@ -130,13 +137,29 @@ class MotionFilter:
             return np.asarray(motion_ops.motion_mask_postprocess(
                 fg, blur_size=self.motion_blur_size))
 
+    def _clipped_area(self, bbox_xyxy: np.ndarray, hw) -> np.ndarray:
+        """Box areas clipped to the frame — the same normalization the
+        integral-image ratio kernel uses."""
+        h, w = hw
+        x1 = np.clip(bbox_xyxy[:, 0], 0, w)
+        y1 = np.clip(bbox_xyxy[:, 1], 0, h)
+        x2 = np.clip(bbox_xyxy[:, 2], 0, w)
+        y2 = np.clip(bbox_xyxy[:, 3], 0, h)
+        return np.maximum(x2 - x1, 0) * np.maximum(y2 - y1, 0)
+
+    def _passes(self, ratio: float, area: float) -> bool:
+        motion_pixels = ratio * area
+        return (motion_pixels >= self.min_motion_pixels
+                and ratio > self.min_motion_ratio)
+
     def has_motion_in_bbox(self, mask: np.ndarray, bbox: Dict[str, float]) -> bool:
         boxes = np.asarray([[bbox["x1"], bbox["y1"], bbox["x2"], bbox["y2"]]],
                            np.float32)
         with jax.default_device(self._device):
             ratio = float(np.asarray(
                 motion_ops.bbox_motion_ratios(jnp.asarray(mask), boxes))[0])
-        return ratio >= self.min_motion_ratio
+        area = float(self._clipped_area(boxes, mask.shape)[0])
+        return self._passes(ratio, area)
 
     def filter_detections(
         self, frame: np.ndarray, detections: List[Dict[str, Any]]
@@ -154,18 +177,12 @@ class MotionFilter:
         with jax.default_device(self._device):
             ratios = np.asarray(
                 motion_ops.bbox_motion_ratios(jnp.asarray(mask), boxes))
-        areas = np.clip(boxes[:, 2] - boxes[:, 0], 0, None) * \
-            np.clip(boxes[:, 3] - boxes[:, 1], 0, None)
+        areas = self._clipped_area(boxes, mask.shape)
         out = []
         with self._lock:
             self.total_processed += len(detections)
         for det, ratio, area in zip(detections, ratios, areas):
-            motion_pixels = float(ratio) * float(area)
-            # both gates, like the reference: enough relative motion AND an
-            # absolute motion area (min_motion_area px^2, capped by the box
-            # size so small-but-fully-moving animals still pass)
-            area_gate = min(self.min_motion_area, 0.5 * float(area))
-            if ratio >= self.min_motion_ratio and motion_pixels >= area_gate:
+            if self._passes(float(ratio), float(area)):
                 det["motion_ratio"] = float(ratio)
                 out.append(det)
             else:
@@ -179,7 +196,8 @@ class MotionFilter:
         updated = []
         with self._lock:
             for key in ("enabled", "history", "var_threshold", "detect_shadows",
-                        "min_motion_area", "motion_blur_size", "min_motion_ratio"):
+                        "min_motion_area", "motion_blur_size",
+                        "min_motion_ratio", "min_motion_pixels"):
                 if key in config and getattr(self, key) != config[key]:
                     setattr(self, key, config[key])
                     updated.append(key)

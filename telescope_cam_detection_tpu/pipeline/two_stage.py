@@ -51,7 +51,10 @@ class EnhancementCache:
         ys = np.linspace(0, h - 1, 8).astype(int)
         xs = np.linspace(0, w - 1, 8).astype(int)
         thumb = crop[np.ix_(ys, xs)].mean(axis=-1).astype(np.uint8)
-        return hashlib.md5(thumb.tobytes()).hexdigest()
+        # shape is part of the key: different-sized crops must never share
+        # an entry (the cached value may be an upscaled enhancement output)
+        return hashlib.md5(f"{h}x{w}:".encode()
+                           + thumb.tobytes()).hexdigest()
 
     def get(self, key: str) -> Optional[np.ndarray]:
         with self._lock:

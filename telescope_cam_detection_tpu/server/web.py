@@ -63,6 +63,18 @@ class _WSClient:
             self.wfile.write(frame)
             self.wfile.flush()
 
+    def try_send(self, frame: bytes, timeout: float = 1.0) -> bool:
+        """Best-effort send that refuses to hang on a stalled client (a
+        frozen browser can fill its TCP buffer and block writes forever)."""
+        if not self.lock.acquire(timeout=timeout):
+            return False
+        try:
+            self.wfile.write(frame)
+            self.wfile.flush()
+            return True
+        finally:
+            self.lock.release()
+
 
 def _percentile_alerts(depth: int, maxsize: int, warning: float,
                        critical: float, name: str) -> List[Dict[str, Any]]:
@@ -176,12 +188,15 @@ class WebServer:
             self._httpd.server_close()
             self._httpd = None
         with self._ws_lock:
-            for client in list(self._ws_clients):
-                try:
-                    client.send(wsproto.encode_close())
-                except Exception:
-                    pass
+            clients = list(self._ws_clients)
             self._ws_clients.clear()
+        # close frames go out OUTSIDE _ws_lock with a bounded wait, so a
+        # stalled client (full TCP buffer) cannot hang shutdown
+        for client in clients:
+            try:
+                client.try_send(wsproto.encode_close(), timeout=0.5)
+            except Exception:
+                pass
 
     def set_camera_start_time(self, camera_id: str) -> None:
         self.camera_start_times[camera_id] = time.time()
@@ -241,7 +256,8 @@ class WebServer:
         dead = []
         for client in clients:
             try:
-                client.send(frame)
+                if not client.try_send(frame, timeout=2.0):
+                    dead.append(client)  # stalled >2s: drop the client
             except (OSError, ValueError):
                 dead.append(client)
         if dead:

@@ -382,7 +382,9 @@ class TelescopeDetectionSystem:
                 var_threshold=mf_cfg.get("var_threshold", 16),
                 detect_shadows=mf_cfg.get("detect_shadows", True),
                 min_motion_area=mf_cfg.get("min_motion_area", 100),
-                motion_blur_size=mf_cfg.get("motion_blur_size", 21))
+                motion_blur_size=mf_cfg.get("motion_blur_size", 21),
+                min_motion_ratio=mf_cfg.get("min_motion_ratio", 0.05),
+                min_motion_pixels=mf_cfg.get("min_motion_pixels", 10))
             self.motion_filters[cam_id] = motion_filter
 
         tf_cfg = cfg.get("time_of_day_filter", {}) or {}

@@ -118,23 +118,42 @@ def test_motion_filter_hot_reload():
     assert len(out) == 1
 
 
-def test_motion_filter_min_motion_area_gate():
-    """min_motion_area must reject boxes whose absolute motion area is tiny
-    even when the ratio passes (regression: knob was ignored)."""
-    filt = MotionFilter(history=10, motion_blur_size=5, min_motion_ratio=0.05,
-                        min_motion_area=400)
+def test_motion_filter_absolute_pixel_floor():
+    """Reference-parity gates (motion_filter.py:125): motion_pixels >=
+    min_motion_pixels (fixed floor, default 10) AND ratio > min_motion_ratio.
+    A couple of moving pixels must not pass even at a high ratio."""
+    filt = MotionFilter(history=10, motion_blur_size=1, min_motion_ratio=0.05,
+                        min_motion_pixels=10)
     bg = np.full((64, 64, 3), 90, np.uint8)
     for _ in range(15):
         filt.filter_detections(bg, [])
     moved = bg.copy()
-    moved[10:14, 10:14] = 240  # 16px of motion
-    small_det = {"class_name": "bird",
-                 "bbox": {"x1": 8, "y1": 8, "x2": 16, "y2": 16}}  # 64px box
-    out = filt.filter_detections(moved, [dict(small_det)])
-    # ratio ~0.25 passes, but motion pixels (~16) < min(400, 32) -> filtered
+    moved[10:12, 10:12] = 240  # 4 px of motion
+    tiny_box = {"class_name": "bird",
+                "bbox": {"x1": 9, "y1": 9, "x2": 13, "y2": 13}}  # 16px box
+    out = filt.filter_detections(moved, [dict(tiny_box)])
+    # ratio ~0.25 > 0.05 but motion pixels ~4 < 10 -> filtered
     assert out == []
-    # a fully-moving small box passes via the box-size cap
+    # a larger moving region passes both gates
     moved2 = bg.copy()
-    moved2[8:16, 8:16] = 240
-    out = filt.filter_detections(moved2, [dict(small_det)])
+    moved2[8:24, 8:24] = 240
+    big_box = {"class_name": "bird",
+               "bbox": {"x1": 6, "y1": 6, "x2": 26, "y2": 26}}
+    out = filt.filter_detections(moved2, [dict(big_box)])
     assert len(out) == 1
+
+
+def test_motion_filter_boxes_clipped_to_frame():
+    """Boxes extending past frame edges use clipped areas for the absolute
+    gate (regression: unclipped area inflated motion_pixels)."""
+    filt = MotionFilter(history=10, motion_blur_size=1, min_motion_ratio=0.05,
+                        min_motion_pixels=10)
+    bg = np.full((32, 32, 3), 90, np.uint8)
+    for _ in range(15):
+        filt.filter_detections(bg, [])
+    moved = bg.copy()
+    moved[0:16, 0:16] = 240
+    half_out = {"class_name": "cat",
+                "bbox": {"x1": -32, "y1": -32, "x2": 16, "y2": 16}}
+    out = filt.filter_detections(moved, [dict(half_out)])
+    assert len(out) == 1  # clipped area 16x16, fully moving -> passes
