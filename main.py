@@ -44,8 +44,15 @@ def main() -> int:
     system.load_config()
     system.validate_config()
     missing = system.validate_model_files()
+    if missing and not args.no_weights:
+        # configured model files that don't exist are fatal, like the
+        # reference (main.py:348 validate_model_files blocks startup);
+        # --no-weights explicitly opts into random-init smoke runs
+        for msg in missing:
+            logging.getLogger("main").error(msg)
+        return 1
     for msg in missing:
-        logging.getLogger("main").warning("%s (continuing with random init)",
+        logging.getLogger("main").warning("%s (--no-weights: random init)",
                                           msg)
     system.initialize_components()
     try:

@@ -138,14 +138,15 @@ class MotionFilter:
                 fg, blur_size=self.motion_blur_size))
 
     def _clipped_area(self, bbox_xyxy: np.ndarray, hw) -> np.ndarray:
-        """Box areas clipped to the frame — the same normalization the
-        integral-image ratio kernel uses."""
+        """Box areas EXACTLY as the integral-image ratio kernel normalizes
+        them (ops/motion.py bbox_motion_ratios: floor x1/y1, ceil x2/y2,
+        clip to frame) so ratio * area reconstructs true pixel counts."""
         h, w = hw
-        x1 = np.clip(bbox_xyxy[:, 0], 0, w)
-        y1 = np.clip(bbox_xyxy[:, 1], 0, h)
-        x2 = np.clip(bbox_xyxy[:, 2], 0, w)
-        y2 = np.clip(bbox_xyxy[:, 3], 0, h)
-        return np.maximum(x2 - x1, 0) * np.maximum(y2 - y1, 0)
+        x1 = np.clip(bbox_xyxy[:, 0].astype(np.int32), 0, w)
+        y1 = np.clip(bbox_xyxy[:, 1].astype(np.int32), 0, h)
+        x2 = np.clip(np.ceil(bbox_xyxy[:, 2]).astype(np.int32), 0, w)
+        y2 = np.clip(np.ceil(bbox_xyxy[:, 3]).astype(np.int32), 0, h)
+        return np.maximum((x2 - x1) * (y2 - y1), 1).astype(np.float32)
 
     def _passes(self, ratio: float, area: float) -> bool:
         motion_pixels = ratio * area
@@ -193,13 +194,23 @@ class MotionFilter:
     def update_params(self, config: Dict[str, Any]) -> List[str]:
         """Hot-reload (reference motion_filter.py:187-244). Changing history/
         var_threshold keeps the learned background; only shape changes reset."""
+        coerce = {"enabled": bool, "history": int, "var_threshold": float,
+                  "detect_shadows": bool, "min_motion_area": float,
+                  "motion_blur_size": int, "min_motion_ratio": float,
+                  "min_motion_pixels": int}
         updated = []
         with self._lock:
-            for key in ("enabled", "history", "var_threshold", "detect_shadows",
-                        "min_motion_area", "motion_blur_size",
-                        "min_motion_ratio", "min_motion_pixels"):
-                if key in config and getattr(self, key) != config[key]:
-                    setattr(self, key, config[key])
+            for key, typ in coerce.items():
+                if key not in config:
+                    continue
+                try:
+                    value = typ(config[key])
+                except (TypeError, ValueError):
+                    logger.warning("motion_filter.%s: invalid value %r",
+                                   key, config[key])
+                    continue
+                if getattr(self, key) != value:
+                    setattr(self, key, value)
                     updated.append(key)
         return updated
 

@@ -50,30 +50,50 @@ WEB_ROOT = Path(__file__).resolve().parent.parent.parent / "web"
 
 
 class _WSClient:
-    """A WebSocket client's buffered writer + lock: the detection pump
-    (broadcast) and the handler thread (pong replies) both write the socket,
-    and interleaved partial writes would corrupt RFC 6455 framing."""
+    """A WebSocket client's socket + lock. Two hang classes are bounded:
+    lock contention (pump broadcast vs handler pong replies — interleaved
+    partial writes would corrupt RFC 6455 framing) AND the socket write
+    itself (a frozen browser fills its TCP buffer and a blocking write never
+    returns), which the per-connection settimeout covers."""
 
-    def __init__(self, wfile):
-        self.wfile = wfile
+    SOCKET_TIMEOUT = 5.0
+
+    def __init__(self, connection):
+        self.connection = connection
+        connection.settimeout(self.SOCKET_TIMEOUT)
+        self.wfile = connection.makefile("wb")
         self.lock = threading.Lock()
 
     def send(self, frame: bytes) -> None:
+        """Raises socket.timeout (OSError) if the client stalls."""
         with self.lock:
             self.wfile.write(frame)
             self.wfile.flush()
 
     def try_send(self, frame: bytes, timeout: float = 1.0) -> bool:
-        """Best-effort send that refuses to hang on a stalled client (a
-        frozen browser can fill its TCP buffer and block writes forever)."""
+        """Returns False instead of raising/hanging on a stalled client."""
         if not self.lock.acquire(timeout=timeout):
             return False
         try:
             self.wfile.write(frame)
             self.wfile.flush()
             return True
+        except OSError:  # includes socket.timeout
+            return False
         finally:
             self.lock.release()
+
+    def close(self) -> None:
+        """Tear down the connection so the handler thread's blocking read
+        unblocks and the client sees a FIN instead of a dead stream."""
+        try:
+            self.connection.shutdown(socket.SHUT_RDWR)
+        except OSError:
+            pass
+        try:
+            self.connection.close()
+        except OSError:
+            pass
 
 
 def _percentile_alerts(depth: int, maxsize: int, warning: float,
@@ -197,6 +217,7 @@ class WebServer:
                 client.try_send(wsproto.encode_close(), timeout=0.5)
             except Exception:
                 pass
+            client.close()
 
     def set_camera_start_time(self, camera_id: str) -> None:
         self.camera_start_times[camera_id] = time.time()
@@ -257,7 +278,7 @@ class WebServer:
         for client in clients:
             try:
                 if not client.try_send(frame, timeout=2.0):
-                    dead.append(client)  # stalled >2s: drop the client
+                    dead.append(client)  # stalled: drop the client
             except (OSError, ValueError):
                 dead.append(client)
         if dead:
@@ -265,6 +286,8 @@ class WebServer:
                 for d in dead:
                     if d in self._ws_clients:
                         self._ws_clients.remove(d)
+            for d in dead:  # outside the lock: unblock its handler thread
+                d.close()
 
     # ------------------------------------------------------------------ payloads
     def _camera_statuses(self) -> List[Dict[str, Any]]:
@@ -596,7 +619,7 @@ class _Handler(BaseHTTPRequestHandler):
                 or not key):
             return self._error(400, "expected websocket upgrade")
         self.connection.sendall(wsproto.handshake_response(key))
-        client = _WSClient(self.connection.makefile("wb"))
+        client = _WSClient(self.connection)
         with self.web._ws_lock:
             self.web._ws_clients.append(client)
         logger.info("WS client connected (%d total)",
@@ -604,7 +627,16 @@ class _Handler(BaseHTTPRequestHandler):
         reader = wsproto.FrameReader(self.connection.makefile("rb"))
         try:
             while self.web._running.is_set():
-                frame = reader.read_frame()
+                try:
+                    frame = reader.read_frame()
+                except socket.timeout:
+                    # settimeout applies to reads too; an idle (but healthy)
+                    # client simply hasn't pinged — keep waiting unless the
+                    # broadcast path already dropped and closed us
+                    with self.web._ws_lock:
+                        if client not in self.web._ws_clients:
+                            break
+                    continue
                 if frame is None:
                     break
                 opcode, payload = frame

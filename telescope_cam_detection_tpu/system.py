@@ -166,9 +166,16 @@ class TelescopeDetectionSystem:
                 load_variables)
             loaded = load_variables(
                 weights, reference_variables=self.program.variables)
-            if loaded is not None:
-                self.program.variables = loaded
-                logger.info("loaded detector weights from %s", weights)
+            if loaded is None:
+                # configured weights that fail to load are FATAL, like the
+                # reference (its detector load_model raises after retries) —
+                # silently serving random weights would emit garbage
+                # detections while reporting healthy. Random init is an
+                # explicit opt-in (--no-weights / no weights key).
+                raise RuntimeError(
+                    f"configured detector weights failed to load: {weights}")
+            self.program.variables = loaded
+            logger.info("loaded detector weights from %s", weights)
         # memory + coordinator
         self.memory_manager = MemoryManager()
         batching = detection.get("batching", {}) or {}
