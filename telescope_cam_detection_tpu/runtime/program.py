@@ -61,8 +61,17 @@ class ProgramSpec:
     # frames costs ~2.2 s/batch vs ~50 ms for the entire fused compute;
     # "device" keeps the reference-style fully-fused on-device resize;
     # "yuv420" additionally packs to 4:2:0 on host (2x fewer bytes again,
-    # slight chroma loss — opt-in, breaks bit-parity with the reference).
-    transfer: str = "auto"                # "auto" | "device" | "host" | "yuv420"
+    # slight chroma loss — opt-in, breaks bit-parity with the reference);
+    # "delta" ships only changed 16x16 tiles against a device-resident
+    # per-stream reference frame (ops/delta.py, runtime/delta.py) — the
+    # right mode when the link is RTT/bandwidth bound and scenes are
+    # quasi-static (surveillance); bounded error <= delta_threshold grey
+    # levels on unsent tiles, rolling full refresh.
+    transfer: str = "auto"   # "auto" | "device" | "host" | "yuv420" | "delta"
+    delta_tile: int = 16
+    delta_threshold: int = 14
+    delta_refresh_tiles: int = 16
+    delta_lanes: int = 8                  # max concurrent streams in delta mode
     # RT-DETR deformable-attention sampling: "xla" gathers or the "pallas"
     # MXU kernel (ops/pallas_deform.py). Ignored for yolox.
     sampling_impl: str = "xla"
@@ -171,9 +180,30 @@ class DetectorProgram:
         self.variables = variables
         self._filters = FilterSettings()
         self._filter_arrays = self._filters.to_arrays(spec.num_classes)
-        self._compiled: Dict[Tuple[int, Tuple[int, int]], Callable] = {}
+        self._compiled: Dict[Tuple, Callable] = {}
         self.stats: Dict[str, Any] = {"compilations": 0, "batches": 0,
-                                      "frames": 0, "last_infer_ms": 0.0}
+                                      "frames": 0, "last_infer_ms": 0.0,
+                                      "delta_tiles_sent": 0}
+        if spec.transfer == "delta":
+            import threading
+            if mesh is not None:
+                raise ValueError("transfer='delta' is single-chip "
+                                 "(stateful device reference buffer)")
+            from telescope_cam_detection_tpu.ops.delta import tiled_shape
+            self._delta_ref_shape = tiled_shape(
+                spec.input_hw, spec.delta_tile, spec.delta_lanes)
+            self._delta_ref = None          # lazily placed on device
+            self._delta_encoders: Dict[int, Any] = {}
+            self._delta_lock = threading.Lock()
+            self._encode_pool_obj = None
+
+    def _encode_pool(self):
+        if self._encode_pool_obj is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._encode_pool_obj = ThreadPoolExecutor(
+                max_workers=min(self.spec.delta_lanes, 8),
+                thread_name_prefix="delta-encode")
+        return self._encode_pool_obj
 
     # -- hot reload ---------------------------------------------------------
     def update_filters(self, settings: FilterSettings) -> None:
@@ -189,7 +219,7 @@ class DetectorProgram:
     def _host_resize_active(self, capture_hw: Tuple[int, int]) -> bool:
         if self.spec.transfer == "device":
             return False
-        if self.spec.transfer in ("host", "yuv420"):
+        if self.spec.transfer in ("host", "yuv420", "delta"):
             return capture_hw != self.spec.input_hw
         # auto: only when it shrinks the transfer
         return (capture_hw[0] * capture_hw[1] >
@@ -267,14 +297,145 @@ class DetectorProgram:
             self._compiled[key] = fn
         return fn
 
+    def _build_delta(self, batch: int, capture_hw: Tuple[int, int],
+                     k: int) -> Callable:
+        """Delta-mode program: reconstruct frames from tile deltas against the
+        donated device reference buffer, then the standard fused detect."""
+        spec = self.spec
+        model = self.model
+        sy = capture_hw[0] / spec.input_hw[0]
+        sx = capture_hw[1] / spec.input_hw[1]
+        back_scale = jnp.asarray([sx, sy, sx, sy], jnp.float32)
+        from telescope_cam_detection_tpu.ops.delta import apply_tile_deltas
+
+        def program(variables, ref, lanes, tile_idx, tiles, class_conf,
+                    min_area, max_area, class_allowed):
+            new_ref, frames_u8 = apply_tile_deltas(
+                ref, lanes, tile_idx, tiles, spec.input_hw)
+            if spec.detector_type == "yolox":
+                x = preprocess_yolox(frames_u8, spec.input_hw)
+                outs = model.apply(variables, x, train=False)
+                boxes, obj, cls_probs = yolox_lib.decode_outputs(outs)
+                rows = batched_nms(
+                    boxes, obj, cls_probs, conf_threshold=0.0,
+                    iou_threshold=spec.nms_threshold, max_det=spec.max_det,
+                    pre_nms_topk=spec.pre_nms_topk)
+            else:
+                x = preprocess_rtdetr(frames_u8, spec.input_hw)
+                rows = model.apply(variables, x, train=False,
+                                   method=model.predict)
+                rows = rows[:, :spec.max_det]
+                if rows.shape[1] < spec.max_det:
+                    pad = jnp.full((rows.shape[0],
+                                    spec.max_det - rows.shape[1], 7), -1.0,
+                                   rows.dtype)
+                    rows = jnp.concatenate([rows, pad], axis=1)
+            rows = rows.at[..., :4].multiply(back_scale)
+            rows = _filter_rows(rows, {
+                "class_conf": class_conf, "min_area": min_area,
+                "max_area": max_area, "class_allowed": class_allowed})
+            return new_ref, rows
+
+        jitted = jax.jit(program, donate_argnums=(1,))
+        self.stats["compilations"] += 1
+        logger.info("compiling delta detector program batch=%d capture=%s "
+                    "input=%s K=%d", batch, capture_hw, spec.input_hw, k)
+        return jitted
+
+    def _get_delta_program(self, batch: int, capture_hw: Tuple[int, int],
+                           k: int) -> Callable:
+        key = ("delta", batch, capture_hw, k)
+        fn = self._compiled.get(key)
+        if fn is None:
+            fn = self._build_delta(batch, capture_hw, k)
+            self._compiled[key] = fn
+        return fn
+
+    def _dispatch_delta(self, frames: np.ndarray,
+                        capture_hw: Tuple[int, int],
+                        lanes: Optional[Sequence[int]]):
+        """Delta-mode dispatch: encode tile deltas per frame (host mirror),
+        ship tiles only, reconstruct+detect on device. frames are already
+        host-resized to input_hw."""
+        from telescope_cam_detection_tpu.runtime.delta import (
+            DeltaEncoder, pack_batch)
+        spec = self.spec
+        lane_list = list(lanes) if lanes is not None else [0] * len(frames)
+        if len(lane_list) != len(frames):
+            raise ValueError("lanes length != batch")
+        if any(l < 0 or l >= spec.delta_lanes for l in lane_list):
+            raise ValueError(f"lane out of range (delta_lanes={spec.delta_lanes})")
+        with self._delta_lock:
+            for lane in set(lane_list):
+                if lane not in self._delta_encoders:
+                    self._delta_encoders[lane] = DeltaEncoder(
+                        spec.input_hw, tile=spec.delta_tile,
+                        threshold=spec.delta_threshold,
+                        refresh_tiles=spec.delta_refresh_tiles)
+            # encode lanes concurrently: encoders are per-lane state, so only
+            # same-lane ordering matters (preserved within each lane's list)
+            by_lane: Dict[int, List[int]] = {}
+            for pos, lane in enumerate(lane_list):
+                by_lane.setdefault(lane, []).append(pos)
+            encoded: List[Any] = [None] * len(frames)
+
+            def encode_lane(lane: int) -> None:
+                enc = self._delta_encoders[lane]
+                for pos in by_lane[lane]:
+                    encoded[pos] = enc.encode(frames[pos])
+
+            if len(by_lane) > 1:
+                pool = self._encode_pool()
+                list(pool.map(encode_lane, by_lane))
+            else:
+                encode_lane(next(iter(by_lane)))
+            num_tiles = self._delta_ref_shape[1]
+            lanes_a, idx_a, tiles_a, k = pack_batch(
+                encoded, lane_list, num_tiles, spec.delta_tile)
+            if self._delta_ref is None:
+                self._delta_ref = jnp.zeros(self._delta_ref_shape, jnp.uint8)
+            fn = self._get_delta_program(len(frames), capture_hw, k)
+            f = self._filter_arrays
+            try:
+                new_ref, rows = fn(self.variables, self._delta_ref,
+                                   jnp.asarray(lanes_a), jnp.asarray(idx_a),
+                                   jnp.asarray(tiles_a), f["class_conf"],
+                                   f["min_area"], f["max_area"],
+                                   f["class_allowed"])
+            except Exception:
+                # host mirrors may now be ahead of the device buffer; force a
+                # clean full-refresh on the next dispatch
+                for enc in self._delta_encoders.values():
+                    enc.reset()
+                self._delta_ref = None
+                raise
+            self._delta_ref = new_ref
+            self.stats["delta_tiles_sent"] += int(
+                sum(len(i) for i, _ in encoded))
+        return rows
+
     # -- inference ------------------------------------------------------------
-    def dispatch_batch(self, frames: np.ndarray):
+    def dispatch_batch(self, frames: np.ndarray,
+                       lanes: Optional[Sequence[int]] = None,
+                       capture_hw: Optional[Tuple[int, int]] = None):
         """Asynchronously dispatch one batch: transfer + enqueue the fused
         program, return the on-device result array WITHOUT reading it back.
         Lets a caller pipeline the next batch's transfer under this batch's
-        execution/readback (np.asarray the result to materialize)."""
+        execution/readback (np.asarray the result to materialize).
+
+        lanes (delta mode only): per-frame stream-lane index; same-lane
+        entries are sequential frames (deltas chain within the batch).
+
+        capture_hw: when the capture threads already resized frames to the
+        model input size (the reference resizes on the capture thread too,
+        stream_capture.py:211-213), pass the ORIGINAL capture (H, W) here so
+        boxes are still reported in capture coordinates."""
         if frames.ndim != 4 or frames.shape[-1] != 3:
             raise ValueError(f"expected (B,H,W,3) uint8 frames, got {frames.shape}")
+        if capture_hw is not None and \
+                (frames.shape[1], frames.shape[2]) != self.spec.input_hw:
+            raise ValueError("capture_hw is only valid for frames already "
+                             f"resized to input_hw={self.spec.input_hw}")
         if self.mesh is not None:
             # the dp-sharded batch axis must divide the mesh; pad with blank
             # frames (their rows come back invalid and callers slice anyway)
@@ -284,8 +445,9 @@ class DetectorProgram:
                 frames = np.concatenate(
                     [frames, np.zeros((short, *frames.shape[1:]), np.uint8)])
         batch = frames.shape[0]
-        capture_hw = (frames.shape[1], frames.shape[2])
-        if self._host_resize_active(capture_hw):
+        if capture_hw is None:
+            capture_hw = (frames.shape[1], frames.shape[2])
+        if self._host_resize_active((frames.shape[1], frames.shape[2])):
             ih, iw = self.spec.input_hw
             try:  # cv2's SIMD resize wins (measured 3x vs our scalar C++)
                 import cv2
@@ -299,6 +461,11 @@ class DetectorProgram:
                     raise RuntimeError("host-resize needs cv2 or the native "
                                        "frameio library")
                 frames = resized
+        if self.spec.transfer == "delta":
+            rows = self._dispatch_delta(frames, capture_hw, lanes)
+            self.stats["batches"] += 1
+            self.stats["frames"] += batch
+            return rows
         if self.spec.transfer == "yuv420":
             frames = self._pack_yuv420(frames)
         fn = self._get_program(batch, capture_hw)
@@ -323,19 +490,22 @@ class DetectorProgram:
             packed.append(out)
         return np.stack(packed)
 
-    def detect_batch_rows(self, frames: np.ndarray) -> np.ndarray:
+    def detect_batch_rows(self, frames: np.ndarray,
+                          lanes: Optional[Sequence[int]] = None) -> np.ndarray:
         """(B, H, W, 3) uint8 BGR -> (B, max_det, 7) numpy rows in capture
         coords; invalid rows are all -1."""
         t0 = time.perf_counter()
         n = frames.shape[0]
-        rows = np.asarray(self.dispatch_batch(frames))[:n]  # drop mesh padding
+        rows = np.asarray(self.dispatch_batch(frames, lanes=lanes))[:n]
         self.stats["last_infer_ms"] = (time.perf_counter() - t0) * 1000.0
         return rows
 
-    def detect_batch(self, frames: np.ndarray) -> List[List[Dict[str, Any]]]:
+    def detect_batch(self, frames: np.ndarray,
+                     lanes: Optional[Sequence[int]] = None,
+                     ) -> List[List[Dict[str, Any]]]:
         """Detection-dict output, reference contract
         (yolox_detector._format_model_output_to_detections:222-282)."""
-        rows = self.detect_batch_rows(frames)
+        rows = self.detect_batch_rows(frames, lanes=lanes)
         return [rows_to_detections(r) for r in rows]
 
     def detect(self, frame: np.ndarray) -> List[Dict[str, Any]]:

@@ -1,0 +1,189 @@
+"""Tile-delta transfer: host encoder + device reconstruction + program mode.
+
+The delta path replaces full-frame H2D transfers with changed-tile scatters
+against a device-resident reference (ops/delta.py, runtime/delta.py). These
+tests pin: exact reconstruction, multi-lane and chained same-lane semantics,
+the encoder's bounded-error/refresh contract, and end-to-end equivalence with
+the plain host-resize transfer mode.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from telescope_cam_detection_tpu.ops.delta import (
+    apply_tile_deltas,
+    tiled_shape,
+    untile,
+)
+from telescope_cam_detection_tpu.runtime.delta import DeltaEncoder, pack_batch
+from telescope_cam_detection_tpu.runtime.program import (
+    DetectorProgram,
+    FilterSettings,
+    ProgramSpec,
+)
+from telescope_cam_detection_tpu.utils.frames import SyntheticFrameSource
+
+
+def _tile_up(frame: np.ndarray, t: int) -> np.ndarray:
+    h, w, c = frame.shape
+    return (frame.reshape(h // t, t, w // t, t, c)
+            .transpose(0, 2, 1, 3, 4).reshape(-1, t, t, c))
+
+
+def test_apply_tile_deltas_full_refresh_roundtrip():
+    rng = np.random.default_rng(0)
+    hw, t = (32, 48), 16
+    frame = rng.integers(0, 256, (*hw, 3), np.uint8)
+    ref = jnp.zeros(tiled_shape(hw, t, lanes=2), jnp.uint8)
+    tiles = _tile_up(frame, t)
+    idx = np.arange(tiles.shape[0], dtype=np.int32)
+    new_ref, frames = apply_tile_deltas(
+        ref, jnp.asarray([1], jnp.int32), jnp.asarray(idx[None]),
+        jnp.asarray(tiles[None]), hw)
+    np.testing.assert_array_equal(np.asarray(frames)[0], frame)
+    # lane 0 untouched, lane 1 holds the frame
+    assert np.asarray(new_ref)[0].max() == 0
+    np.testing.assert_array_equal(
+        np.asarray(untile(new_ref[1:2], hw))[0], frame)
+
+
+def test_apply_tile_deltas_pad_dropped_and_chained():
+    """Pad index T is dropped; same-lane entries chain within a batch."""
+    hw, t = (32, 32), 16
+    T = 4
+    ref = jnp.zeros(tiled_shape(hw, t, lanes=1), jnp.uint8)
+    # entry 0: set tile 0 to 10s (padded with T); entry 1: set tile 3 to 20s
+    idx = np.array([[0, T], [3, T]], np.int32)
+    tiles = np.zeros((2, 2, t, t, 3), np.uint8)
+    tiles[0, 0] = 10
+    tiles[1, 0] = 20
+    lanes = jnp.zeros((2,), jnp.int32)
+    new_ref, frames = apply_tile_deltas(
+        ref, lanes, jnp.asarray(idx), jnp.asarray(tiles), hw)
+    f0, f1 = np.asarray(frames)
+    assert f0[0, 0, 0] == 10 and f0[16, 16, 0] == 0
+    # frame 1 sees BOTH its own delta and entry 0's (chained state)
+    assert f1[0, 0, 0] == 10 and f1[16, 16, 0] == 20
+    r = np.asarray(untile(new_ref, hw))[0]
+    assert r[0, 0, 0] == 10 and r[16, 16, 0] == 20
+
+
+def test_encoder_first_frame_is_full_refresh_then_sparse():
+    src = SyntheticFrameSource(width=256, height=256, seed=0, noise_sigma=0)
+    enc = DeltaEncoder((256, 256), tile=16, threshold=4, refresh_tiles=0)
+    idx0, _ = enc.encode(src.frame_at(0))
+    assert len(idx0) == enc.num_tiles  # zeros mirror -> everything changed
+    idx1, _ = enc.encode(src.frame_at(1))
+    # only the moving blob's tiles change on a noise-free static background
+    assert 0 < len(idx1) < enc.num_tiles // 4
+
+
+def test_encoder_bounded_error_and_mirror_consistency():
+    rng = np.random.default_rng(1)
+    enc = DeltaEncoder((32, 32), tile=16, threshold=10, refresh_tiles=0)
+    base = rng.integers(0, 256, (32, 32, 3), np.uint8)
+    enc.encode(base)
+    # small perturbation below threshold: nothing sent, mirror error bounded
+    wiggle = np.clip(base.astype(np.int16) +
+                     rng.integers(-9, 10, base.shape), 0, 255).astype(np.uint8)
+    idx, _ = enc.encode(wiggle)
+    assert len(idx) == 0
+    assert np.abs(enc.ref.astype(int) - wiggle.astype(int)).max() <= 10
+    # large change in one tile: exactly that tile is sent, mirror exact there
+    poked = wiggle.copy()
+    poked[20, 20] = 255
+    idx, tiles = enc.encode(poked)
+    assert list(idx) == [3]  # tile (1,1) of the 2x2 grid
+    np.testing.assert_array_equal(enc.ref[16:, 16:], poked[16:, 16:])
+
+
+def test_encoder_rolling_refresh_covers_all_tiles():
+    enc = DeltaEncoder((64, 64), tile=16, threshold=255, refresh_tiles=4)
+    frame = np.full((64, 64, 3), 7, np.uint8)
+    sent = set()
+    for _ in range(4):  # 16 tiles / 4 per frame
+        idx, _ = enc.encode(frame)
+        sent.update(int(i) for i in idx)
+    assert sent == set(range(enc.num_tiles))
+    np.testing.assert_array_equal(enc.ref, frame)
+
+
+def test_pack_batch_buckets_and_padding():
+    t = 16
+    enc0 = (np.array([1, 5], np.int32), np.ones((2, t, t, 3), np.uint8))
+    enc1 = (np.zeros((0,), np.int32), np.zeros((0, t, t, 3), np.uint8))
+    lanes, idx, tiles, k = pack_batch([enc0, enc1], [0, 1], num_tiles=100,
+                                      tile=t, k_buckets=(4, 8))
+    assert k == 4 and idx.shape == (2, 4) and tiles.shape == (2, 4, t, t, 3)
+    assert list(idx[0]) == [1, 5, 100, 100]  # padded with num_tiles
+    assert list(idx[1]) == [100] * 4
+    # spill above the largest bucket -> all tiles
+    big = (np.arange(9, dtype=np.int32), np.zeros((9, t, t, 3), np.uint8))
+    _, _, _, k = pack_batch([big], [0], num_tiles=100, tile=t, k_buckets=(4, 8))
+    assert k == 100
+
+
+def _mini_spec(**kw):
+    return ProgramSpec(variant="yolox-nano", input_hw=(128, 128), max_det=8,
+                       pre_nms_topk=32, **kw)
+
+
+def test_program_delta_matches_host_transfer():
+    """threshold=0 sends every changed pixel's tile -> reconstruction is
+    exact, so delta rows must match the plain host-resize transfer rows."""
+    frames = np.stack([SyntheticFrameSource(width=256, height=192, seed=0)
+                       .frame_at(i) for i in range(3)])
+    filt = FilterSettings(conf_threshold=0.0, wildlife_only=False)
+
+    ref_prog = DetectorProgram(_mini_spec(transfer="host"), seed=0)
+    ref_prog.update_filters(filt)
+    want = ref_prog.detect_batch_rows(frames)
+
+    delta_prog = DetectorProgram(
+        _mini_spec(transfer="delta", delta_threshold=0, delta_refresh_tiles=0,
+                   delta_lanes=2), seed=0)
+    delta_prog.update_filters(filt)
+    got = delta_prog.detect_batch_rows(frames, lanes=[0, 0, 0])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+    # second dispatch re-uses the device reference (sparse deltas now)
+    frames2 = np.stack([SyntheticFrameSource(width=256, height=192, seed=0)
+                        .frame_at(i) for i in range(3, 6)])
+    want2 = ref_prog.detect_batch_rows(frames2)
+    got2 = delta_prog.detect_batch_rows(frames2, lanes=[0, 0, 0])
+    np.testing.assert_allclose(got2, want2, rtol=1e-4, atol=1e-3)
+    assert delta_prog.stats["delta_tiles_sent"] > 0
+
+
+def test_program_delta_multilane_independent_streams():
+    """Two lanes with different content stay independent."""
+    src_a = SyntheticFrameSource(width=128, height=128, seed=0, noise_sigma=0)
+    src_b = SyntheticFrameSource(width=128, height=128, seed=7, noise_sigma=0)
+    prog = DetectorProgram(
+        _mini_spec(transfer="delta", delta_threshold=4, delta_lanes=2),
+        seed=0)
+    prog.update_filters(FilterSettings(conf_threshold=0.0,
+                                       wildlife_only=False))
+    host = DetectorProgram(_mini_spec(transfer="host"), seed=0)
+    host.update_filters(FilterSettings(conf_threshold=0.0,
+                                       wildlife_only=False))
+    for step in range(3):
+        fa, fb = src_a.frame_at(step), src_b.frame_at(step)
+        rows = prog.detect_batch_rows(np.stack([fa, fb]), lanes=[0, 1])
+        want = host.detect_batch_rows(np.stack([fa, fb]))
+        # threshold=4 on noise-free sources -> tiles either exact or unsent
+        # with |err|<=4; scores may move a little
+        valid_got = (rows[..., 5] >= 0).sum()
+        valid_want = (want[..., 5] >= 0).sum()
+        assert abs(int(valid_got) - int(valid_want)) <= 2
+
+
+def test_program_delta_rejects_bad_lanes():
+    prog = DetectorProgram(
+        _mini_spec(transfer="delta", delta_lanes=2), seed=0)
+    frames = np.zeros((1, 128, 128, 3), np.uint8)
+    with pytest.raises(ValueError):
+        prog.detect_batch_rows(frames, lanes=[5])
+    with pytest.raises(ValueError):
+        prog.detect_batch_rows(frames, lanes=[0, 1])
