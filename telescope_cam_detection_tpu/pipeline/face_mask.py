@@ -34,7 +34,13 @@ class FaceMasker:
         pixelate_blocks: int = 10,
         scale_factor: float = 1.1,
         min_neighbors: int = 5,
+        detect_max_dim: int = 480,
+        require_backend: bool = False,
     ):
+        """require_backend: raise at construction when no face detector can
+        be loaded — set by the orchestrator whenever privacy masking is
+        enabled, so a config that promises masking can never silently serve
+        unmasked faces."""
         if mask_style not in MASK_STYLES:
             raise ValueError(f"unknown mask style {mask_style!r}")
         self.mask_style = mask_style
@@ -44,41 +50,75 @@ class FaceMasker:
         self.pixelate_blocks = pixelate_blocks
         self.scale_factor = scale_factor
         self.min_neighbors = min_neighbors
+        # faces are detected on a copy downscaled to this max dimension (the
+        # pure-python cascade is control-path code; boxes scale back up)
+        self.detect_max_dim = max(int(detect_max_dim), 64)
         self._cascade = None
+        self._cascade_kind = None
         self.total_faces_detected = 0
         self.total_frames_processed = 0
+        if require_backend and self._get_cascade() is None:
+            raise RuntimeError(
+                "privacy face masking is enabled but no face-detection "
+                "backend could be loaded (no cv2 CascadeClassifier and no "
+                "cascade XML found for the built-in detector)")
 
     def _get_cascade(self):
-        if self._cascade is None and cv2 is not None:
-            if not hasattr(cv2, "CascadeClassifier"):
-                # cv2 >= 5.0 dropped the Haar cascade API; without a bundled
-                # YuNet ONNX model there is no offline face detector. Masking
-                # styles still work when faces are provided externally.
-                if not getattr(self, "_warned_no_backend", False):
-                    logger.warning("no face-detection backend available "
-                                   "(cv2 has no CascadeClassifier); face "
-                                   "masking will be a no-op")
-                    self._warned_no_backend = True
-                return None
+        if self._cascade is not None:
+            return self._cascade
+        if cv2 is not None and hasattr(cv2, "CascadeClassifier"):
+            # cv2 <= 4.x native implementation (fast C++ path)
             path = cv2.data.haarcascades + "haarcascade_frontalface_default.xml"
-            self._cascade = cv2.CascadeClassifier(path)
-        return self._cascade
+            cascade = cv2.CascadeClassifier(path)
+            if not cascade.empty():
+                self._cascade, self._cascade_kind = cascade, "cv2"
+                return self._cascade
+        # cv2 >= 5.0 dropped CascadeClassifier but still ships the trained
+        # cascade XMLs; use the first-party evaluator (pipeline/haar.py)
+        from telescope_cam_detection_tpu.pipeline.haar import (
+            HaarCascade, find_cascade_file)
+        path = find_cascade_file()
+        if path is not None:
+            try:
+                self._cascade = HaarCascade.load(path)
+                self._cascade_kind = "builtin"
+                return self._cascade
+            except Exception as e:  # pragma: no cover
+                logger.error("failed to load cascade %s: %s", path, e)
+        if not getattr(self, "_warned_no_backend", False):
+            logger.warning("no face-detection backend available; face "
+                           "masking will be a no-op")
+            self._warned_no_backend = True
+        return None
 
     # -- detection -----------------------------------------------------------
     def detect_faces(self, frame: np.ndarray) -> List[Tuple[int, int, int, int]]:
-        """Returns (x, y, w, h) tuples."""
+        """Returns (x, y, w, h) tuples in frame coordinates."""
         cascade = self._get_cascade()
-        if cascade is None or cascade.empty():
-            self.total_frames_processed += 1
-            return []
-        gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
-        faces = cascade.detectMultiScale(
-            gray, scaleFactor=self.scale_factor,
-            minNeighbors=self.min_neighbors,
-            minSize=(self.min_face_size, self.min_face_size))
         self.total_frames_processed += 1
-        self.total_faces_detected += len(faces)
-        return [tuple(int(v) for v in f) for f in faces]
+        if cascade is None:
+            return []
+        gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY) if frame.ndim == 3 \
+            else frame
+        scale = 1.0
+        if max(gray.shape) > self.detect_max_dim:
+            scale = max(gray.shape) / self.detect_max_dim
+            gray = cv2.resize(
+                gray, (max(int(round(gray.shape[1] / scale)), 1),
+                       max(int(round(gray.shape[0] / scale)), 1)),
+                interpolation=cv2.INTER_LINEAR)
+        min_px = max(int(round(self.min_face_size / scale)), 24)
+        if self._cascade_kind == "cv2":
+            faces = cascade.detectMultiScale(
+                gray, scaleFactor=self.scale_factor,
+                minNeighbors=self.min_neighbors, minSize=(min_px, min_px))
+        else:
+            faces = cascade.detect_multi_scale(
+                gray, scale_factor=self.scale_factor,
+                min_neighbors=self.min_neighbors, min_size=(min_px, min_px))
+        out = [tuple(int(round(v * scale)) for v in f) for f in faces]
+        self.total_faces_detected += len(out)
+        return out
 
     # -- masking ---------------------------------------------------------------
     def apply_mask(self, frame: np.ndarray,

@@ -125,7 +125,11 @@ class TelescopeDetectionSystem:
                 blur_strength=privacy.get("blur_strength", 25),
                 pixelate_blocks=privacy.get("pixelate_blocks", 10),
                 scale_factor=privacy.get("scale_factor", 1.1),
-                min_neighbors=privacy.get("min_neighbors", 5))
+                min_neighbors=privacy.get("min_neighbors", 5),
+                detect_max_dim=privacy.get("detect_max_dim", 480),
+                # masking was promised by config: refuse to start without a
+                # working detector rather than silently serving unmasked faces
+                require_backend=True)
             self.face_mask_cache = FaceMaskingCache(
                 self.face_masker,
                 detection_interval=privacy.get("live_feed_detection_interval", 5),
