@@ -136,6 +136,7 @@ class WebServer:
         jpeg_quality: int = C.DEFAULT_JPEG_QUALITY,
         clips_dir: str = "clips",
         queue_health: Optional[Dict[str, Any]] = None,
+        trace_dir: str = "/tmp/tcd_traces",
     ):
         self.host = host
         self.port = port
@@ -155,6 +156,11 @@ class WebServer:
         self.mjpeg_fps = mjpeg_fps
         self.jpeg_quality = jpeg_quality
         self.clips_dir = Path(clips_dir)
+        # profiler traces always land under this server-side path (the
+        # endpoint accepts no client-chosen directory) and only one trace
+        # may run at a time; capture requires the clips Bearer token
+        self.trace_dir = Path(trace_dir)
+        self._trace_lock = threading.Lock()
         self.queue_health = queue_health or {"enabled": True,
                                              "warning_threshold": 0.70,
                                              "critical_threshold": 0.90}
@@ -524,10 +530,14 @@ class _Handler(BaseHTTPRequestHandler):
         """Capture a jax.profiler trace (device + host) for N seconds; returns
         the trace directory for TensorBoard/xprof. The reference had no
         tracer at all (SURVEY §5) — this is the TPU-native upgrade."""
+        if not self.web.verify_clips_token(self.headers.get("Authorization")):
+            return self._error(401, "unauthorized")
         from urllib.parse import parse_qs, urlparse
         query = parse_qs(urlparse(self.path).query)
         seconds = min(float(query.get("seconds", ["3"])[0]), 60.0)
-        trace_dir = query.get("dir", ["/tmp/tcd_traces"])[0]
+        trace_dir = str(self.web.trace_dir)  # server-side, never client-chosen
+        if not self.web._trace_lock.acquire(blocking=False):
+            return self._error(409, "a trace is already running")
         try:
             import jax
             with jax.profiler.trace(trace_dir):
@@ -538,6 +548,8 @@ class _Handler(BaseHTTPRequestHandler):
         except Exception as e:
             logger.exception("profiler trace failed")
             return self._json({"success": False, "error": str(e)}, 500)
+        finally:
+            self.web._trace_lock.release()
 
     # ---- clips -----------------------------------------------------------------
     def _clips_list(self) -> None:

@@ -279,7 +279,8 @@ class TelescopeDetectionSystem:
             jpeg_quality=web.get("jpeg_quality", C.DEFAULT_JPEG_QUALITY),
             clips_dir=(cfg.get("snapshots", {}) or {}).get("output_dir",
                                                            "clips"),
-            queue_health=(perf.get("queue_health") or {}))
+            queue_health=(perf.get("queue_health") or {}),
+            trace_dir=web.get("trace_dir", "/tmp/tcd_traces"))
 
     @staticmethod
     def _compute_filter_floor(detection: Dict[str, Any],

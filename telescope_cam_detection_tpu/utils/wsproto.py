@@ -87,9 +87,14 @@ class FrameReader:
             data += chunk
         return data
 
+    # inbound messages are control-only (pings/close); a client declaring a
+    # huge frame would otherwise pin a handler thread buffering it forever
+    MAX_FRAME_BYTES = 1 << 20
+
     def read_frame(self) -> Optional[Tuple[int, bytes]]:
-        """Returns (opcode, payload) or None on EOF. Client frames must be
-        masked; unmasks automatically."""
+        """Returns (opcode, payload) or None on EOF (also on protocol abuse:
+        oversized or RFC-6455-invalid lengths close the connection). Client
+        frames must be masked; unmasks automatically."""
         head = self._read_exact(2)
         if head is None:
             return None
@@ -107,6 +112,10 @@ class FrameReader:
             if ext is None:
                 return None
             (length,) = struct.unpack(">Q", ext)
+            if length & (1 << 63):  # RFC 6455 5.2: MSB must be 0
+                return None
+        if length > self.MAX_FRAME_BYTES:
+            return None
         key = b""
         if masked:
             key = self._read_exact(4)

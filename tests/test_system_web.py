@@ -315,13 +315,28 @@ def test_index_and_static(system):
 
 
 def test_profiler_trace_endpoint(system, tmp_path):
-    _, port = system
-    status, body = _get(port, f"/api/profiler/trace?seconds=0.2&dir={tmp_path}/tr")
+    sys_obj, port = system
+    # client-supplied dir is IGNORED: traces land in the server-side path
+    sys_obj.web_server.trace_dir = tmp_path / "server_traces"
+    status, body = _get(port,
+                        f"/api/profiler/trace?seconds=0.2&dir={tmp_path}/evil")
     assert status == 200
     data = json.loads(body)
     assert data["success"] is True
     import pathlib
+    assert data["trace_dir"] == str(tmp_path / "server_traces")
+    assert not (tmp_path / "evil").exists()
     assert any(pathlib.Path(data["trace_dir"]).rglob("*"))  # trace files exist
+
+
+def test_profiler_trace_requires_token_when_set(system, monkeypatch):
+    _, port = system
+    monkeypatch.setenv("TELESCOPE_CLIPS_TOKEN", "sekrit")
+    status, _ = _get(port, "/api/profiler/trace?seconds=0.1")
+    assert status == 401
+    status, _ = _get(port, "/api/profiler/trace?seconds=0.1",
+                     headers={"Authorization": "Bearer sekrit"})
+    assert status == 200
 
 
 def test_camera_restart_endpoint(system):

@@ -46,3 +46,28 @@ def test_close_and_pong():
 def test_reader_eof_returns_none():
     assert _decode(b"") is None
     assert _decode(b"\x81") is None  # truncated header
+
+
+def test_oversized_declared_frame_rejected():
+    """A client declaring a huge payload must not pin the reader: the frame
+    is rejected (None -> connection close) without buffering."""
+    # 64-bit length header declaring 2^62 bytes, no payload actually sent
+    head = bytes([0x82, 0x80 | 127]) + struct.pack(">Q", 1 << 62) + b"\0" * 4
+    assert _decode(head) is None
+    # just over the cap
+    head = bytes([0x82, 0x80 | 127]) + struct.pack(
+        ">Q", wsproto.FrameReader.MAX_FRAME_BYTES + 1) + b"\0" * 4
+    assert _decode(head) is None
+
+
+def test_rfc6455_msb_length_rejected():
+    head = bytes([0x82, 0x80 | 127]) + struct.pack(">Q", (1 << 63) | 10) \
+        + b"\0" * 4
+    assert _decode(head) is None
+
+
+def test_frame_at_cap_still_accepted():
+    n = 100_000  # well under the cap but uses the 64-bit length encoding
+    frame = bytes([0x82, 127]) + struct.pack(">Q", n) + b"y" * n
+    opcode, out = _decode(frame)
+    assert opcode == wsproto.OP_BINARY and len(out) == n
