@@ -53,6 +53,7 @@ class SharedInferenceCoordinator:
         max_batch_wait_ms: float = 35.0,
         enable_metrics: bool = True,
         memory_manager=None,          # optional HBM MemoryManager
+        callback_workers: int = 4,
     ):
         self.program = program
         self.max_batch_size = max_batch_size
@@ -60,15 +61,17 @@ class SharedInferenceCoordinator:
         self.enable_metrics = enable_metrics
         self.memory_manager = memory_manager
         # Callbacks (which include per-camera post-processing and Stage-2)
-        # run on a dedicated single worker, NOT the coordinator thread — the
-        # reference executes Stage-2 on its coordinator thread, serializing
-        # classification against the next batch's dispatch (SURVEY §3.3
-        # note at inference_engine_yolox.py:390-442). One worker preserves
-        # per-camera result ordering while the dispatch loop keeps the
-        # device fed.
-        from concurrent.futures import ThreadPoolExecutor
-        self._callback_pool = ThreadPoolExecutor(
-            max_workers=1, thread_name_prefix="coordinator-callbacks")
+        # run OFF the coordinator thread — the reference executes Stage-2 on
+        # its coordinator thread, serializing classification against the next
+        # batch's dispatch (SURVEY §3.3 note at
+        # inference_engine_yolox.py:390-442). Per-camera FIFO lanes over a
+        # shared pool: one camera's slow Stage-2 never blocks another
+        # camera's results, yet each camera's results stay ordered.
+        from telescope_cam_detection_tpu.utils.concurrency import (
+            KeySerialExecutor)
+        self._callback_pool = KeySerialExecutor(
+            max_workers=max(callback_workers, 1),
+            thread_name_prefix="coordinator-callbacks")
 
         self._queue: deque = deque()
         self._cond = threading.Condition()
@@ -120,11 +123,17 @@ class SharedInferenceCoordinator:
                     logger.warning(
                         "coordinator queue full; dropped %d frames so far "
                         "(latest from %s)", self.total_dropped, dropped.camera_id)
-                try:  # empty-result callback so the engine's loop continues
-                    dropped.callback(np.full((self.program.spec.max_det, 7),
-                                             -1.0, np.float32))
-                except Exception:
-                    logger.exception("dropped-frame callback failed")
+                # empty-result callback so the engine's loop continues;
+                # routed through the camera's FIFO lane so a drop can never
+                # overtake an earlier in-flight result for the same camera
+                def drop_cb(dropped=dropped):
+                    try:
+                        dropped.callback(np.full(
+                            (self.program.spec.max_det, 7), -1.0, np.float32))
+                    except Exception:
+                        logger.exception("dropped-frame callback failed")
+                if not self._callback_pool.submit(dropped.camera_id, drop_cb):
+                    drop_cb()
             self._queue.append(req)
             self.total_requests += 1
             self._per_camera[camera_id] += 1
@@ -205,18 +214,16 @@ class SharedInferenceCoordinator:
         self.total_frames += n
         self._batch_sizes.append(n)
 
-        def dispatch_callbacks(reqs=reqs, rows=rows):
-            for i, req in enumerate(reqs):
+        for i, req in enumerate(reqs):
+            def run_one(req=req, row=rows[i]):
                 try:
-                    req.callback(rows[i])
+                    req.callback(row)
                 except Exception:
                     logger.exception("inference callback failed (camera %s)",
                                      req.camera_id)
-
-        try:
-            self._callback_pool.submit(dispatch_callbacks)
-        except RuntimeError:  # pool shut down during stop()
-            dispatch_callbacks()
+            # keyed by camera: per-camera order holds, cameras overlap
+            if not self._callback_pool.submit(req.camera_id, run_one):
+                run_one()  # pool shut down during stop(): run inline
 
     # -- stats ---------------------------------------------------------------
     def get_stats(self) -> Dict[str, Any]:

@@ -1,0 +1,120 @@
+"""KeySerialExecutor + coordinator callback-lane semantics.
+
+Round-1 VERDICT weak point 7: all cameras' Stage-2 callbacks serialized on a
+single worker. These tests prove the fix: two cameras' callbacks OVERLAP in
+time while each camera's callbacks stay strictly ordered.
+"""
+import threading
+import time
+
+import numpy as np
+
+from telescope_cam_detection_tpu.utils.concurrency import KeySerialExecutor
+
+
+def test_per_key_fifo_order():
+    ex = KeySerialExecutor(max_workers=4)
+    seen = []
+    lock = threading.Lock()
+    done = threading.Event()
+
+    def task(i):
+        with lock:
+            seen.append(i)
+        if i == 99:
+            done.set()
+
+    for i in range(100):
+        ex.submit("k", lambda i=i: task(i))
+    assert done.wait(5)
+    ex.shutdown()
+    assert seen == list(range(100))
+
+
+def test_cross_key_overlap_and_per_key_order():
+    ex = KeySerialExecutor(max_workers=4)
+    events = []
+    lock = threading.Lock()
+    running = {"a": 0, "b": 0}
+    overlapped = threading.Event()
+
+    def task(key, i):
+        with lock:
+            running[key] += 1
+            events.append((key, i, "start"))
+            if running["a"] and running["b"]:
+                overlapped.set()
+        time.sleep(0.05)
+        with lock:
+            running[key] -= 1
+            events.append((key, i, "end"))
+
+    for i in range(3):
+        ex.submit("a", lambda i=i: task("a", i))
+        ex.submit("b", lambda i=i: task("b", i))
+    ex.shutdown(wait=True)
+
+    assert overlapped.is_set(), "keys never ran concurrently"
+    for key in ("a", "b"):
+        ordered = [(i, kind) for k, i, kind in events if k == key]
+        # strict serial per key: start0 end0 start1 end1 start2 end2
+        assert ordered == [(0, "start"), (0, "end"), (1, "start"),
+                           (1, "end"), (2, "start"), (2, "end")]
+
+
+def test_submit_after_shutdown_returns_false():
+    ex = KeySerialExecutor(max_workers=1)
+    ex.shutdown()
+    assert ex.submit("k", lambda: None) is False
+
+
+def test_coordinator_callbacks_overlap_across_cameras():
+    """Two cameras with slow (Stage-2-like) callbacks: the coordinator keeps
+    both lanes busy concurrently, and per-camera results arrive in
+    submission order."""
+    from telescope_cam_detection_tpu.runtime.coordinator import (
+        SharedInferenceCoordinator)
+
+    class FakeProgram:
+        class spec:
+            max_det = 4
+
+        def detect_batch_rows(self, frames):
+            return np.zeros((len(frames), 4, 7), np.float32)
+
+    coord = SharedInferenceCoordinator(FakeProgram(), max_batch_size=4,
+                                       max_batch_wait_ms=5.0,
+                                       callback_workers=4)
+    lock = threading.Lock()
+    order = {"camA": [], "camB": []}
+    running = {"camA": 0, "camB": 0}
+    overlapped = threading.Event()
+    done = threading.Event()
+    total = 6
+
+    def make_cb(cam, i):
+        def cb(rows):
+            with lock:
+                running[cam] += 1
+                if running["camA"] and running["camB"]:
+                    overlapped.set()
+            time.sleep(0.05)  # slow Stage-2 classification stand-in
+            with lock:
+                running[cam] -= 1
+                order[cam].append(i)
+                if sum(len(v) for v in order.values()) == total:
+                    done.set()
+        return cb
+
+    coord.start()
+    try:
+        frame = np.zeros((32, 32, 3), np.uint8)
+        for i in range(3):
+            coord.infer_async(frame, make_cb("camA", i), camera_id="camA")
+            coord.infer_async(frame, make_cb("camB", i), camera_id="camB")
+        assert done.wait(10), order
+    finally:
+        coord.stop()
+    assert overlapped.is_set(), "camera callbacks never overlapped"
+    assert order["camA"] == [0, 1, 2]
+    assert order["camB"] == [0, 1, 2]
