@@ -73,6 +73,7 @@ class EVA02Block(nn.Module):
     heads: int
     mlp_hidden: int
     dtype: Any = jnp.float32
+    attn_impl: str = "xla"   # "xla" | "pallas" (ops/pallas_attention.py)
 
     @nn.compact
     def __call__(self, x, rope_angles):
@@ -88,7 +89,13 @@ class EVA02Block(nn.Module):
         v = v.reshape(b, t, self.heads, head_dim)
         q = _apply_rope(q, rope_angles)
         k = _apply_rope(k, rope_angles)
-        attn = jax.nn.dot_product_attention(q, k, v)
+        if self.attn_impl == "pallas":
+            from telescope_cam_detection_tpu.ops.pallas_attention import (
+                flash_attention)
+            interpret = jax.default_backend() != "tpu"
+            attn = flash_attention(q, k, v, interpret=interpret)
+        else:
+            attn = jax.nn.dot_product_attention(q, k, v)
         attn = attn.reshape(b, t, self.dim)
         attn = nn.LayerNorm(dtype=jnp.float32, name="attn_ln")(attn)  # sub-LN
         x = x + nn.Dense(self.dim, dtype=self.dtype, name="proj")(attn)
@@ -107,6 +114,7 @@ class EVA02(nn.Module):
     patch: int = 14
     image_size: int = 336
     dtype: Any = jnp.float32
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False):
@@ -129,26 +137,28 @@ class EVA02(nn.Module):
         rope_angles = jnp.asarray(_rope_freqs(head_dim, n_side))
         for i in range(self.depth):
             x = EVA02Block(self.dim, self.heads, self.mlp_hidden, self.dtype,
-                           name=f"block{i}")(x, rope_angles)
+                           self.attn_impl, name=f"block{i}")(x, rope_angles)
         x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
         cls_feat = x[:, 0]
         return nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(cls_feat)
 
 
 def build_eva02(name: str = "eva02-large", num_classes: int = 10000,
-                image_size: int = 336, dtype=jnp.float32) -> EVA02:
+                image_size: int = 336, dtype=jnp.float32,
+                attn_impl: str = "xla") -> EVA02:
     if name not in EVA02_VARIANTS:
         raise ValueError(f"unknown EVA02 variant {name!r}; valid: "
                          f"{sorted(EVA02_VARIANTS)}")
     depth, dim, heads, mlp_hidden, patch = EVA02_VARIANTS[name]
     return EVA02(num_classes=num_classes, depth=depth, dim=dim, heads=heads,
                  mlp_hidden=mlp_hidden, patch=patch, image_size=image_size,
-                 dtype=dtype)
+                 dtype=dtype, attn_impl=attn_impl)
 
 
 def init_eva02(name: str = "eva02-large", num_classes: int = 10000,
-               image_size: int = 336, seed: int = 0, dtype=jnp.float32):
-    model = build_eva02(name, num_classes, image_size, dtype)
+               image_size: int = 336, seed: int = 0, dtype=jnp.float32,
+               attn_impl: str = "xla"):
+    model = build_eva02(name, num_classes, image_size, dtype, attn_impl)
     dummy = jnp.zeros((1, image_size, image_size, 3), dtype)
     variables = model.init(jax.random.PRNGKey(seed), dummy, train=False)
     return model, variables

@@ -76,6 +76,7 @@ class SpeciesClassifier:
         variables: Optional[Any] = None,
         seed: int = 0,
         param_dtype=jnp.bfloat16,
+        attn_impl: str = "xla",
     ):
         self.model_name = model_name
         self.num_classes = num_classes
@@ -89,12 +90,13 @@ class SpeciesClassifier:
             load_taxonomy(taxonomy_file) if taxonomy_file else {})
 
         self.model = build_eva02(model_name, num_classes, input_size,
-                                 dtype=param_dtype)
+                                 dtype=param_dtype, attn_impl=attn_impl)
         if variables is None:
             logger.warning("SpeciesClassifier: random-init weights "
                            "(no checkpoint)")
             _, variables = init_eva02(model_name, num_classes, input_size,
-                                      seed, dtype=param_dtype)
+                                      seed, dtype=param_dtype,
+                                      attn_impl=attn_impl)
         self.variables = variables
         self._programs: Dict[Tuple[int, int, int], Any] = {}
         self.total_classified = 0

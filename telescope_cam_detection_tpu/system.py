@@ -219,7 +219,8 @@ class TelescopeDetectionSystem:
                 confidence_threshold=inat.get("confidence_threshold", 0.3),
                 use_hierarchical=inat.get("use_hierarchical", True),
                 enable_geographic_filter=geo.get("enabled", False),
-                allowed_species=geo.get("allowed_species") or [])
+                allowed_species=geo.get("allowed_species") or [],
+                attn_impl=inat.get("attn_impl", "xla"))
             weights = inat.get("weights")
             if self.load_weights and weights:
                 from telescope_cam_detection_tpu.models.convert import (

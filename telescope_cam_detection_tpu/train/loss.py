@@ -4,10 +4,16 @@ The reference fine-tunes offline via ultralytics YOLOv8 scripts
 (training/scripts/train_custom_model.py); this module is the TPU-native
 replacement: a fully jittable detection loss over the Flax YOLOX head.
 
-Assignment is a static-shape center-prior scheme (each GT claims the grid
-cell containing its center at the scale-matched FPN level — the classic
-anchor-free assignment; full SimOTA dynamic-k is a later refinement). All
-tensors are fixed size: targets arrive as (B, MAX_GT, 5) xyxy+class with
+Two assigners:
+  * "simota" (default) — SimOTA dynamic-k matching, the assignment upstream
+    YOLOX trains with: per-GT candidate anchors from the center prior, a
+    cls+IoU cost matrix, dynamic k = sum of top-10 IoUs, lowest-cost-k
+    matching with per-anchor conflict resolution. Rewritten with fully
+    static shapes (top-10 ranks masked by dynamic k) so it jits and shards.
+  * "center" — the round-1 center-prior scheme (one anchor per GT), kept as
+    the cheap fallback and as the baseline the SimOTA tests compare against.
+
+All tensors are fixed size: targets arrive as (B, MAX_GT, 5) xyxy+class with
 class < 0 marking padding.
 """
 from __future__ import annotations
@@ -81,6 +87,93 @@ def _assign_single(targets: jnp.ndarray, level_hw: Sequence[Tuple[int, int]],
     return obj_t, box_t, cls_t
 
 
+def _anchor_geometry(level_hw: Sequence[Tuple[int, int]]):
+    """Anchor-center coordinates and strides, concatenated across levels in
+    decode_outputs order: (A, 2) centers in input pixels, (A,) strides."""
+    centers, strides_a = [], []
+    for (h, w), stride in zip(level_hw, STRIDES):
+        gy = jnp.repeat(jnp.arange(h, dtype=jnp.float32), w)
+        gx = jnp.tile(jnp.arange(w, dtype=jnp.float32), h)
+        centers.append(jnp.stack([(gx + 0.5) * stride,
+                                  (gy + 0.5) * stride], axis=-1))
+        strides_a.append(jnp.full((h * w,), float(stride), jnp.float32))
+    return jnp.concatenate(centers), jnp.concatenate(strides_a)
+
+
+_TOPK_CANDIDATES = 10          # upstream YOLOX dynamic-k pool size
+_CENTER_RADIUS = 2.5           # center-prior radius in strides
+
+
+def _simota_single(targets, boxes, obj_logit, cls_logit, centers, strides,
+                   num_classes: int):
+    """SimOTA for one image (all shapes static).
+
+    targets (G, 5), boxes (A, 4) decoded preds, obj_logit (A,),
+    cls_logit (A, C) -> (obj_t (A,), box_t (A,4), cls_t (A,C)).
+    cls_t is the matched GT one-hot scaled by matched IoU (YOLOX semantics).
+    """
+    g = targets.shape[0]
+    cls_ids = targets[:, 4]
+    valid = cls_ids >= 0                                  # (G,)
+    gt_boxes = targets[:, :4]
+
+    # -- candidate (center-prior) masks: (G, A)
+    cx = (gt_boxes[:, 0] + gt_boxes[:, 2]) * 0.5
+    cy = (gt_boxes[:, 1] + gt_boxes[:, 3]) * 0.5
+    ax, ay = centers[:, 0][None, :], centers[:, 1][None, :]
+    in_box = ((ax >= gt_boxes[:, 0:1]) & (ax <= gt_boxes[:, 2:3]) &
+              (ay >= gt_boxes[:, 1:2]) & (ay <= gt_boxes[:, 3:4]))
+    r = _CENTER_RADIUS * strides[None, :]
+    in_center = ((jnp.abs(ax - cx[:, None]) <= r) &
+                 (jnp.abs(ay - cy[:, None]) <= r))
+    candidate = (in_box | in_center) & valid[:, None]
+    both = in_box & in_center
+
+    # -- cost matrix (G, A)
+    iou = _pairwise_iou_xyxy(gt_boxes[:, None, :], boxes[None, :, :])  # (G, A)
+    iou = jnp.where(candidate, iou, 0.0)
+    p = jnp.sqrt(jax.nn.sigmoid(cls_logit.astype(jnp.float32)) *
+                 jax.nn.sigmoid(obj_logit.astype(jnp.float32))[:, None])
+    p = jnp.clip(p, 1e-7, 1.0 - 1e-7)
+    # sum_c BCE(p_c, onehot_c) decomposed so no (G, A, C) tensor is built:
+    neg_all = jnp.sum(-jnp.log1p(-p), axis=-1)            # (A,)
+    delta = -jnp.log(p) + jnp.log1p(-p)                   # (A, C)
+    safe_cls = jnp.clip(cls_ids, 0).astype(jnp.int32)
+    cost_cls = neg_all[None, :] + delta[:, safe_cls].T    # (G, A)
+    cost = (cost_cls + 3.0 * (-jnp.log(iou + 1e-8)) +
+            1e5 * (~both) + 1e6 * (~candidate))
+
+    # -- dynamic k per GT: sum of top-10 candidate IoUs, clipped to [1, 10]
+    top_ious, _ = jax.lax.top_k(iou, _TOPK_CANDIDATES)
+    dyn_k = jnp.clip(jnp.round(jnp.sum(top_ious, axis=-1)), 1,
+                     _TOPK_CANDIDATES).astype(jnp.int32)  # (G,)
+
+    # -- take each GT's dyn_k lowest-cost anchors (static top-10 + rank mask)
+    _, low_idx = jax.lax.top_k(-cost, _TOPK_CANDIDATES)   # (G, 10)
+    ranks = jnp.arange(_TOPK_CANDIDATES)[None, :]         # (1, 10)
+    take = (ranks < dyn_k[:, None]) & valid[:, None]      # (G, 10)
+    match = jnp.zeros_like(cost)
+    match = jax.vmap(
+        lambda m, idx, tk: m.at[idx].max(tk.astype(m.dtype)))(
+            match, low_idx, take)                         # (G, A) 0/1
+
+    # -- conflict resolution: an anchor claimed by several GTs keeps the
+    # lowest-cost one (upstream yolo_head.get_assignments semantics)
+    claimed = jnp.sum(match, axis=0)                      # (A,)
+    best_gt = jnp.argmin(cost, axis=0)                    # (A,)
+    exclusive = jax.nn.one_hot(best_gt, g, axis=0)        # (G, A)
+    match = jnp.where(claimed[None, :] > 1.0,
+                      exclusive * (claimed[None, :] > 0), match)
+
+    fg = jnp.sum(match, axis=0) > 0                       # (A,)
+    matched_gt = jnp.argmax(match, axis=0)                # (A,)
+    box_t = gt_boxes[matched_gt] * fg[:, None]
+    matched_iou = iou[matched_gt, jnp.arange(iou.shape[1])]
+    onehot = jax.nn.one_hot(safe_cls, num_classes)        # (G, C)
+    cls_t = onehot[matched_gt] * (matched_iou * fg)[:, None]
+    return fg.astype(jnp.float32), box_t, cls_t
+
+
 def yolox_loss(
     level_outputs,                 # raw head outputs from YOLOX.__call__
     targets: jnp.ndarray,          # (B, MAX_GT, 5) xyxy+class, class<0 = pad
@@ -88,6 +181,7 @@ def yolox_loss(
     obj_weight: float = 1.0,
     cls_weight: float = 1.0,
     iou_weight: float = 5.0,
+    assigner: str = "simota",
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Scalar loss + metric dict. Fully jittable; batch-vmapped assignment."""
     from telescope_cam_detection_tpu.models.yolox import decode_outputs
@@ -101,8 +195,19 @@ def yolox_loss(
         [cls.reshape(cls.shape[0], -1, num_classes)
          for _, _, cls in level_outputs], axis=1)
 
-    assign = jax.vmap(lambda t: _assign_single(t, level_hw, num_classes))
-    obj_t, box_t, cls_t = assign(targets)
+    if assigner == "simota":
+        centers, strides_a = _anchor_geometry(level_hw)
+        assign = jax.vmap(lambda t, b, o, c: _simota_single(
+            t, b, o, c, centers, strides_a, num_classes))
+        obj_t, box_t, cls_t = assign(
+            targets, jax.lax.stop_gradient(boxes),
+            jax.lax.stop_gradient(obj_logits),
+            jax.lax.stop_gradient(cls_logits))
+    elif assigner == "center":
+        assign = jax.vmap(lambda t: _assign_single(t, level_hw, num_classes))
+        obj_t, box_t, cls_t = assign(targets)
+    else:
+        raise ValueError(f"unknown assigner {assigner!r}")
 
     pos = obj_t > 0
     num_pos = jnp.maximum(jnp.sum(obj_t), 1.0)

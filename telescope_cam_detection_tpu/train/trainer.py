@@ -45,7 +45,8 @@ def make_optimizer(learning_rate: float = 1e-3,
     )
 
 
-def make_train_step(model, num_classes: int = 80) -> Callable:
+def make_train_step(model, num_classes: int = 80,
+                    assigner: str = "simota") -> Callable:
     """Returns train_step(state, images, targets) -> (state, metrics).
 
     images: (B, H, W, 3) float; targets: (B, MAX_GT, 5).
@@ -56,7 +57,8 @@ def make_train_step(model, num_classes: int = 80) -> Callable:
             outs, mutations = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 images, train=True, mutable=["batch_stats"])
-            loss, metrics = yolox_loss(outs, targets, num_classes=num_classes)
+            loss, metrics = yolox_loss(outs, targets, num_classes=num_classes,
+                                       assigner=assigner)
             return loss, (metrics, mutations.get("batch_stats", {}))
 
         grads, (metrics, new_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
@@ -74,11 +76,12 @@ def make_sharded_train_step(
     state: TrainState,
     mesh: Mesh,
     num_classes: int = 80,
+    assigner: str = "simota",
 ) -> Tuple[Callable, TrainState]:
     """jit the train step over the mesh with real shardings:
     batch over dp, fsdp parameter sharding over mp. Returns the jitted step
     and the state placed onto the mesh."""
-    step_fn = make_train_step(model, num_classes)
+    step_fn = make_train_step(model, num_classes, assigner)
 
     param_sh = mesh_lib.param_shardings(mesh, state.params)
     opt_sh = jax.tree.map(
@@ -116,6 +119,7 @@ def build_training(
     learning_rate: float = 1e-3,
     mesh: Optional[Mesh] = None,
     seed: int = 0,
+    assigner: str = "simota",
 ):
     """Convenience: model + state (+ sharded step if mesh given)."""
     model = build_yolox(variant, num_classes)
@@ -123,6 +127,8 @@ def build_training(
     variables = model.init(jax.random.PRNGKey(seed), dummy, train=False)
     state = TrainState.create(variables, make_optimizer(learning_rate))
     if mesh is None:
-        return model, state, jax.jit(make_train_step(model, num_classes))
-    step, placed = make_sharded_train_step(model, state, mesh, num_classes)
+        return model, state, jax.jit(make_train_step(model, num_classes,
+                                                     assigner))
+    step, placed = make_sharded_train_step(model, state, mesh, num_classes,
+                                           assigner)
     return model, placed, step

@@ -40,6 +40,10 @@ def main() -> int:
     parser.add_argument("--model-parallel", type=int, default=1)
     parser.add_argument("--out", required=True)
     parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--assigner", default="simota",
+                        choices=["simota", "center"])
+    parser.add_argument("--no-augment", action="store_true",
+                        help="disable mosaic/mixup/flip/HSV augmentation")
     args = parser.parse_args()
 
     import jax
@@ -77,7 +81,11 @@ def main() -> int:
     mesh = create_mesh(args.mesh, args.model_parallel) if args.mesh else None
     model, state, train_step = build_training(
         variant=args.variant, num_classes=args.classes, input_hw=input_hw,
-        learning_rate=args.lr, mesh=mesh)
+        learning_rate=args.lr, mesh=mesh, assigner=args.assigner)
+    augment = None
+    if not args.no_augment:
+        from telescope_cam_detection_tpu.train.augment import Augmenter
+        augment = Augmenter(seed=0)
     ckpt_dir = os.path.join(args.out, "checkpoints")
     if args.resume:
         state = restore_train_state(ckpt_dir, state)
@@ -88,6 +96,10 @@ def main() -> int:
         t0 = time.time()
         losses = []
         for imgs, lbls in train_ds.batches(args.batch, seed=epoch, epochs=1):
+            if augment is not None:
+                imgs_u8 = np.clip(imgs, 0, 255).astype(np.uint8)
+                imgs_u8, lbls = augment(imgs_u8, np.asarray(lbls))
+                imgs = imgs_u8.astype(np.float32)
             state, metrics = train_step(state, jnp.asarray(imgs),
                                         jnp.asarray(lbls))
             losses.append(float(jax.device_get(metrics["loss"])))
