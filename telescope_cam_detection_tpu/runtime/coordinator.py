@@ -78,6 +78,12 @@ class SharedInferenceCoordinator:
         self._thread: Optional[threading.Thread] = None
         self._running = threading.Event()
 
+        # delta-transfer lane assignment: camera_id -> stable device lane
+        # (runtime/program.py delta mode keeps one reference frame per lane)
+        self._lanes: Dict[str, int] = {}
+        self._delta = getattr(getattr(program, "spec", None),
+                              "transfer", None) == "delta"
+
         self.total_requests = 0
         self.total_batches = 0
         self.total_frames = 0
@@ -200,14 +206,32 @@ class SharedInferenceCoordinator:
             else:
                 self._run_group(reqs, hw, padded_n)
 
+    def _lane_for(self, camera_id: str) -> int:
+        lane = self._lanes.get(camera_id)
+        if lane is None:
+            max_lanes = getattr(self.program.spec, "delta_lanes", 8)
+            lane = len(self._lanes) % max_lanes
+            self._lanes[camera_id] = lane
+            if len(self._lanes) > max_lanes:
+                logger.warning(
+                    "more cameras (%d) than delta lanes (%d); lane %d is "
+                    "shared and will thrash its reference frame",
+                    len(self._lanes), max_lanes, lane)
+        return lane
+
     def _run_group(self, reqs: List[PendingInference], hw: Tuple[int, int],
                    padded_n: int) -> None:
         n = len(reqs)
         frames = np.zeros((padded_n, *hw, 3), np.uint8)
         for i, req in enumerate(reqs):
             frames[i] = req.frame
+        lanes = None
+        if self._delta:
+            pad_lane = self._lane_for("__pad__")
+            lanes = [self._lane_for(r.camera_id) for r in reqs] + \
+                [pad_lane] * (padded_n - n)
         t0 = time.perf_counter()
-        rows = self.program.detect_batch_rows(frames)
+        rows = self.program.detect_batch_rows(frames, lanes=lanes)
         infer_ms = (time.perf_counter() - t0) * 1000.0
         self._infer_times.append(infer_ms)
         self.total_batches += 1

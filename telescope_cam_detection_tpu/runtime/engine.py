@@ -143,7 +143,13 @@ class InferenceEngine:
                 self._on_rows(_item, rows, _t0)
             self.coordinator.infer_async(frame, callback, self.camera_id)
         else:
-            rows = self.program.detect_batch_rows(frame[None])[0]
+            lanes = None
+            if getattr(self.program.spec, "transfer", None) == "delta":
+                # standalone mode: stable per-camera lane from the camera id
+                lanes = [abs(hash(self.camera_id)) %
+                         self.program.spec.delta_lanes]
+            rows = self.program.detect_batch_rows(frame[None],
+                                                  lanes=lanes)[0]
             self._on_rows(item, rows, t0)
 
     def _on_rows(self, item: Dict[str, Any], rows: np.ndarray, t0: float) -> None:

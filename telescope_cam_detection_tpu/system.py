@@ -149,6 +149,13 @@ class TelescopeDetectionSystem:
             max_det=detection.get("max_detections", 300),
             transfer=detection.get("transfer", "auto"),
             sampling_impl=model_cfg.get("sampling_impl", "xla"),
+            delta_tile=detection.get("delta_tile", 16),
+            delta_threshold=detection.get("delta_threshold", 14),
+            delta_refresh_tiles=detection.get("delta_refresh_tiles", 16),
+            # one device reference-frame lane per camera + one for the
+            # coordinator's batch-padding frames
+            delta_lanes=len([c for c in cfg.get("cameras", [])
+                             if c.get("enabled", True)]) + 1,
         )
         import jax.numpy as jnp
         precision = detection.get("precision", "fp32")

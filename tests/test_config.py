@@ -121,3 +121,20 @@ def test_validate_model_files(tmp_path):
     assert errors
     (tmp_path / "missing.msgpack").write_bytes(b"x")
     assert validate_model_files(cfg, base_dir=str(tmp_path)) == []
+
+
+def test_example_configs_validate():
+    """Every shipped example config parses and passes validation
+    (reference ships examples/config_*.yaml; ours must stay loadable)."""
+    import glob
+    import os
+    import yaml
+    from telescope_cam_detection_tpu.config.loader import validate_config
+    root = os.path.join(os.path.dirname(__file__), "..", "examples")
+    paths = sorted(glob.glob(os.path.join(root, "config_*.yaml")))
+    assert len(paths) == 4, paths
+    for p in paths:
+        with open(p) as f:
+            cfg = yaml.safe_load(f)
+        errors = validate_config(cfg)
+        assert errors == [], f"{os.path.basename(p)}: {errors}"

@@ -1,0 +1,170 @@
+"""Measure BASELINE.json proof configs 2-4 on the real device.
+
+  2. YOLOX-L batch-8 video clip with empty-frame filter + motion gate
+  3. RT-DETR @2560x1440 4-camera trace
+  4. Two-stage: YOLOX detections -> batched crops -> iNat-10k classifier
+     with time-of-day re-rank
+
+Prints one JSON line per config. Select with BENCH_CONFIGS=2,3,4.
+Reference bars (BASELINE.md, A30): YOLOX-L 50-80 ms; RT-DETR @1920^2
+150-250 ms; Stage-2 +20-30 ms/det (pipeline 15/40/65/90 ms at 0/1/2/3 dets).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def bench_config2():
+    """YOLOX-L batch-8 + empty-frame/MOG2 gates over a 192-frame clip."""
+    from telescope_cam_detection_tpu.pipeline.filters import (
+        EmptyFrameFilter, MotionFilter)
+    from telescope_cam_detection_tpu.runtime.program import (
+        DetectorProgram, FilterSettings, ProgramSpec)
+    from telescope_cam_detection_tpu.utils.frames import SyntheticFrameSource
+
+    hw = (720, 1280)
+    spec = ProgramSpec(detector_type="yolox", variant="yolox-l",
+                       input_hw=(640, 640), transfer="delta", delta_lanes=2)
+    prog = DetectorProgram(spec, seed=0)
+    prog.update_filters(FilterSettings(conf_threshold=0.25))
+    empty_gate = EmptyFrameFilter(min_motion_area=200)
+    motion = MotionFilter(enabled=True)
+
+    # clip: still background for 1/3 of frames (object parked), moving rest
+    src = SyntheticFrameSource(width=hw[1], height=hw[0], seed=0)
+    clip = [src.frame_at(i // 3 if i < 64 else i) for i in range(192)]
+
+    for f in clip[:2]:  # warm gates + program
+        empty_gate.has_motion(f)
+        motion.update_background(f)
+    np.asarray(prog.dispatch_batch(np.stack(clip[:8]), lanes=[0] * 8))
+
+    t0 = time.perf_counter()
+    gate_ms, dispatched, batch_buf = [], 0, []
+    for f in clip:
+        g0 = time.perf_counter()
+        has = empty_gate.has_motion(f)
+        motion.update_background(f)
+        gate_ms.append((time.perf_counter() - g0) * 1000)
+        if has:
+            batch_buf.append(f)
+        if len(batch_buf) == 8:
+            np.asarray(prog.dispatch_batch(np.stack(batch_buf),
+                                           lanes=[0] * 8))
+            dispatched += 8
+            batch_buf = []
+    if batch_buf:
+        pad = np.stack(batch_buf + [batch_buf[-1]] *
+                       (8 - len(batch_buf)))
+        np.asarray(prog.dispatch_batch(pad, lanes=[0] * 8))
+        dispatched += len(batch_buf)
+    elapsed = time.perf_counter() - t0
+    print(json.dumps({
+        "config": 2, "name": "yolox-l_b8_gated_clip",
+        "clip_frames": len(clip), "detector_dispatched": dispatched,
+        "gate_skip_pct": round(100 * (1 - dispatched / len(clip)), 1),
+        "gate_ms_per_frame": round(float(np.median(gate_ms)), 2),
+        "effective_fps": round(len(clip) / elapsed, 1),
+        "ms_per_dispatched_batch8": round(
+            elapsed * 1000 / max(dispatched / 8, 1), 1),
+        "reference_bar": "YOLOX-L 50-80 ms/frame on A30",
+    }), flush=True)
+
+
+def bench_config3():
+    """RT-DETR on a 4-camera 2560x1440 trace."""
+    from telescope_cam_detection_tpu.runtime.program import (
+        DetectorProgram, FilterSettings, ProgramSpec)
+    from telescope_cam_detection_tpu.utils.frames import SyntheticFrameSource
+
+    spec = ProgramSpec(detector_type="rtdetr", variant="rtdetrv2-r50vd",
+                       input_hw=(1440, 2560), transfer="delta",
+                       delta_lanes=4, max_det=300)
+    prog = DetectorProgram(spec, seed=0)
+    prog.update_filters(FilterSettings(conf_threshold=0.25,
+                                       wildlife_only=False))
+    srcs = [SyntheticFrameSource(width=2560, height=1440, seed=c)
+            for c in range(4)]
+    batch0 = np.stack([s.frame_at(0) for s in srcs])
+    np.asarray(prog.dispatch_batch(batch0, lanes=[0, 1, 2, 3]))  # compile
+    iters = int(os.environ.get("C3_ITERS", "10"))
+    t0 = time.perf_counter()
+    for i in range(1, iters + 1):
+        frames = np.stack([s.frame_at(i) for s in srcs])
+        np.asarray(prog.dispatch_batch(frames, lanes=[0, 1, 2, 3]))
+    elapsed = time.perf_counter() - t0
+    print(json.dumps({
+        "config": 3, "name": "rtdetr_r50_4cam_1440p",
+        "ms_per_batch4": round(elapsed * 1000 / iters, 1),
+        "ms_per_frame": round(elapsed * 1000 / (iters * 4), 1),
+        "fps_aggregate": round(iters * 4 / elapsed, 1),
+        "reference_bar": "RT-DETR 150-250 ms @1920^2 on A30",
+    }), flush=True)
+
+
+def bench_config4():
+    """Two-stage: YOLOX rows -> batched device crops -> EVA02-L bf16 with
+    time-of-day re-rank, at 0/1/2/3 detections per frame."""
+    import jax.numpy as jnp
+    from telescope_cam_detection_tpu.pipeline.species import SpeciesClassifier
+    from telescope_cam_detection_tpu.pipeline.two_stage import (
+        TwoStageDetectionPipeline)
+    from telescope_cam_detection_tpu.runtime.program import (
+        DetectorProgram, FilterSettings, ProgramSpec)
+    from telescope_cam_detection_tpu.utils.frames import SyntheticFrameSource
+
+    hw = (1440, 2560)
+    prog = DetectorProgram(
+        ProgramSpec(detector_type="yolox", variant="yolox-s",
+                    input_hw=(640, 640), transfer="delta", delta_lanes=2),
+        seed=0)
+    prog.update_filters(FilterSettings(conf_threshold=0.25))
+    classifier = SpeciesClassifier(param_dtype=jnp.bfloat16,
+                                   attn_impl=os.environ.get("S2_ATTN", "xla"))
+    pipeline = TwoStageDetectionPipeline(classifier)
+
+    src = SyntheticFrameSource(width=hw[1], height=hw[0], seed=0)
+    frame = src.frame_at(0)
+    np.asarray(prog.dispatch_batch(frame[None], lanes=[0]))
+
+    def fake_dets(n):
+        out = []
+        rng = np.random.default_rng(n)
+        for k in range(n):
+            x1 = int(rng.integers(0, hw[1] - 400))
+            y1 = int(rng.integers(0, hw[0] - 400))
+            w = h = int(rng.integers(120, 400))
+            out.append({"class_id": 14, "class_name": "bird",
+                        "confidence": 0.9,
+                        "bbox": {"x1": x1, "y1": y1, "x2": x1 + w,
+                                 "y2": y1 + h, "width": w, "height": h,
+                                 "area": w * h}})
+        return out
+
+    rows = {}
+    for n_det in (0, 1, 2, 3):
+        pipeline.process_detections(frame, fake_dets(n_det))  # warm bucket
+        t0 = time.perf_counter()
+        iters = 6
+        for i in range(iters):
+            stage1 = np.asarray(prog.dispatch_batch(
+                src.frame_at(i)[None], lanes=[0]))
+            del stage1
+            pipeline.process_detections(frame, fake_dets(n_det))
+        rows[n_det] = round((time.perf_counter() - t0) / iters * 1000, 1)
+    print(json.dumps({
+        "config": 4, "name": "two_stage_eva02_bf16",
+        "ms_per_frame_at_dets": rows,
+        "reference_bar": "15/40/65/90 ms at 0/1/2/3 dets on A30",
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    wanted = os.environ.get("BENCH_CONFIGS", "2,3,4").split(",")
+    for c in wanted:
+        {"2": bench_config2, "3": bench_config3, "4": bench_config4}[c.strip()]()

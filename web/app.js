@@ -1,15 +1,20 @@
 /* Detection dashboard: WebSocket detections -> canvas overlays on MJPEG
- * feeds, per-camera badges, session stats. Counterpart of the reference's
- * web/app.js DetectionApp (WS client :423, overlay renderer :632, MJPEG
- * feeds :571), reimplemented compactly. */
+ * feeds, grid/single view with layout presets, HBM gauge, per-camera FPS
+ * badges, session stats panel. Counterpart of the reference's web/app.js
+ * DetectionApp (WS client :423, overlay renderer :632, MJPEG feeds :571,
+ * view layouts :423-700, GPU gauge :49), reimplemented for the TPU stack. */
 "use strict";
 
 class DetectionApp {
   constructor() {
-    this.cameras = new Map();        // id -> {el, canvas, ctx, badge, lastSeen}
+    this.cameras = new Map();        // id -> {el, canvas, ctx, ...}
     this.sessionDetections = 0;
+    this.sessionByClass = new Map(); // class/species -> count
+    this.msgTimes = [];              // WS message timestamps (rate)
     this.ws = null;
     this.wsRetryMs = 1000;
+    this.view = localStorage.getItem("view") || "auto"; // auto|1|2|3|single
+    this.singleCam = null;
     this.init();
   }
 
@@ -19,8 +24,51 @@ class DetectionApp {
       const data = await res.json();
       for (const cam of data.cameras || []) this.addCamera(cam);
     } catch (e) { this.log(`failed to list cameras: ${e}`); }
+    this.buildToolbar();
+    this.applyView();
     this.connectWebSocket();
     setInterval(() => this.pollSystemStats(), 5000);
+    setInterval(() => this.updateSessionPanel(), 2000);
+    document.addEventListener("keydown", (ev) => {
+      if (ev.key === "Escape" && this.view === "single") this.setView("auto");
+    });
+  }
+
+  // ---- layout ----------------------------------------------------------
+  buildToolbar() {
+    const bar = document.getElementById("layouts");
+    const mk = (label, view, title) => {
+      const b = document.createElement("button");
+      b.textContent = label; b.title = title; b.dataset.view = view;
+      b.onclick = () => this.setView(view);
+      bar.appendChild(b);
+    };
+    mk("auto", "auto", "responsive grid");
+    mk("1", "1", "one column");
+    mk("2", "2", "2-wide grid");
+    mk("3", "3", "3-wide grid");
+  }
+
+  setView(view, camId = null) {
+    this.view = view;
+    this.singleCam = camId;
+    localStorage.setItem("view", view);
+    this.applyView();
+  }
+
+  applyView() {
+    const main = document.getElementById("cameras");
+    const cols = { "1": "1fr", "2": "repeat(2, 1fr)", "3": "repeat(3, 1fr)" };
+    main.style.gridTemplateColumns = this.view === "single"
+      ? "1fr" : (cols[this.view] ||
+                 "repeat(auto-fit, minmax(420px, 1fr))");
+    for (const [id, cam] of this.cameras) {
+      cam.el.style.display =
+        (this.view === "single" && id !== this.singleCam) ? "none" : "";
+    }
+    for (const b of document.querySelectorAll("#layouts button")) {
+      b.classList.toggle("active", b.dataset.view === this.view);
+    }
   }
 
   addCamera(cam) {
@@ -29,7 +77,8 @@ class DetectionApp {
     div.className = "cam";
     div.innerHTML = `
       <div class="head">
-        <span>${cam.name || cam.id}</span>
+        <span class="name">${cam.name || cam.id}</span>
+        <span class="badge fps" id="fps-${cam.id}">— fps</span>
         <span class="badge" id="badge-${cam.id}">—</span>
       </div>
       <div class="view">
@@ -39,13 +88,19 @@ class DetectionApp {
     root.appendChild(div);
     const img = div.querySelector("img");
     const canvas = div.querySelector("canvas");
+    div.querySelector(".view").onclick = () => {
+      this.setView(this.view === "single" ? "auto" : "single",
+                   this.view === "single" ? null : cam.id);
+    };
     this.cameras.set(cam.id, {
       el: div, img, canvas, ctx: canvas.getContext("2d"),
       badge: div.querySelector(`#badge-${CSS.escape(cam.id)}`),
+      fpsBadge: div.querySelector(`#fps-${CSS.escape(cam.id)}`),
       lastSeen: 0,
     });
   }
 
+  // ---- websocket ---------------------------------------------------------
   connectWebSocket() {
     const proto = location.protocol === "https:" ? "wss" : "ws";
     this.ws = new WebSocket(`${proto}://${location.host}/ws/detections`);
@@ -61,6 +116,8 @@ class DetectionApp {
     };
     this.ws.onmessage = (ev) => {
       let msg; try { msg = JSON.parse(ev.data); } catch { return; }
+      this.msgTimes.push(Date.now());
+      if (this.msgTimes.length > 300) this.msgTimes.shift();
       if (msg.type === "detections") this.onDetections(msg);
       else if (msg.type === "status") this.onStatus(msg);
     };
@@ -77,6 +134,8 @@ class DetectionApp {
       this.drawDetections(cam, msg);
     }
     for (const d of dets) {
+      const key = d.species || d.class_name || "?";
+      this.sessionByClass.set(key, (this.sessionByClass.get(key) || 0) + 1);
       const label = d.species
         ? `${d.species} (${Math.round((d.species_confidence || 0) * 100)}%)`
         : `${d.class_name} (${Math.round((d.confidence || 0) * 100)}%)`;
@@ -110,24 +169,41 @@ class DetectionApp {
   onStatus(msg) {
     for (const cam of msg.cameras || []) {
       const c = this.cameras.get(cam.id);
-      if (c && Date.now() - c.lastSeen > 5000) {
-        c.badge.textContent =
-          `${cam.connected ? "ok" : "offline"} · ${(cam.fps || 0).toFixed(1)} fps`;
+      if (!c) continue;
+      c.fpsBadge.textContent = `${(cam.fps || 0).toFixed(1)} fps`;
+      c.fpsBadge.classList.toggle("bad", !cam.connected);
+      if (Date.now() - c.lastSeen > 5000) {
+        c.badge.textContent = cam.connected ? "idle" : "offline";
       }
     }
   }
 
+  // ---- stats -------------------------------------------------------------
   async pollSystemStats() {
     try {
       const res = await fetch("/api/system/stats");
       const s = await res.json();
-      const mem = s.device_memory
-        ? ` · HBM ${Math.round((s.device_memory.memory_fraction || 0) * 100)}%`
-        : "";
       document.getElementById("stats-bar").textContent =
-        `agg ${s.aggregate_fps} fps · up ${Math.round(s.uptime_seconds)}s` +
-        `${mem} · session dets ${this.sessionDetections}`;
+        `agg ${s.aggregate_fps} fps · up ${Math.round(s.uptime_seconds)}s`;
+      const frac = s.device_memory ? (s.device_memory.memory_fraction || 0) : 0;
+      const gauge = document.getElementById("hbm-fill");
+      gauge.style.width = `${Math.round(frac * 100)}%`;
+      gauge.classList.toggle("warn", frac > 0.75);
+      gauge.classList.toggle("crit", frac > 0.9);
+      document.getElementById("hbm-label").textContent =
+        s.device_memory ? `HBM ${Math.round(frac * 100)}%` : "HBM n/a";
     } catch { /* server away; WS reconnect handles it */ }
+  }
+
+  updateSessionPanel() {
+    const now = Date.now();
+    const recent = this.msgTimes.filter((t) => now - t < 10000).length / 10;
+    const top = [...this.sessionByClass.entries()]
+      .sort((a, b) => b[1] - a[1]).slice(0, 6)
+      .map(([k, v]) => `${k}: ${v}`).join(" · ") || "none yet";
+    document.getElementById("session-panel").innerHTML =
+      `<b>session</b> ${this.sessionDetections} detections · ` +
+      `${recent.toFixed(1)} msg/s<br><span class="muted">${top}</span>`;
   }
 
   log(html) {
