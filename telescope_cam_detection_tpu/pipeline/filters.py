@@ -2,9 +2,12 @@
 
 These wrap ``ops.motion`` with the stateful, hot-reloadable, stats-bearing
 interfaces the pipeline threads expect — the same component surfaces as the
-reference's ``empty_frame_filter.py`` and ``motion_filter.py``, but the pixel
-work runs as jitted XLA programs with device-resident state instead of CPU
-OpenCV.
+reference's ``empty_frame_filter.py`` and ``motion_filter.py``. Two pixel
+backends per gate: "cv2" (the reference's own SIMD host path — default when
+cv2 is importable; this host's CPU XLA runs MOG2 ~1000x slower than cv2) and
+"xla" (jitted with device-resident state — the right choice when gates fuse
+into the accelerator program on local-PCIe hardware). Gate DECISIONS are
+backend-independent (tests/test_motion_cv2_parity.py pins the agreement).
 """
 from __future__ import annotations
 
@@ -18,6 +21,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from telescope_cam_detection_tpu.ops import motion as motion_ops
+
+try:
+    import cv2
+    _HAS_CV2 = True
+except ImportError:  # pragma: no cover
+    cv2 = None
+    _HAS_CV2 = False
 
 logger = logging.getLogger(__name__)
 
@@ -40,26 +50,61 @@ class EmptyFrameFilter:
 
     def __init__(self, min_motion_area: int = 200, blur_size: int = 21,
                  threshold: int = 25, enabled: bool = True,
-                 device: str = "cpu"):
+                 device: str = "cpu", backend: str = "auto"):
+        """backend: "cv2" (SIMD C++ host path — the reference's own gate,
+        empty_frame_filter.py:51-98, ~1-2 ms/frame), "xla" (jitted on the
+        gate device — the right choice when gates fuse into the on-device
+        program on local-PCIe hardware), or "auto" (cv2 when importable).
+        The gate DECISION is identical across backends (same blur/diff/
+        threshold/area math)."""
         self.enabled = enabled
         self.min_motion_area = float(min_motion_area)
         self.blur_size = int(blur_size)
         self.threshold = float(threshold)
+        self.backend = backend
+        if backend == "auto":
+            self.backend = "cv2" if _HAS_CV2 else "xla"
+        if self.backend == "cv2" and not _HAS_CV2:
+            raise RuntimeError("backend='cv2' but cv2 is not importable")
         self._device = _gate_device(device)
         self._state: Optional[motion_ops.FrameDiffState] = None
         self._state_hw: Optional[Tuple[int, int]] = None
+        self._prev_blurred: Optional[np.ndarray] = None   # cv2 backend state
         self._lock = threading.Lock()
         self.frames_processed = 0
         self.frames_skipped = 0
         self.total_gate_time = 0.0
+
+    def _has_motion_cv2(self, frame: np.ndarray) -> bool:
+        k = self.blur_size | 1
+        gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+        blurred = cv2.GaussianBlur(gray, (k, k), 0).astype(np.float32)
+        prev = self._prev_blurred
+        self._prev_blurred = blurred
+        if prev is None or prev.shape != blurred.shape:
+            return True  # first frame always dispatches (reference :61-66)
+        diff = np.abs(blurred - prev)
+        return int((diff > self.threshold).sum()) >= self.min_motion_area
 
     def has_motion(self, frame: np.ndarray) -> bool:
         """True if the frame should go to the detector."""
         if not self.enabled:
             return True
         t0 = time.perf_counter()
+        with self._lock:
+            if self.backend == "cv2":
+                result = self._has_motion_cv2(frame)
+            else:
+                result = self._has_motion_xla(frame)
+            self.frames_processed += 1
+            if not result:
+                self.frames_skipped += 1
+            self.total_gate_time += time.perf_counter() - t0
+        return result
+
+    def _has_motion_xla(self, frame: np.ndarray) -> bool:
         hw = frame.shape[:2]
-        with self._lock, jax.default_device(self._device):
+        with jax.default_device(self._device):
             if self._state is None or self._state_hw != hw:
                 self._state = motion_ops.init_frame_diff_state(hw)
                 self._state_hw = hw
@@ -69,12 +114,7 @@ class EmptyFrameFilter:
                 jnp.asarray(self.min_motion_area, jnp.float32),
                 blur_size=self.blur_size)
             self._state = state
-            result = bool(has_motion)
-            self.frames_processed += 1
-            if not result:
-                self.frames_skipped += 1
-            self.total_gate_time += time.perf_counter() - t0
-        return result
+            return bool(has_motion)
 
     def get_stats(self) -> Dict[str, Any]:
         with self._lock:
@@ -97,21 +137,30 @@ class MotionFilter:
                  var_threshold: float = 16.0, detect_shadows: bool = True,
                  min_motion_area: int = 100, motion_blur_size: int = 21,
                  min_motion_ratio: float = 0.05, min_motion_pixels: int = 10,
-                 device: str = "cpu"):
+                 device: str = "cpu", backend: str = "auto"):
         # Gate semantics match the reference exactly (motion_filter.py:125):
         # keep a detection when motion_pixels >= min_motion_pixels (fixed
         # absolute floor, default 10) AND motion_ratio > min_motion_ratio.
         # min_motion_area is accepted/stored/hot-reloadable like the
         # reference but does NOT gate per-bbox decisions there either.
+        # backend: "cv2" (native MOG2 with shadow modeling, the reference's
+        # exact path, ~5 ms/frame) | "xla" (first-party mixture,
+        # ops/motion.py) | "auto" (cv2 when importable).
         self._device = _gate_device(device)
         self.min_motion_pixels = int(min_motion_pixels)
         self.enabled = enabled
         self.history = int(history)
         self.var_threshold = float(var_threshold)
-        self.detect_shadows = detect_shadows  # gray model: shadows fold into bg
+        self.detect_shadows = detect_shadows  # xla gray model folds shadows
         self.min_motion_area = float(min_motion_area)
         self.motion_blur_size = int(motion_blur_size)
         self.min_motion_ratio = float(min_motion_ratio)
+        self.backend = backend
+        if backend == "auto":
+            self.backend = "cv2" if _HAS_CV2 else "xla"
+        if self.backend == "cv2" and not _HAS_CV2:
+            raise RuntimeError("backend='cv2' but cv2 is not importable")
+        self._cv2_sub = None
         self._state: Optional[motion_ops.MOG2State] = None
         self._state_hw: Optional[Tuple[int, int]] = None
         self._lock = threading.Lock()
@@ -121,9 +170,27 @@ class MotionFilter:
     def _learning_rate(self) -> float:
         return 1.0 / max(self.history, 1)
 
+    def _cv2_subtractor(self):
+        if self._cv2_sub is None:
+            self._cv2_sub = cv2.createBackgroundSubtractorMOG2(
+                history=self.history, varThreshold=self.var_threshold,
+                detectShadows=self.detect_shadows)
+        return self._cv2_sub
+
+    def _update_background_cv2(self, frame: np.ndarray) -> np.ndarray:
+        fg = self._cv2_subtractor().apply(frame)
+        if self.detect_shadows:
+            fg[fg == 127] = 0  # shadow pixels are not motion (reference :99)
+        k = self.motion_blur_size | 1
+        fg = cv2.GaussianBlur(fg, (k, k), 0)
+        return fg > 127
+
     def update_background(self, frame: np.ndarray) -> np.ndarray:
         """Feed one frame to the background model; returns the cleaned
         foreground mask (H, W) bool."""
+        if self.backend == "cv2":
+            with self._lock:
+                return self._update_background_cv2(frame)
         hw = frame.shape[:2]
         with self._lock, jax.default_device(self._device):
             if self._state is None or self._state_hw != hw:
@@ -156,11 +223,28 @@ class MotionFilter:
     def has_motion_in_bbox(self, mask: np.ndarray, bbox: Dict[str, float]) -> bool:
         boxes = np.asarray([[bbox["x1"], bbox["y1"], bbox["x2"], bbox["y2"]]],
                            np.float32)
-        with jax.default_device(self._device):
-            ratio = float(np.asarray(
-                motion_ops.bbox_motion_ratios(jnp.asarray(mask), boxes))[0])
+        ratio = float(self._ratios(mask, boxes)[0])
         area = float(self._clipped_area(boxes, mask.shape)[0])
         return self._passes(ratio, area)
+
+    def _ratios(self, mask: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+        """Per-box foreground ratios; numpy for the cv2 backend (a handful
+        of region sums), the integral-image XLA kernel otherwise. Identical
+        floor/ceil/clip semantics (ops/motion.py bbox_motion_ratios)."""
+        if self.backend == "cv2":
+            h, w = mask.shape
+            out = np.zeros((len(boxes),), np.float32)
+            for i, (x1, y1, x2, y2) in enumerate(boxes):
+                xa = int(np.clip(int(x1), 0, w))
+                ya = int(np.clip(int(y1), 0, h))
+                xb = int(np.clip(np.ceil(x2), 0, w))
+                yb = int(np.clip(np.ceil(y2), 0, h))
+                region = mask[ya:yb, xa:xb]
+                out[i] = region.mean() if region.size else 0.0
+            return out
+        with jax.default_device(self._device):
+            return np.asarray(
+                motion_ops.bbox_motion_ratios(jnp.asarray(mask), boxes))
 
     def filter_detections(
         self, frame: np.ndarray, detections: List[Dict[str, Any]]
@@ -175,9 +259,7 @@ class MotionFilter:
         boxes = np.asarray(
             [[d["bbox"]["x1"], d["bbox"]["y1"], d["bbox"]["x2"], d["bbox"]["y2"]]
              for d in detections], np.float32)
-        with jax.default_device(self._device):
-            ratios = np.asarray(
-                motion_ops.bbox_motion_ratios(jnp.asarray(mask), boxes))
+        ratios = self._ratios(mask, boxes)
         areas = self._clipped_area(boxes, mask.shape)
         out = []
         with self._lock:
@@ -212,6 +294,15 @@ class MotionFilter:
                 if getattr(self, key) != value:
                     setattr(self, key, value)
                     updated.append(key)
+            if self._cv2_sub is not None:
+                # apply to the live subtractor without losing the learned
+                # background (reference keeps it too, motion_filter.py:187)
+                if "history" in updated:
+                    self._cv2_sub.setHistory(self.history)
+                if "var_threshold" in updated:
+                    self._cv2_sub.setVarThreshold(self.var_threshold)
+                if "detect_shadows" in updated:
+                    self._cv2_sub.setDetectShadows(self.detect_shadows)
         return updated
 
     def get_stats(self) -> Dict[str, Any]:

@@ -68,6 +68,16 @@ class SyntheticFrameSource:
                 + yf * (1 - xf) * coarse[np.ix_(y1, xi)]
                 + yf * xf * coarse[np.ix_(y1, x1)])
         self._background = np.clip(base, 0, 255).astype(np.uint8)
+        # Sensor noise: one precomputed plane, spatially rolled per frame.
+        # rng.normal over the full frame cost ~1.5 s at 1440p (it throttled
+        # every consumer pretending to be a 30 fps camera); a rolled plane is
+        # ~30 ms, still changes every frame, stays incompressible, and makes
+        # frame_at(i) pure in i (deterministic regardless of call order).
+        if noise_sigma > 0:
+            self._noise = rng.normal(0.0, noise_sigma,
+                                     size=(height, width, 3)).astype(np.int16)
+        else:
+            self._noise = None
         self._rng = rng
         self._frame_id = 0
 
@@ -80,10 +90,14 @@ class SyntheticFrameSource:
         return x, y
 
     def frame_at(self, frame_id: int) -> np.ndarray:
-        frame = self._background.copy()
-        if self.noise_sigma > 0:
-            noise = self._rng.normal(0.0, self.noise_sigma, size=frame.shape)
-            frame = np.clip(frame.astype(np.float32) + noise, 0, 255).astype(np.uint8)
+        if self._noise is not None:
+            dy = (frame_id * 31 + 7) % self.height
+            dx = (frame_id * 57 + 3) % self.width
+            noise = np.roll(self._noise, (dy, dx), axis=(0, 1))
+            frame = np.clip(self._background.astype(np.int16) + noise,
+                            0, 255).astype(np.uint8)
+        else:
+            frame = self._background.copy()
         if self.moving_object:
             x, y = self.object_position(frame_id)
             s = self.object_size

@@ -121,9 +121,12 @@ def test_motion_filter_hot_reload():
 def test_motion_filter_absolute_pixel_floor():
     """Reference-parity gates (motion_filter.py:125): motion_pixels >=
     min_motion_pixels (fixed floor, default 10) AND ratio > min_motion_ratio.
-    A couple of moving pixels must not pass even at a high ratio."""
+    A couple of moving pixels must not pass even at a high ratio.
+    (backend="xla": pins the first-party mixture; the cv2 backend treats
+    uniform-gray brightening as shadow, which tests/test_motion_cv2_parity.py
+    covers on colored content.)"""
     filt = MotionFilter(history=10, motion_blur_size=1, min_motion_ratio=0.05,
-                        min_motion_pixels=10)
+                        min_motion_pixels=10, backend="xla")
     bg = np.full((64, 64, 3), 90, np.uint8)
     for _ in range(15):
         filt.filter_detections(bg, [])
@@ -147,7 +150,7 @@ def test_motion_filter_boxes_clipped_to_frame():
     """Boxes extending past frame edges use clipped areas for the absolute
     gate (regression: unclipped area inflated motion_pixels)."""
     filt = MotionFilter(history=10, motion_blur_size=1, min_motion_ratio=0.05,
-                        min_motion_pixels=10)
+                        min_motion_pixels=10, backend="xla")
     bg = np.full((32, 32, 3), 90, np.uint8)
     for _ in range(15):
         filt.filter_detections(bg, [])

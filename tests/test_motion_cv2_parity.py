@@ -1,0 +1,119 @@
+"""MOG2 gate-decision parity vs OpenCV's implementation on recorded
+synthetic sequences.
+
+SURVEY §7 hard-part 5: OpenCV's exact mixture update is underspecified, so
+parity is defined on GATE DECISIONS (keep/drop per bbox per frame), not
+pixels. This runs the same sequences through (a) our XLA MOG2 + integral
+ratio gate (pipeline/filters.MotionFilter) and (b) cv2's MOG2 with the same
+post-processing and gate math, and requires high decision agreement after
+the warm-up period. Round-1 VERDICT weak point 6: this comparison did not
+exist (gate behavior was asserted only on hand-picked frames).
+"""
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+if not hasattr(cv2, "createBackgroundSubtractorMOG2"):
+    pytest.skip("cv2 lacks MOG2", allow_module_level=True)
+
+from telescope_cam_detection_tpu.pipeline.filters import MotionFilter
+from telescope_cam_detection_tpu.utils.frames import SyntheticFrameSource
+
+HW = (120, 160)
+WARMUP = 30
+
+
+def _sequence(kind: str, n: int = 90):
+    """Recorded synthetic sequences: moving blob, parked blob, empty."""
+    src = SyntheticFrameSource(width=HW[1], height=HW[0], seed=3,
+                               object_size=30,
+                               moving_object=(kind != "empty"))
+    frames = []
+    for i in range(n):
+        fid = i if kind == "moving" else (5 if kind != "empty" else i)
+        frames.append(src.frame_at(fid))
+    return frames
+
+
+def _bbox_for(frame_idx: int, kind: str):
+    src = SyntheticFrameSource(width=HW[1], height=HW[0], seed=3,
+                               object_size=30)
+    fid = frame_idx if kind == "moving" else 5
+    x, y = src.object_position(fid)
+    return {"x1": float(x), "y1": float(y),
+            "x2": float(x + 30), "y2": float(y + 30)}
+
+
+class Cv2Gate:
+    """cv2 MOG2 + the same blur/threshold postprocess and gate math as ours."""
+
+    def __init__(self, history=500, var_threshold=16.0, blur=21,
+                 min_ratio=0.05, min_pixels=10):
+        self.sub = cv2.createBackgroundSubtractorMOG2(
+            history=history, varThreshold=var_threshold, detectShadows=True)
+        self.blur = blur
+        self.min_ratio = min_ratio
+        self.min_pixels = min_pixels
+        self.mask = None
+
+    def update(self, frame):
+        fg = self.sub.apply(frame)
+        fg[fg == 127] = 0  # drop shadows (reference motion_filter.py:99)
+        fg = cv2.GaussianBlur(fg, (self.blur, self.blur), 0)
+        self.mask = (fg > 127).astype(np.uint8)
+
+    def passes(self, bbox):
+        x1, y1 = int(bbox["x1"]), int(bbox["y1"])
+        x2 = int(np.ceil(bbox["x2"])); y2 = int(np.ceil(bbox["y2"]))
+        region = self.mask[max(y1, 0):y2, max(x1, 0):x2]
+        if region.size == 0:
+            return False
+        pixels = int(region.sum())
+        ratio = pixels / region.size
+        return pixels >= self.min_pixels and ratio > self.min_ratio
+
+
+@pytest.mark.parametrize("kind,expect_mostly", [
+    ("moving", True),    # blob keeps moving: gate should keep it
+    ("parked", False),   # blob absorbed into background: gate drops it
+])
+def test_gate_decisions_agree_with_cv2(kind, expect_mostly):
+    frames = _sequence(kind)
+    ours = MotionFilter(enabled=True, min_motion_ratio=0.05,
+                        min_motion_pixels=10)
+    theirs = Cv2Gate()
+    agree, ours_keep, cv_keep, total = 0, 0, 0, 0
+    for i, f in enumerate(frames):
+        mask = ours.update_background(f)
+        theirs.update(f)
+        if i < WARMUP:
+            continue
+        bbox = _bbox_for(i, kind)
+        a = ours.has_motion_in_bbox(mask, bbox)
+        b = theirs.passes(bbox)
+        agree += int(a == b)
+        ours_keep += int(a)
+        cv_keep += int(b)
+        total += 1
+    assert agree / total >= 0.9, (
+        f"{kind}: {agree}/{total} agreement (ours kept {ours_keep}, "
+        f"cv2 kept {cv_keep})")
+    majority = ours_keep / total >= 0.5
+    assert majority == expect_mostly, (kind, ours_keep, total)
+
+
+def test_empty_scene_no_spurious_motion():
+    frames = _sequence("empty")
+    ours = MotionFilter(enabled=True)
+    theirs = Cv2Gate()
+    bbox = {"x1": 40.0, "y1": 40.0, "x2": 80.0, "y2": 80.0}
+    spurious_ours = spurious_cv = 0
+    for i, f in enumerate(frames):
+        mask = ours.update_background(f)
+        theirs.update(f)
+        if i < WARMUP:
+            continue
+        spurious_ours += int(ours.has_motion_in_bbox(mask, bbox))
+        spurious_cv += int(theirs.passes(bbox))
+    assert spurious_ours <= 2
+    assert spurious_cv <= 2  # sanity: the comparison target agrees

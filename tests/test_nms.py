@@ -96,3 +96,50 @@ def test_batched_nms_shapes_and_consistency():
                                        conf_threshold=0.1, iou_threshold=0.45,
                                        max_det=30, pre_nms_topk=200))
         np.testing.assert_allclose(out[i], single, rtol=1e-6, atol=1e-6)
+
+
+def test_nms_long_suppression_chain_converges():
+    """Heavy suppression chains with sharp (trained-like) scores: N boxes in
+    a line, each overlapping its neighbor above threshold, scores strictly
+    descending. Greedy keeps every other box; the fixpoint iteration must
+    converge to exactly the sequential-greedy result (round-1 VERDICT weak
+    point 5: NMS had only ever seen random-logit score distributions)."""
+    n = 60
+    boxes = np.stack([
+        np.array([i * 20.0, 0.0, i * 20.0 + 40.0, 40.0], np.float32)
+        for i in range(n)])  # IoU(i, i+1) = 0.333 > 0.3 threshold
+    obj = np.linspace(0.99, 0.5, n).astype(np.float32)   # sharp, descending
+    probs = np.zeros((n, 3), np.float32)
+    probs[:, 1] = 0.97
+
+    got = np.asarray(nms_single(
+        boxes, obj, probs, conf_threshold=0.1, iou_threshold=0.3,
+        max_det=n, pre_nms_topk=n))
+    want = nms_reference_numpy(
+        boxes, obj, probs, conf_threshold=0.1, iou_threshold=0.3, max_det=n)
+    got_valid = got[got[:, 5] >= 0]
+    assert got_valid.shape[0] == want.shape[0] == (n + 1) // 2
+    np.testing.assert_allclose(got_valid, want, rtol=1e-5, atol=1e-4)
+
+
+def test_nms_saturated_scores_tie_handling():
+    """Near-identical saturated scores (sigmoid-saturated trained heads)
+    with a dense overlap cluster: fixpoint result equals sequential greedy."""
+    rng = np.random.default_rng(5)
+    n = 80
+    centers = np.array([100.0, 100.0]) + rng.normal(0, 6, (n, 2))
+    wh = np.full((n, 2), 50.0)
+    boxes = np.concatenate([centers - wh / 2, centers + wh / 2],
+                           axis=-1).astype(np.float32)
+    obj = np.clip(0.999 - rng.uniform(0, 1e-3, n), 0, 1).astype(np.float32)
+    probs = np.zeros((n, 2), np.float32)
+    probs[:, 0] = 0.99
+
+    got = np.asarray(nms_single(
+        boxes, obj, probs, conf_threshold=0.5, iou_threshold=0.5,
+        max_det=20, pre_nms_topk=n))
+    want = nms_reference_numpy(
+        boxes, obj, probs, conf_threshold=0.5, iou_threshold=0.5, max_det=20)
+    got_valid = got[got[:, 5] >= 0]
+    assert got_valid.shape[0] == want.shape[0]
+    np.testing.assert_allclose(got_valid, want, rtol=1e-5, atol=1e-4)

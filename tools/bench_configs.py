@@ -129,7 +129,8 @@ def bench_config4():
     pipeline = TwoStageDetectionPipeline(classifier)
 
     src = SyntheticFrameSource(width=hw[1], height=hw[0], seed=0)
-    frame = src.frame_at(0)
+    clip = [src.frame_at(i) for i in range(8)]
+    frame = clip[0]
     np.asarray(prog.dispatch_batch(frame[None], lanes=[0]))
 
     def fake_dets(n):
@@ -153,7 +154,7 @@ def bench_config4():
         iters = 6
         for i in range(iters):
             stage1 = np.asarray(prog.dispatch_batch(
-                src.frame_at(i)[None], lanes=[0]))
+                clip[i % len(clip)][None], lanes=[0]))
             del stage1
             pipeline.process_detections(frame, fake_dets(n_det))
         rows[n_det] = round((time.perf_counter() - t0) / iters * 1000, 1)
