@@ -3,6 +3,8 @@ on CPU; same kernel compiles for TPU)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax.numpy as jnp
 
 from telescope_cam_detection_tpu.models.rtdetr import ms_deformable_attention

@@ -3,6 +3,8 @@ CPU; the same kernel compiles for TPU)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax.numpy as jnp
 
 from telescope_cam_detection_tpu.ops.nms import _greedy_suppress, iou_matrix

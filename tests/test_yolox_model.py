@@ -1,6 +1,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from telescope_cam_detection_tpu.models.yolox import (
     YOLOX_VARIANTS,
     decode_outputs,
