@@ -101,6 +101,9 @@ def main() -> None:
         frames, lanes = batch_at(w)
         np.asarray(program.dispatch_batch(frames, lanes=lanes,
                                           capture_hw=capture_hw))
+    # steady-state tile stats only (warm-up includes the full refresh)
+    warm_tiles = program.stats.get("delta_tiles_sent", 0)
+    warm_frames = program.stats.get("frames", 0)
 
     # Pipelined measurement: a drainer thread reads back batch k while the
     # main thread encodes/transfers/dispatches batch k+1.
@@ -156,9 +159,9 @@ def main() -> None:
         "device": str(jax.devices()[0]),
     }
     if transfer == "delta":
-        sent = program.stats.get("delta_tiles_sent", 0)
-        out["delta_tiles_per_frame"] = round(
-            sent / max(program.stats["frames"], 1), 1)
+        sent = program.stats.get("delta_tiles_sent", 0) - warm_tiles
+        n_frames = program.stats["frames"] - warm_frames
+        out["delta_tiles_per_frame"] = round(sent / max(n_frames, 1), 1)
     if mode == "latency":
         out["metric"] = "p50_frame_latency_ms_4cam_1440p"
         out["value"] = round(p50, 2)

@@ -100,14 +100,21 @@ class FaceMasker:
             return []
         gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY) if frame.ndim == 3 \
             else frame
+        # Downscale for speed, but never below the point where a
+        # min_face_size face shrinks under the cascade's 24px training
+        # window — otherwise small faces silently become undetectable
+        # (a privacy regression, not a speed trade).
+        window = 24
         scale = 1.0
         if max(gray.shape) > self.detect_max_dim:
             scale = max(gray.shape) / self.detect_max_dim
+            scale = min(scale, max(self.min_face_size / window, 1.0))
+        if scale > 1.0:
             gray = cv2.resize(
                 gray, (max(int(round(gray.shape[1] / scale)), 1),
                        max(int(round(gray.shape[0] / scale)), 1)),
                 interpolation=cv2.INTER_LINEAR)
-        min_px = max(int(round(self.min_face_size / scale)), 24)
+        min_px = max(int(round(self.min_face_size / scale)), window)
         if self._cascade_kind == "cv2":
             faces = cascade.detectMultiScale(
                 gray, scaleFactor=self.scale_factor,

@@ -78,9 +78,8 @@ class SharedInferenceCoordinator:
         self._thread: Optional[threading.Thread] = None
         self._running = threading.Event()
 
-        # delta-transfer lane assignment: camera_id -> stable device lane
-        # (runtime/program.py delta mode keeps one reference frame per lane)
-        self._lanes: Dict[str, int] = {}
+        # delta transfer: lanes come from the program's shared registry
+        # (program.lane_for_stream), so engines and coordinator agree
         self._delta = getattr(getattr(program, "spec", None),
                               "transfer", None) == "delta"
 
@@ -206,19 +205,6 @@ class SharedInferenceCoordinator:
             else:
                 self._run_group(reqs, hw, padded_n)
 
-    def _lane_for(self, camera_id: str) -> int:
-        lane = self._lanes.get(camera_id)
-        if lane is None:
-            max_lanes = getattr(self.program.spec, "delta_lanes", 8)
-            lane = len(self._lanes) % max_lanes
-            self._lanes[camera_id] = lane
-            if len(self._lanes) > max_lanes:
-                logger.warning(
-                    "more cameras (%d) than delta lanes (%d); lane %d is "
-                    "shared and will thrash its reference frame",
-                    len(self._lanes), max_lanes, lane)
-        return lane
-
     def _run_group(self, reqs: List[PendingInference], hw: Tuple[int, int],
                    padded_n: int) -> None:
         n = len(reqs)
@@ -227,11 +213,14 @@ class SharedInferenceCoordinator:
             frames[i] = req.frame
         lanes = None
         if self._delta:
-            pad_lane = self._lane_for("__pad__")
-            lanes = [self._lane_for(r.camera_id) for r in reqs] + \
-                [pad_lane] * (padded_n - n)
+            pad_lane = self.program.lane_for_stream("__pad__")
+            lanes = [self.program.lane_for_stream(r.camera_id)
+                     for r in reqs] + [pad_lane] * (padded_n - n)
         t0 = time.perf_counter()
-        rows = self.program.detect_batch_rows(frames, lanes=lanes)
+        if lanes is None:  # keep duck-typed (lane-less) programs working
+            rows = self.program.detect_batch_rows(frames)
+        else:
+            rows = self.program.detect_batch_rows(frames, lanes=lanes)
         infer_ms = (time.perf_counter() - t0) * 1000.0
         self._infer_times.append(infer_ms)
         self.total_batches += 1

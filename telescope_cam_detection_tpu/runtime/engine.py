@@ -145,9 +145,7 @@ class InferenceEngine:
         else:
             lanes = None
             if getattr(self.program.spec, "transfer", None) == "delta":
-                # standalone mode: stable per-camera lane from the camera id
-                lanes = [abs(hash(self.camera_id)) %
-                         self.program.spec.delta_lanes]
+                lanes = [self.program.lane_for_stream(self.camera_id)]
             rows = self.program.detect_batch_rows(frame[None],
                                                   lanes=lanes)[0]
             self._on_rows(item, rows, t0)

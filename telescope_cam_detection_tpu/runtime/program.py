@@ -196,6 +196,33 @@ class DetectorProgram:
             self._delta_encoders: Dict[int, Any] = {}
             self._delta_lock = threading.Lock()
             self._encode_pool_obj = None
+            self._lane_registry: Dict[str, int] = {}
+
+    def reset_delta_state(self) -> None:
+        """Drop all delta-transfer state (host mirrors + device reference):
+        the next dispatch per lane is a full refresh. Used by benches to
+        replay identical encoder state across passes, and available to
+        operators after a camera swap."""
+        with self._delta_lock:
+            self._delta_encoders.clear()
+            self._delta_ref = None
+
+    def lane_for_stream(self, stream_id: str) -> int:
+        """Deterministic registration-order lane for a stream (delta mode).
+        Shared by the coordinator and standalone engines so every consumer of
+        this program agrees on lane ownership; wraps (with a warning) when
+        there are more streams than delta_lanes."""
+        with self._delta_lock:
+            lane = self._lane_registry.get(stream_id)
+            if lane is None:
+                lane = len(self._lane_registry) % self.spec.delta_lanes
+                self._lane_registry[stream_id] = lane
+                if len(self._lane_registry) > self.spec.delta_lanes:
+                    logger.warning(
+                        "more streams (%d) than delta lanes (%d); lane %d is "
+                        "shared and will thrash its reference frame",
+                        len(self._lane_registry), self.spec.delta_lanes, lane)
+            return lane
 
     def _encode_pool(self):
         if self._encode_pool_obj is None:
@@ -231,7 +258,7 @@ class DetectorProgram:
         model = self.model
         sy = capture_hw[0] / spec.input_hw[0]
         sx = capture_hw[1] / spec.input_hw[1]
-        back_scale = jnp.asarray([sx, sy, sx, sy], jnp.float32)
+        back_scale = np.asarray([sx, sy, sx, sy], np.float32)
 
         def program(variables, frames_u8, class_conf, min_area, max_area,
                     class_allowed):
@@ -305,7 +332,7 @@ class DetectorProgram:
         model = self.model
         sy = capture_hw[0] / spec.input_hw[0]
         sx = capture_hw[1] / spec.input_hw[1]
-        back_scale = jnp.asarray([sx, sy, sx, sy], jnp.float32)
+        back_scale = np.asarray([sx, sy, sx, sy], np.float32)
         from telescope_cam_detection_tpu.ops.delta import apply_tile_deltas
 
         def program(variables, ref, lanes, tile_idx, tiles, class_conf,

@@ -63,16 +63,9 @@ def mosaic(
         i = len(rows)
         img, tgt = images[i], targets[i].astype(np.float32).copy()
         th, tw = y1 - y0, x1 - x0
-        sy0 = 0 if corner in ("tr", "tl") else h - th
-        sx0 = 0 if corner in ("bl", "tl") else w - tw
-        if corner == "br":
-            sy0, sx0 = h - th, w - tw
-        elif corner == "bl":
-            sy0, sx0 = h - th, 0
-        elif corner == "tr":
-            sy0, sx0 = 0, w - tw
-        else:
-            sy0, sx0 = 0, 0
+        # take the source corner opposite the destination quadrant
+        sy0 = h - th if corner in ("br", "bl") else 0
+        sx0 = w - tw if corner in ("br", "tr") else 0
         canvas[y0:y1, x0:x1] = img[sy0:sy0 + th, sx0:sx0 + tw]
         shift_x, shift_y = x0 - sx0, y0 - sy0
         tgt[:, [0, 2]] += shift_x

@@ -42,10 +42,11 @@ class KeySerialExecutor:
         try:
             self._pool.submit(self._drain, key)
         except RuntimeError:  # pool raced shutdown
-            with self._lock:
-                self._active.discard(key)
-                self._pending.pop(key, None)
-            return False
+            # Other threads may have appended to this key's queue after we
+            # claimed _active and were told True — those tasks are owed
+            # execution. Drain the whole lane inline instead of dropping it
+            # (which also runs THIS submission, so report it as executed).
+            self._drain(key)
         return True
 
     def _drain(self, key: Hashable) -> None:

@@ -79,12 +79,23 @@ def test_coordinator_callbacks_overlap_across_cameras():
         class spec:
             max_det = 4
 
-        def detect_batch_rows(self, frames):
+        def detect_batch_rows(self, frames, lanes=None):
             return np.zeros((len(frames), 4, 7), np.float32)
 
     coord = SharedInferenceCoordinator(FakeProgram(), max_batch_size=4,
                                        max_batch_wait_ms=5.0,
                                        callback_workers=4)
+    # spawn the pool's worker threads up front: ThreadPoolExecutor creates
+    # them lazily, and on a loaded single-core host the second worker's
+    # spawn can lag past the whole test, serializing the lanes spuriously
+    warm = threading.Semaphore(0)
+    hold = threading.Event()
+    for i in range(2):
+        coord._callback_pool.submit(f"__warm{i}", lambda: (warm.release(),
+                                                           hold.wait(2)))
+    for _ in range(2):
+        warm.acquire()
+    hold.set()
     lock = threading.Lock()
     order = {"camA": [], "camB": []}
     running = {"camA": 0, "camB": 0}

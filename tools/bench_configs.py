@@ -1,13 +1,16 @@
 """Measure BASELINE.json proof configs 2-4 on the real device.
 
   2. YOLOX-L batch-8 video clip with empty-frame filter + motion gate
-  3. RT-DETR @2560x1440 4-camera trace
+  3. RT-DETR @ 2560x1440 capture, 4-camera trace (model input 640/1280)
   4. Two-stage: YOLOX detections -> batched crops -> iNat-10k classifier
      with time-of-day re-rank
 
+Methodology: every timed loop is preceded by one identical untimed pass so
+all (batch, K-bucket) program variants are compiled and the persistent XLA
+cache is warm — the numbers are steady-state serving costs, not compiles.
 Prints one JSON line per config. Select with BENCH_CONFIGS=2,3,4.
-Reference bars (BASELINE.md, A30): YOLOX-L 50-80 ms; RT-DETR @1920^2
-150-250 ms; Stage-2 +20-30 ms/det (pipeline 15/40/65/90 ms at 0/1/2/3 dets).
+Reference bars (BASELINE.md, A30): YOLOX-L 50-80 ms/frame; RT-DETR ~20 ms
+@640^2, 150-250 ms @1920^2; Stage-2 pipeline 15/40/65/90 ms at 0/1/2/3 dets.
 """
 import json
 import os
@@ -20,7 +23,8 @@ import numpy as np  # noqa: E402
 
 
 def bench_config2():
-    """YOLOX-L batch-8 + empty-frame/MOG2 gates over a 192-frame clip."""
+    """YOLOX-L (bf16) batch-8 + empty-frame/MOG2 gates over a 192-frame clip."""
+    import jax.numpy as jnp
     from telescope_cam_detection_tpu.pipeline.filters import (
         EmptyFrameFilter, MotionFilter)
     from telescope_cam_detection_tpu.runtime.program import (
@@ -30,81 +34,93 @@ def bench_config2():
     hw = (720, 1280)
     spec = ProgramSpec(detector_type="yolox", variant="yolox-l",
                        input_hw=(640, 640), transfer="delta", delta_lanes=2)
-    prog = DetectorProgram(spec, seed=0)
+    prog = DetectorProgram(spec, seed=0, param_dtype=jnp.bfloat16)
     prog.update_filters(FilterSettings(conf_threshold=0.25))
-    empty_gate = EmptyFrameFilter(min_motion_area=200)
-    motion = MotionFilter(enabled=True)
 
     # clip: still background for 1/3 of frames (object parked), moving rest
     src = SyntheticFrameSource(width=hw[1], height=hw[0], seed=0)
     clip = [src.frame_at(i // 3 if i < 64 else i) for i in range(192)]
 
-    for f in clip[:2]:  # warm gates + program
-        empty_gate.has_motion(f)
-        motion.update_background(f)
-    np.asarray(prog.dispatch_batch(np.stack(clip[:8]), lanes=[0] * 8))
+    def run(timed: bool):
+        empty_gate = EmptyFrameFilter(min_motion_area=200)
+        motion = MotionFilter(enabled=True)
+        t0 = time.perf_counter()
+        gate_ms, dispatched, batch_buf = [], 0, []
+        for f in clip:
+            g0 = time.perf_counter()
+            has = empty_gate.has_motion(f)
+            motion.update_background(f)
+            gate_ms.append((time.perf_counter() - g0) * 1000)
+            if has:
+                batch_buf.append(f)
+            if len(batch_buf) == 8:
+                np.asarray(prog.dispatch_batch(np.stack(batch_buf),
+                                               lanes=[0] * 8))
+                dispatched += 8
+                batch_buf = []
+        if batch_buf:
+            pad = np.stack(batch_buf + [batch_buf[-1]] * (8 - len(batch_buf)))
+            np.asarray(prog.dispatch_batch(pad, lanes=[0] * 8))
+            dispatched += len(batch_buf)
+        return time.perf_counter() - t0, gate_ms, dispatched
 
-    t0 = time.perf_counter()
-    gate_ms, dispatched, batch_buf = [], 0, []
-    for f in clip:
-        g0 = time.perf_counter()
-        has = empty_gate.has_motion(f)
-        motion.update_background(f)
-        gate_ms.append((time.perf_counter() - g0) * 1000)
-        if has:
-            batch_buf.append(f)
-        if len(batch_buf) == 8:
-            np.asarray(prog.dispatch_batch(np.stack(batch_buf),
-                                           lanes=[0] * 8))
-            dispatched += 8
-            batch_buf = []
-    if batch_buf:
-        pad = np.stack(batch_buf + [batch_buf[-1]] *
-                       (8 - len(batch_buf)))
-        np.asarray(prog.dispatch_batch(pad, lanes=[0] * 8))
-        dispatched += len(batch_buf)
-    elapsed = time.perf_counter() - t0
+    run(timed=False)  # warm every program variant this clip triggers
+    # replay the same delta-encoder state so the timed pass hits exactly the
+    # warmed K buckets (a fresh mirror sequence could hit an uncompiled one)
+    prog.reset_delta_state()
+    elapsed, gate_ms, dispatched = run(timed=True)
+    gate_total = sum(gate_ms) / 1000.0
     print(json.dumps({
-        "config": 2, "name": "yolox-l_b8_gated_clip",
+        "config": 2, "name": "yolox-l_bf16_b8_gated_clip",
         "clip_frames": len(clip), "detector_dispatched": dispatched,
         "gate_skip_pct": round(100 * (1 - dispatched / len(clip)), 1),
         "gate_ms_per_frame": round(float(np.median(gate_ms)), 2),
+        "detector_ms_per_batch8": round(
+            (elapsed - gate_total) * 1000 / max(dispatched / 8, 1), 1),
+        "detector_ms_per_frame": round(
+            (elapsed - gate_total) * 1000 / max(dispatched, 1), 1),
         "effective_fps": round(len(clip) / elapsed, 1),
-        "ms_per_dispatched_batch8": round(
-            elapsed * 1000 / max(dispatched / 8, 1), 1),
         "reference_bar": "YOLOX-L 50-80 ms/frame on A30",
+        "note": "single-core host: gates (cv2) and dispatch share 1 CPU",
     }), flush=True)
 
 
 def bench_config3():
-    """RT-DETR on a 4-camera 2560x1440 trace."""
+    """RT-DETR-r50 (bf16) on a 4-camera 2560x1440 trace at realistic model
+    input sizes (the reference resizes captures into the model too)."""
+    import jax.numpy as jnp
     from telescope_cam_detection_tpu.runtime.program import (
         DetectorProgram, FilterSettings, ProgramSpec)
     from telescope_cam_detection_tpu.utils.frames import SyntheticFrameSource
 
-    spec = ProgramSpec(detector_type="rtdetr", variant="rtdetrv2-r50vd",
-                       input_hw=(1440, 2560), transfer="delta",
-                       delta_lanes=4, max_det=300)
-    prog = DetectorProgram(spec, seed=0)
-    prog.update_filters(FilterSettings(conf_threshold=0.25,
-                                       wildlife_only=False))
     srcs = [SyntheticFrameSource(width=2560, height=1440, seed=c)
             for c in range(4)]
-    batch0 = np.stack([s.frame_at(0) for s in srcs])
-    np.asarray(prog.dispatch_batch(batch0, lanes=[0, 1, 2, 3]))  # compile
-    iters = int(os.environ.get("C3_ITERS", "10"))
-    t0 = time.perf_counter()
-    for i in range(1, iters + 1):
-        frames = np.stack([s.frame_at(i) for s in srcs])
-        np.asarray(prog.dispatch_batch(frames, lanes=[0, 1, 2, 3]))
-    elapsed = time.perf_counter() - t0
-    print(json.dumps({
-        "config": 3, "name": "rtdetr_r50_4cam_1440p",
-        "ms_per_batch4": round(elapsed * 1000 / iters, 1),
-        "ms_per_frame": round(elapsed * 1000 / (iters * 4), 1),
-        "fps_aggregate": round(iters * 4 / elapsed, 1),
-        "reference_bar": "RT-DETR 150-250 ms @1920^2 on A30",
-    }), flush=True)
+    trace = [np.stack([s.frame_at(i) for s in srcs]) for i in range(11)]
+    out = {"config": 3, "name": "rtdetr_r50_bf16_4cam_1440p_trace",
+           "reference_bar": "RT-DETR ~20 ms @640^2, 150-250 ms @1920^2 (A30)"}
+    for size in (640, 1280):
+        spec = ProgramSpec(detector_type="rtdetr", variant="rtdetrv2-r50vd",
+                           input_hw=(size, size), transfer="delta",
+                           delta_lanes=4, max_det=300)
+        prog = DetectorProgram(spec, seed=0, param_dtype=jnp.bfloat16)
+        prog.update_filters(FilterSettings(conf_threshold=0.25,
+                                           wildlife_only=False))
+        for frames in trace:  # warm pass (compiles every K bucket used)
+            np.asarray(prog.dispatch_batch(frames, lanes=[0, 1, 2, 3]))
+        prog.reset_delta_state()
+        np.asarray(prog.dispatch_batch(trace[0], lanes=[0, 1, 2, 3]))
+        t0 = time.perf_counter()
+        for frames in trace[1:]:
+            np.asarray(prog.dispatch_batch(frames, lanes=[0, 1, 2, 3]))
+        elapsed = time.perf_counter() - t0
+        n = len(trace) - 1
+        out[f"input{size}"] = {
+            "ms_per_batch4": round(elapsed * 1000 / n, 1),
+            "ms_per_frame": round(elapsed * 1000 / (n * 4), 1),
+            "fps_aggregate": round(n * 4 / elapsed, 1),
+        }
+        print(f"rtdetr@{size}: {out[f'input{size}']}", flush=True)
+    print(json.dumps(out), flush=True)
 
 
 def bench_config4():
@@ -131,12 +147,11 @@ def bench_config4():
     src = SyntheticFrameSource(width=hw[1], height=hw[0], seed=0)
     clip = [src.frame_at(i) for i in range(8)]
     frame = clip[0]
-    np.asarray(prog.dispatch_batch(frame[None], lanes=[0]))
 
     def fake_dets(n):
         out = []
         rng = np.random.default_rng(n)
-        for k in range(n):
+        for _ in range(n):
             x1 = int(rng.integers(0, hw[1] - 400))
             y1 = int(rng.integers(0, hw[0] - 400))
             w = h = int(rng.integers(120, 400))
@@ -147,21 +162,28 @@ def bench_config4():
                                  "area": w * h}})
         return out
 
+    iters = 6
+
+    def run_case(n_det, timed: bool):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            np.asarray(prog.dispatch_batch(clip[i % len(clip)][None],
+                                           lanes=[0]))
+            pipeline.process_detections(frame, fake_dets(n_det))
+        return (time.perf_counter() - t0) / iters * 1000
+
     rows = {}
     for n_det in (0, 1, 2, 3):
-        pipeline.process_detections(frame, fake_dets(n_det))  # warm bucket
-        t0 = time.perf_counter()
-        iters = 6
-        for i in range(iters):
-            stage1 = np.asarray(prog.dispatch_batch(
-                clip[i % len(clip)][None], lanes=[0]))
-            del stage1
-            pipeline.process_detections(frame, fake_dets(n_det))
-        rows[n_det] = round((time.perf_counter() - t0) / iters * 1000, 1)
+        run_case(n_det, timed=False)   # warm compile for this crop bucket
+        prog.reset_delta_state()
+        np.asarray(prog.dispatch_batch(clip[-1][None], lanes=[0]))
+        rows[n_det] = round(run_case(n_det, timed=True), 1)
     print(json.dumps({
         "config": 4, "name": "two_stage_eva02_bf16",
         "ms_per_frame_at_dets": rows,
         "reference_bar": "15/40/65/90 ms at 0/1/2/3 dets on A30",
+        "note": "includes stage-1 dispatch + stage-2 crop batch through the "
+                "relay (~40 ms RTT per device round trip)",
     }), flush=True)
 
 

@@ -14,7 +14,8 @@ class DetectionApp {
     this.ws = null;
     this.wsRetryMs = 1000;
     this.view = localStorage.getItem("view") || "auto"; // auto|1|2|3|single
-    this.singleCam = null;
+    this.singleCam = localStorage.getItem("singleCam") || null;
+    if (this.view === "single" && !this.singleCam) this.view = "auto";
     this.init();
   }
 
@@ -53,6 +54,8 @@ class DetectionApp {
     this.view = view;
     this.singleCam = camId;
     localStorage.setItem("view", view);
+    if (camId) localStorage.setItem("singleCam", camId);
+    else localStorage.removeItem("singleCam");
     this.applyView();
   }
 
