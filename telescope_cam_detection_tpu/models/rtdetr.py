@@ -480,8 +480,20 @@ class RTDETR(nn.Module):
         return rows
 
 
+def resolve_sampling_impl(sampling_impl: str) -> str:
+    """"auto" picks the Pallas deformable-sampling kernel on TPU (random
+    gathers are pathological there: measured 1127 -> 47 ms/frame at 1280^2,
+    docs/PERFORMANCE.md) and the XLA gather path elsewhere (CPU tests run
+    without interpret-mode overhead)."""
+    if sampling_impl != "auto":
+        return sampling_impl
+    import jax
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
 def build_rtdetr(name: str = "rtdetrv2-r18vd", num_classes: int = 80,
-                 dtype=jnp.float32, sampling_impl: str = "xla") -> RTDETR:
+                 dtype=jnp.float32, sampling_impl: str = "auto") -> RTDETR:
+    sampling_impl = resolve_sampling_impl(sampling_impl)
     if name not in RTDETR_VARIANTS:
         raise ValueError(f"unknown RT-DETR variant {name!r}; valid: "
                          f"{sorted(RTDETR_VARIANTS)}")
@@ -494,7 +506,7 @@ def build_rtdetr(name: str = "rtdetrv2-r18vd", num_classes: int = 80,
 
 def init_rtdetr(name: str = "rtdetrv2-r18vd", num_classes: int = 80,
                 input_hw: Tuple[int, int] = (640, 640), seed: int = 0,
-                dtype=jnp.float32, sampling_impl: str = "xla"):
+                dtype=jnp.float32, sampling_impl: str = "auto"):
     model = build_rtdetr(name, num_classes, dtype, sampling_impl)
     dummy = jnp.zeros((1, *input_hw, 3), dtype)
     variables = model.init(jax.random.PRNGKey(seed), dummy, train=False)

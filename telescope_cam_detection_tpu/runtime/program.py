@@ -72,9 +72,10 @@ class ProgramSpec:
     delta_threshold: int = 14
     delta_refresh_tiles: int = 16
     delta_lanes: int = 8                  # max concurrent streams in delta mode
-    # RT-DETR deformable-attention sampling: "xla" gathers or the "pallas"
-    # MXU kernel (ops/pallas_deform.py). Ignored for yolox.
-    sampling_impl: str = "xla"
+    # RT-DETR deformable-attention sampling: "auto" (pallas on TPU, xla
+    # elsewhere — gathers are ~24x slower on TPU at high res), "xla", or
+    # "pallas" (ops/pallas_deform.py). Ignored for yolox.
+    sampling_impl: str = "auto"
 
 
 @dataclasses.dataclass
