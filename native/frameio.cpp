@@ -143,4 +143,57 @@ void frameio_bgr_to_yuv420(const uint8_t* src, int h, int w, uint8_t* dst) {
     }
 }
 
+// Tile-delta encode for the low-bandwidth transfer path (runtime/delta.py):
+// compare frame vs the reference mirror per (tile x tile) block, emit the
+// indices+payloads of blocks whose max |diff| exceeds threshold (plus a
+// round-robin refresh window), and update the mirror in place. Semantics are
+// bit-identical to DeltaEncoder's numpy path (tests pin this).
+// frame/ref: (h, w, 3) u8 contiguous, h % tile == 0 and w % tile == 0.
+// idx_out capacity: num_tiles int32; tiles_out capacity: num_tiles*tile*tile*3.
+// Returns the number of tiles written.
+int frameio_delta_encode(const uint8_t* frame, uint8_t* ref, int h, int w,
+                         int tile, int threshold,
+                         int refresh_start, int refresh_count,
+                         int32_t* idx_out, uint8_t* tiles_out) {
+    const int grid_w = w / tile;
+    const int grid_h = h / tile;
+    const int num_tiles = grid_w * grid_h;
+    const long row_bytes = static_cast<long>(w) * 3;
+    const long tile_row_bytes = static_cast<long>(tile) * 3;
+    int k = 0;
+    for (int t = 0; t < num_tiles; ++t) {
+        const int ty = t / grid_w, tx = t % grid_w;
+        const long base = (static_cast<long>(ty) * tile) * row_bytes +
+                          static_cast<long>(tx) * tile_row_bytes;
+        bool refresh = false;
+        if (refresh_count > 0) {
+            int rel = t - refresh_start;
+            if (rel < 0) rel += num_tiles;
+            refresh = rel < refresh_count;
+        }
+        bool changed = refresh;
+        if (!changed) {
+            for (int r = 0; r < tile && !changed; ++r) {
+                const uint8_t* fp = frame + base + r * row_bytes;
+                const uint8_t* rp = ref + base + r * row_bytes;
+                for (long i = 0; i < tile_row_bytes; ++i) {
+                    int d = static_cast<int>(fp[i]) - static_cast<int>(rp[i]);
+                    if (d < 0) d = -d;
+                    if (d > threshold) { changed = true; break; }
+                }
+            }
+        }
+        if (!changed) continue;
+        idx_out[k] = t;
+        uint8_t* out = tiles_out + static_cast<long>(k) * tile * tile_row_bytes;
+        for (int r = 0; r < tile; ++r) {
+            const uint8_t* fp = frame + base + r * row_bytes;
+            std::memcpy(out + r * tile_row_bytes, fp, tile_row_bytes);
+            std::memcpy(ref + base + r * row_bytes, fp, tile_row_bytes);
+        }
+        ++k;
+    }
+    return k;
+}
+
 }  // extern "C"

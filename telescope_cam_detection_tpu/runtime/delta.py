@@ -43,11 +43,27 @@ class DeltaEncoder:
     def encode(self, frame: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """frame (H, W, 3) uint8 -> (tile_idx (K,) int32, tiles (K,th,th,3)).
 
-        Updates the host mirror; K varies per frame (0 allowed).
+        Updates the host mirror; K varies per frame (0 allowed). Uses the
+        GIL-free C++ encoder (native/frameio.cpp frameio_delta_encode) when
+        available; numpy fallback is bit-identical.
         """
         if frame.shape != self.ref.shape:
             raise ValueError(f"frame {frame.shape} != {self.ref.shape}")
         t = self.tile
+        from telescope_cam_detection_tpu.utils import native
+        frame_c = np.ascontiguousarray(frame)
+        out = native.delta_encode(frame_c, self.ref, t, self.threshold,
+                                  self._refresh_cursor
+                                  if self.refresh_tiles > 0 else 0,
+                                  self.refresh_tiles)
+        if out is not None:
+            idx, tiles = out
+            if self.refresh_tiles > 0 and self.num_tiles > 0:
+                self._refresh_cursor = (self._refresh_cursor +
+                                        self.refresh_tiles) % self.num_tiles
+            self.stats["frames"] += 1
+            self.stats["tiles_sent"] += len(idx)
+            return idx, tiles
         diff = np.abs(frame.astype(np.int16) - self.ref.astype(np.int16))
         per_tile = diff.reshape(self.grid_h, t, self.grid_w, t, 3).max((1, 3, 4))
         changed = per_tile > self.threshold

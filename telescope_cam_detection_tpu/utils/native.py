@@ -62,6 +62,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.frameio_bgr_to_yuv420.argtypes = [u8p, ctypes.c_int, ctypes.c_int,
                                               u8p]
         lib.frameio_bgr_to_yuv420.restype = None
+        if hasattr(lib, "frameio_delta_encode"):
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            lib.frameio_delta_encode.argtypes = [
+                u8p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p, u8p]
+            lib.frameio_delta_encode.restype = ctypes.c_int
         _lib = lib
         logger.info("native frameio loaded: %s", _LIB_PATH)
         return _lib
@@ -124,3 +130,28 @@ def bgr_to_yuv420(frame: np.ndarray) -> Optional[np.ndarray]:
     out = np.empty((h * 3 // 2, w), np.uint8)
     lib.frameio_bgr_to_yuv420(_ptr(frame), h, w, _ptr(out))
     return out
+
+
+def delta_encode(frame: np.ndarray, ref: np.ndarray, tile: int,
+                 threshold: int, refresh_start: int, refresh_count: int):
+    """Tile-delta encode (GIL-free C++): returns (idx (K,) int32,
+    tiles (K, tile, tile, 3) u8) and updates ref IN PLACE. None when the
+    native library is unavailable (caller falls back to numpy).
+    Bit-identical to runtime/delta.DeltaEncoder's numpy path."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not (frame.flags["C_CONTIGUOUS"] and ref.flags["C_CONTIGUOUS"]):
+        return None
+    h, w, _ = frame.shape
+    num_tiles = (h // tile) * (w // tile)
+    if not hasattr(lib, "frameio_delta_encode"):
+        return None  # stale prebuilt library without the symbol
+    import ctypes as _ct
+    idx = np.empty((num_tiles,), np.int32)
+    tiles = np.empty((num_tiles, tile, tile, 3), np.uint8)
+    k = lib.frameio_delta_encode(
+        _ptr(frame), _ptr(ref), h, w, tile, int(threshold),
+        int(refresh_start), int(refresh_count),
+        idx.ctypes.data_as(_ct.POINTER(_ct.c_int32)), _ptr(tiles))
+    return idx[:k].copy(), tiles[:k].copy()

@@ -187,3 +187,33 @@ def test_program_delta_rejects_bad_lanes():
         prog.detect_batch_rows(frames, lanes=[5])
     with pytest.raises(ValueError):
         prog.detect_batch_rows(frames, lanes=[0, 1])
+
+
+def test_native_encoder_bit_identical_to_numpy():
+    """The C++ delta encoder (native/frameio.cpp frameio_delta_encode) must
+    produce exactly the numpy path's indices, payloads, mirror state, and
+    refresh-cursor evolution (including wrap-around)."""
+    from telescope_cam_detection_tpu.utils import native
+    import telescope_cam_detection_tpu.utils.native as nmod
+    if not native.available() or nmod.delta_encode(
+            np.zeros((16, 16, 3), np.uint8), np.zeros((16, 16, 3), np.uint8),
+            16, 14, 0, 0) is None:
+        pytest.skip("native delta encoder unavailable")
+    src = SyntheticFrameSource(width=128, height=96, seed=2)
+    a = DeltaEncoder((96, 128), tile=16, threshold=10, refresh_tiles=5)
+    b = DeltaEncoder((96, 128), tile=16, threshold=10, refresh_tiles=5)
+    orig = nmod.delta_encode
+    try:
+        # enough frames that the refresh cursor wraps (48 tiles / 5 per frame)
+        for i in range(25):
+            f = src.frame_at(i)
+            ia, ta = a.encode(f)
+            nmod.delta_encode = lambda *args, **kw: None  # force numpy
+            ib, tb = b.encode(f)
+            nmod.delta_encode = orig
+            np.testing.assert_array_equal(ia, ib)
+            np.testing.assert_array_equal(ta, tb)
+            np.testing.assert_array_equal(a.ref, b.ref)
+            assert a._refresh_cursor == b._refresh_cursor
+    finally:
+        nmod.delta_encode = orig
