@@ -93,7 +93,7 @@ def pack_batch(
     lanes: Sequence[int],
     num_tiles: int,
     tile: int,
-    k_buckets: Sequence[int] = (32, 128, 512),
+    k_buckets: Sequence[int] = (16, 32, 48, 64, 96, 128, 192, 256, 384, 512),
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
     """Pad a batch of per-frame (idx, tiles) to one static K bucket.
 
