@@ -11,6 +11,10 @@ config change.
 Usage:
   python tools/warm_compile_cache.py --variant yolox-s --input 640 640 \
       --captures 1440x2560 1080x1920 --batches 1 2 4 8 [--benchmark]
+  # delta-transfer deployments additionally need the (batch, K-bucket)
+  # variants of the reconstruct+detect program:
+  python tools/warm_compile_cache.py --transfer delta --lanes 5 \
+      --captures 1440x2560 --batches 1 2 4 8
 """
 import argparse
 import os
@@ -33,6 +37,14 @@ def main() -> int:
     parser.add_argument("--batches", nargs="+", type=int,
                         default=[1, 2, 4, 8])
     parser.add_argument("--weights", default=None)
+    parser.add_argument("--transfer", default="auto",
+                        help="transfer mode to warm (auto|host|device|"
+                             "yuv420|delta)")
+    parser.add_argument("--lanes", type=int, default=8,
+                        help="delta_lanes for --transfer delta (cameras+1)")
+    parser.add_argument("--k-buckets", nargs="+", type=int, default=None,
+                        help="delta K buckets to warm (default: every "
+                             "bucket up to the full-refresh size)")
     parser.add_argument("--benchmark", action="store_true")
     args = parser.parse_args()
 
@@ -42,7 +54,8 @@ def main() -> int:
         DetectorProgram, ProgramSpec)
 
     spec = ProgramSpec(detector_type=args.detector, variant=args.variant,
-                       input_hw=tuple(args.input))
+                       input_hw=tuple(args.input), transfer=args.transfer,
+                       delta_lanes=args.lanes)
     program = DetectorProgram(spec)
     if args.weights:
         from telescope_cam_detection_tpu.models.convert import load_variables
@@ -50,6 +63,43 @@ def main() -> int:
                                 reference_variables=program.variables)
         if loaded is not None:
             program.variables = loaded
+
+    if args.transfer == "delta":
+        # compile each (batch, K-bucket) reconstruct+detect variant directly
+        from telescope_cam_detection_tpu.runtime.delta import pack_batch
+        ih, iw = spec.input_hw
+        num_tiles = (ih // spec.delta_tile) * (iw // spec.delta_tile)
+        default_buckets = [k for k in (16, 32, 48, 64, 96, 128, 192, 256,
+                                       384, 512) if k < num_tiles]
+        buckets = args.k_buckets or (default_buckets + [num_tiles])
+        for cap in args.captures:
+            h, w = (int(v) for v in cap.split("x"))
+            for batch in args.batches:
+                for k in buckets:
+                    t0 = time.time()
+                    program._get_delta_program(batch, (h, w), k)
+                    # force the compile by tracing+executing a tiny call
+                    import jax.numpy as jnp
+                    lanes = np.zeros((batch,), np.int32)
+                    idx = np.full((batch, k), num_tiles, np.int32)
+                    tiles = np.zeros(
+                        (batch, k, spec.delta_tile, spec.delta_tile, 3),
+                        np.uint8)
+                    if program._delta_ref is None:
+                        program._delta_ref = jnp.zeros(
+                            program._delta_ref_shape, jnp.uint8)
+                    fn = program._get_delta_program(batch, (h, w), k)
+                    f = program._filter_arrays
+                    new_ref, rows = fn(
+                        program.variables, program._delta_ref,
+                        jnp.asarray(lanes), jnp.asarray(idx),
+                        jnp.asarray(tiles), f["class_conf"], f["min_area"],
+                        f["max_area"], f["class_allowed"])
+                    program._delta_ref = new_ref
+                    np.asarray(rows)
+                    print(f"compiled delta batch={batch} capture={h}x{w} "
+                          f"K={k} in {time.time() - t0:.1f}s", flush=True)
+        return 0
 
     for cap in args.captures:
         h, w = (int(v) for v in cap.split("x"))
