@@ -36,7 +36,9 @@ def build_program(batch, transfer, n_cams):
         DetectorProgram, FilterSettings, ProgramSpec)
     spec = ProgramSpec(detector_type="yolox", variant="yolox-s",
                        input_hw=(640, 640), max_det=300, pre_nms_topk=1000,
-                       transfer=transfer, delta_lanes=n_cams)
+                       transfer=transfer, delta_lanes=n_cams,
+                       readback_topk=int(os.environ.get("BENCH_READBACK",
+                                                        "64")) or None)
     program = DetectorProgram(spec, seed=0)
     program.update_filters(FilterSettings(conf_threshold=0.25,
                                           wildlife_only=True))

@@ -68,6 +68,10 @@ class ProgramSpec:
     # quasi-static (surveillance); bounded error <= delta_threshold grey
     # levels on unsent tiles, rolling full refresh.
     transfer: str = "auto"   # "auto" | "device" | "host" | "yuv420" | "delta"
+    # Compact the result readback to the top-K valid rows on device before
+    # shipping (max_det rows are mostly invalid padding; K=None disables).
+    # Valid rows always outrank invalid ones; within valid, score-descending.
+    readback_topk: Optional[int] = None
     delta_tile: int = 16
     delta_threshold: int = 14
     delta_refresh_tiles: int = 16
@@ -135,6 +139,16 @@ def _filter_rows(rows: jnp.ndarray, filt: Dict[str, jnp.ndarray]) -> jnp.ndarray
     valid &= filt["class_allowed"][cls]
     return jnp.where(valid[..., None], rows, -1.0)
 
+
+
+
+def _compact_rows(rows: jnp.ndarray, k: int) -> jnp.ndarray:
+    """(B, D, 7) -> (B, k, 7): keep the k best rows, valid-first then by
+    score (invalid rows are all -1, so obj*cls would be +1 — mask them)."""
+    valid = rows[..., 5] >= 0.0
+    score = jnp.where(valid, rows[..., 4] * rows[..., 5], -1.0)
+    _, order = jax.lax.top_k(score, k)
+    return jnp.take_along_axis(rows, order[..., None], axis=1)
 
 class DetectorProgram:
     """Host-facing detector: owns model variables and a cache of jitted
@@ -295,6 +309,8 @@ class DetectorProgram:
             rows = _filter_rows(rows, {
                 "class_conf": class_conf, "min_area": min_area,
                 "max_area": max_area, "class_allowed": class_allowed})
+            if spec.readback_topk and spec.readback_topk < spec.max_det:
+                rows = _compact_rows(rows, spec.readback_topk)
             return rows
 
         if self.mesh is not None:
@@ -362,6 +378,8 @@ class DetectorProgram:
             rows = _filter_rows(rows, {
                 "class_conf": class_conf, "min_area": min_area,
                 "max_area": max_area, "class_allowed": class_allowed})
+            if spec.readback_topk and spec.readback_topk < spec.max_det:
+                rows = _compact_rows(rows, spec.readback_topk)
             return new_ref, rows
 
         jitted = jax.jit(program, donate_argnums=(1,))

@@ -148,6 +148,7 @@ class TelescopeDetectionSystem:
             nms_threshold=detection.get("nms_threshold", 0.45),
             max_det=detection.get("max_detections", 300),
             transfer=detection.get("transfer", "auto"),
+            readback_topk=detection.get("readback_topk"),
             sampling_impl=model_cfg.get("sampling_impl", "auto"),
             delta_tile=detection.get("delta_tile", 16),
             delta_threshold=detection.get("delta_threshold", 14),

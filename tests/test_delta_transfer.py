@@ -217,3 +217,31 @@ def test_native_encoder_bit_identical_to_numpy():
             assert a._refresh_cursor == b._refresh_cursor
     finally:
         nmod.delta_encode = orig
+
+
+def test_readback_compaction_keeps_all_valid_rows():
+    """readback_topk compacts the device result to the K best rows: every
+    valid detection survives when there are <= K, invalid padding is pushed
+    out, order is score-descending; detections match the uncompacted run."""
+    frames = np.stack([SyntheticFrameSource(width=256, height=192, seed=0)
+                       .frame_at(i) for i in range(2)])
+    filt = FilterSettings(conf_threshold=0.0, wildlife_only=False)
+    full = DetectorProgram(_mini_spec(transfer="host"), seed=0)
+    full.update_filters(filt)
+    want = full.detect_batch_rows(frames)
+
+    compact = DetectorProgram(_mini_spec(transfer="host", readback_topk=6),
+                              seed=0)
+    compact.update_filters(filt)
+    got = compact.detect_batch_rows(frames)
+    assert got.shape == (2, 6, 7)
+    for b in range(2):
+        w_valid = want[b][want[b][:, 5] >= 0]
+        g_valid = got[b][got[b][:, 5] >= 0]
+        w_scores = np.sort(w_valid[:, 4] * w_valid[:, 5])[::-1]
+        g_scores = g_valid[:, 4] * g_valid[:, 5]
+        # compaction returns score-descending, keeping the best min(K, n)
+        assert (np.diff(g_scores) <= 1e-6).all()
+        np.testing.assert_allclose(g_scores, w_scores[:len(g_scores)],
+                                   rtol=1e-5)
+        assert len(g_valid) == min(len(w_valid), 6)
