@@ -232,7 +232,32 @@ def validate_config(config: Dict[str, Any]) -> List[str]:
     if style is not None and style not in _VALID_MASK_STYLES:
         errors.append(f"privacy.mask_style must be one of {_VALID_MASK_STYLES}")
 
+    _validate_collision(errors, config)
+
     return errors
+
+
+def _validate_collision(errors: List[str], config: Dict[str, Any]) -> None:
+    cc = config.get("collision_detection")
+    if not cc:
+        return
+    if not isinstance(cc, dict):
+        errors.append("collision_detection must be a mapping")
+        return
+    for i, zone in enumerate(cc.get("zones") or []):
+        where = f"collision_detection.zones[{i}]"
+        pts = zone.get("points")
+        if not isinstance(pts, list) or len(pts) < 3:
+            errors.append(f"{where}: needs >= 3 [x, y] points")
+            continue
+        for p in pts:
+            if (not isinstance(p, (list, tuple)) or len(p) != 2
+                    or not all(isinstance(v, (int, float)) for v in p)):
+                errors.append(f"{where}: points must be [x, y] numbers")
+                break
+    thr = cc.get("danger_threshold", 50.0)
+    if not isinstance(thr, (int, float)) or thr < 0:
+        errors.append("collision_detection.danger_threshold must be >= 0")
 
 
 def validate_model_files(config: Dict[str, Any], base_dir: str = ".") -> List[str]:

@@ -31,6 +31,7 @@ class DetectionProcessor:
         motion_filter=None,
         time_of_day_filter=None,
         snapshot_saver=None,
+        collision_detector=None,
         history_size: int = 30,
     ):
         self.input_queue = input_queue
@@ -40,6 +41,7 @@ class DetectionProcessor:
         self.motion_filter = motion_filter
         self.time_of_day_filter = time_of_day_filter
         self.snapshot_saver = snapshot_saver
+        self.collision_detector = collision_detector
         self.history: deque = deque(maxlen=history_size)
 
         self._thread: Optional[threading.Thread] = None
@@ -95,6 +97,16 @@ class DetectionProcessor:
         result["processed_timestamp"] = now
         counts = Counter(d.get("class_name", "?") for d in detections)
         result["detection_counts"] = dict(counts)
+        if self.collision_detector is not None:
+            alerts = self.collision_detector.check(detections, now=now)
+            if alerts:
+                result["collision_alerts"] = alerts
+                for a in alerts:
+                    logger.warning("[%s] collision %s: %s near zone %r "
+                                   "(%.0f px%s)", self.camera_id, a["risk"],
+                                   a["class_name"], a["zone"],
+                                   a["distance_px"],
+                                   ", predicted" if a["predicted"] else "")
 
         self.results_processed += 1
         self.total_detections += len(detections)
@@ -153,41 +165,8 @@ class DetectionProcessor:
         }
 
 
-class CollisionDetector:
-    """Phase-3 placeholder (reference detection_processor.py:388-437):
-    will flag person/animal detections entering configured danger zones
-    around telescope equipment. Currently distance-to-zone checks only."""
-
-    def __init__(self, zones: Optional[List[Dict[str, Any]]] = None,
-                 danger_threshold: float = 50.0, enabled: bool = False):
-        self.zones = zones or []
-        self.danger_threshold = danger_threshold
-        self.enabled = enabled
-        self.alerts_raised = 0
-
-    def check(self, detections: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
-        """Returns alert dicts for detections whose bbox center is within
-        danger_threshold px of a zone polygon's bounding box."""
-        if not self.enabled or not self.zones:
-            return []
-        alerts = []
-        for det in detections:
-            bbox = det.get("bbox", {})
-            cx = (bbox.get("x1", 0) + bbox.get("x2", 0)) / 2
-            cy = (bbox.get("y1", 0) + bbox.get("y2", 0)) / 2
-            for zone in self.zones:
-                pts = zone.get("points") or []
-                if not pts:
-                    continue
-                xs = [p[0] for p in pts]
-                ys = [p[1] for p in pts]
-                dx = max(min(xs) - cx, 0, cx - max(xs))
-                dy = max(min(ys) - cy, 0, cy - max(ys))
-                if (dx * dx + dy * dy) ** 0.5 <= self.danger_threshold:
-                    watch = zone.get("alert_on_entry") or []
-                    if not watch or det.get("class_name") in watch:
-                        self.alerts_raised += 1
-                        alerts.append({"zone": zone.get("name", "zone"),
-                                       "class_name": det.get("class_name"),
-                                       "distance_px": round((dx * dx + dy * dy) ** 0.5, 1)})
-        return alerts
+# CollisionDetector graduated from the Phase-3 placeholder the reference
+# ships (detection_processor.py:388-437) into a real implementation:
+from telescope_cam_detection_tpu.pipeline.collision import (  # noqa: E402,F401
+    CollisionDetector,
+)

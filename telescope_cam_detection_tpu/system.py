@@ -417,14 +417,35 @@ class TelescopeDetectionSystem:
                 use_system_timezone=tf_cfg.get("use_system_timezone", True))
             self.time_filters[cam_id] = time_filter
 
+        collision_detector = self._build_collision_detector(cam_id)
+
         processor = DetectionProcessor(
             infer_q, self.detection_queue, camera_id=cam_id,
             get_latest_frame=capture.get_latest_frame,
             motion_filter=motion_filter,
             time_of_day_filter=time_filter,
             snapshot_saver=self.snapshot_saver,
+            collision_detector=collision_detector,
             history_size=perf.get("history_size", 30))
         self.processors[cam_id] = processor
+
+    def _build_collision_detector(self, cam_id: str):
+        """Phase-3 danger zones (config ``collision_detection``): zones
+        without a camera_id apply to every camera."""
+        cc = self.config.get("collision_detection", {}) or {}
+        if not cc.get("enabled"):
+            return None
+        zones = [z for z in (cc.get("zones") or [])
+                 if not z.get("camera_id") or z.get("camera_id") == cam_id]
+        if not zones:
+            return None
+        from telescope_cam_detection_tpu.pipeline.collision import (
+            CollisionDetector)
+        return CollisionDetector(
+            zones=zones,
+            danger_threshold=cc.get("danger_threshold", 50.0),
+            predict_horizon_frames=cc.get("predict_horizon_frames", 5),
+            alert_cooldown_seconds=cc.get("alert_cooldown_seconds", 5.0))
 
     # ---------------------------------------------------------------- lifecycle
     def start(self, block: bool = True) -> None:

@@ -13,6 +13,7 @@ class DetectionApp {
     this.msgTimes = [];              // WS message timestamps (rate)
     this.ws = null;
     this.wsRetryMs = 1000;
+    this.zones = new Map();          // camera_id -> [{name, points}]
     this.view = localStorage.getItem("view") || "auto"; // auto|1|2|3|single
     this.singleCam = localStorage.getItem("singleCam") || null;
     if (this.view === "single" && !this.singleCam) this.view = "auto";
@@ -27,6 +28,7 @@ class DetectionApp {
     } catch (e) { this.log(`failed to list cameras: ${e}`); }
     this.buildToolbar();
     this.applyView();
+    this.loadZones();
     this.connectWebSocket();
     setInterval(() => this.pollSystemStats(), 5000);
     setInterval(() => this.updateSessionPanel(), 2000);
@@ -103,6 +105,42 @@ class DetectionApp {
     });
   }
 
+  async loadZones() {
+    try {
+      const res = await fetch("/api/config/current");
+      const cfg = await res.json();
+      const cc = cfg.collision_detection || {};
+      if (!cc.enabled) return;
+      for (const zone of cc.zones || []) {
+        const cams = zone.camera_id ? [zone.camera_id]
+          : [...this.cameras.keys()];
+        for (const cam of cams) {
+          if (!this.zones.has(cam)) this.zones.set(cam, []);
+          this.zones.get(cam).push(zone);
+        }
+      }
+    } catch { /* zones are optional */ }
+  }
+
+  drawZones(cam, camId) {
+    const ctx = cam.ctx;
+    for (const zone of this.zones.get(camId) || []) {
+      const pts = zone.points || [];
+      if (pts.length < 3) continue;
+      ctx.beginPath();
+      ctx.moveTo(pts[0][0], pts[0][1]);
+      for (const [x, y] of pts.slice(1)) ctx.lineTo(x, y);
+      ctx.closePath();
+      ctx.fillStyle = "rgba(255, 160, 60, .12)";
+      ctx.fill();
+      ctx.strokeStyle = "rgba(255, 160, 60, .8)";
+      ctx.lineWidth = 2;
+      ctx.stroke();
+      ctx.fillStyle = "rgba(255, 160, 60, .9)";
+      ctx.fillText(zone.name || "zone", pts[0][0] + 4, pts[0][1] + 16);
+    }
+  }
+
   // ---- websocket ---------------------------------------------------------
   connectWebSocket() {
     const proto = location.protocol === "https:" ? "wss" : "ws";
@@ -136,6 +174,12 @@ class DetectionApp {
         `${dets.length} det · ${Math.round(msg.total_latency_ms || 0)} ms`;
       this.drawDetections(cam, msg);
     }
+    for (const alert of msg.collision_alerts || []) {
+      this.log(`<span class="alert">⚠ ${msg.camera_id}: ${alert.class_name} ` +
+               `${alert.risk} at zone "${alert.zone}" ` +
+               `(${alert.distance_px}px${alert.predicted ? ", predicted" : ""})` +
+               `</span>`);
+    }
     for (const d of dets) {
       const key = d.species || d.class_name || "?";
       this.sessionByClass.set(key, (this.sessionByClass.get(key) || 0) + 1);
@@ -151,6 +195,7 @@ class DetectionApp {
     cam.canvas.width = w; cam.canvas.height = h;
     const ctx = cam.ctx;
     ctx.clearRect(0, 0, w, h);
+    this.drawZones(cam, msg.camera_id);
     ctx.lineWidth = Math.max(2, w / 640);
     ctx.font = `${Math.max(14, w / 55)}px system-ui`;
     for (const d of msg.detections || []) {
@@ -164,9 +209,12 @@ class DetectionApp {
       ctx.fillStyle = "#fff";
       ctx.fillText(label, b.x1 + 4, Math.max(b.y1 - 6, 14));
     }
-    // overlays auto-clear if nothing arrives for 2s
+    // overlays auto-clear if nothing arrives for 2s (zones stay)
     clearTimeout(cam.clearTimer);
-    cam.clearTimer = setTimeout(() => ctx.clearRect(0, 0, w, h), 2000);
+    cam.clearTimer = setTimeout(() => {
+      ctx.clearRect(0, 0, w, h);
+      this.drawZones(cam, msg.camera_id);
+    }, 2000);
   }
 
   onStatus(msg) {
