@@ -371,6 +371,71 @@ class WebServer:
             pass
         return payload
 
+    def prometheus_payload(self) -> str:
+        """Prometheus text exposition of every component's stats contract
+        (the reference exposes stats only as JSON; /metrics makes the same
+        numbers scrapeable without an adapter)."""
+        lines: List[str] = []
+
+        def emit(name: str, value, labels: Dict[str, str] = None,
+                 mtype: str = "gauge") -> None:
+            if not isinstance(value, (int, float)) or isinstance(value, bool):
+                return
+            if not any(l.startswith(f"# TYPE {name} ") for l in lines):
+                lines.append(f"# TYPE {name} {mtype}")
+            label_s = ""
+            if labels:
+                inner = ",".join(f'{k}="{v}"' for k, v in labels.items())
+                label_s = "{" + inner + "}"
+            lines.append(f"{name}{label_s} {value}")
+
+        emit("tcd_uptime_seconds", round(time.time() - self.start_time, 1))
+        for cid, cap in self.captures.items():
+            s = cap.get_stats()
+            emit("tcd_camera_fps", s.get("fps"), {"camera": cid})
+            emit("tcd_camera_connected", int(bool(s.get("connected"))),
+                 {"camera": cid})
+            emit("tcd_camera_frames_total", s.get("frames_captured"),
+                 {"camera": cid}, "counter")
+            emit("tcd_camera_frames_dropped_total", s.get("frames_dropped"),
+                 {"camera": cid}, "counter")
+        for cid, e in self.engines.items():
+            s = e.get_stats()
+            emit("tcd_engine_frames_total", s.get("frames_processed"),
+                 {"camera": cid}, "counter")
+            emit("tcd_engine_inference_ms", s.get("inference_time_ms"),
+                 {"camera": cid})
+            emit("tcd_engine_skipped_sparse_total",
+                 s.get("frames_skipped_sparse"), {"camera": cid}, "counter")
+            emit("tcd_engine_skipped_empty_total",
+                 s.get("frames_skipped_empty"), {"camera": cid}, "counter")
+        for cid, pr in self.processors.items():
+            s = pr.get_stats()
+            emit("tcd_processor_results_total", s.get("results_processed"),
+                 {"camera": cid}, "counter")
+            emit("tcd_processor_detections_total", s.get("total_detections"),
+                 {"camera": cid}, "counter")
+            emit("tcd_latency_ms_p50", s.get("latency_ms_p50"),
+                 {"camera": cid})
+            emit("tcd_latency_ms_p95", s.get("latency_ms_p95"),
+                 {"camera": cid})
+        if self.coordinator is not None:
+            s = self.coordinator.get_stats()
+            emit("tcd_coordinator_queue_depth", s.get("queue_depth"))
+            emit("tcd_coordinator_frames_total", s.get("total_frames"),
+                 mtype="counter")
+            emit("tcd_coordinator_dropped_total", s.get("total_dropped"),
+                 mtype="counter")
+            emit("tcd_coordinator_avg_batch_size", s.get("avg_batch_size"))
+            emit("tcd_coordinator_avg_infer_ms", s.get("avg_infer_ms"))
+        if self.memory_manager is not None:
+            s = self.memory_manager.get_stats()
+            emit("tcd_hbm_memory_fraction", s.get("memory_fraction"))
+            emit("tcd_hbm_oom_total", s.get("oom_count"), mtype="counter")
+        if self.detection_queue is not None:
+            emit("tcd_detection_queue_depth", self.detection_queue.qsize())
+        return "\n".join(lines) + "\n"
+
     def config_payload(self) -> Dict[str, Any]:
         if self.get_config is None:
             return {}
@@ -445,6 +510,15 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._json(self.web.stats_payload())
             if path == "/api/system/stats":
                 return self._json(self.web.system_stats_payload())
+            if path == "/metrics":
+                body = self.web.prometheus_payload().encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             if path == "/api/cameras/health/summary":
                 hm = self.web.health_monitor
                 return self._json(hm.get_health_summary() if hm

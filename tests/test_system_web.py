@@ -347,3 +347,19 @@ def test_camera_restart_endpoint(system):
     assert data["success"] is True
     # pipeline is functional after restart
     assert sys_obj.captures["cam2"].get_stats()["is_running"]
+
+
+def test_prometheus_metrics_endpoint(system):
+    _, port = system
+    status, body = _get(port, "/metrics")
+    assert status == 200
+    text = body.decode()
+    assert "# TYPE tcd_camera_fps gauge" in text
+    assert 'tcd_camera_connected{camera="cam1"}' in text
+    assert "tcd_uptime_seconds" in text
+    assert "tcd_coordinator_frames_total" in text
+    # every sample line parses as `name{labels} value` with a numeric value
+    for line in text.strip().splitlines():
+        if line.startswith("#"):
+            continue
+        float(line.rsplit(" ", 1)[1])
