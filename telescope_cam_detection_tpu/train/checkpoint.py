@@ -34,6 +34,8 @@ def save_train_state(directory: str, state: Any, step: Optional[int] = None,
         "opt_state": jax.device_get(state.opt_state),
         "step": int(jax.device_get(state.step)),
     }
+    if getattr(state, "ema_params", None) is not None:
+        payload["ema_params"] = jax.device_get(state.ema_params)
     step = payload["step"] if step is None else step
     mgr.save(step, args=ocp.args.StandardSave(payload))
     mgr.wait_until_finished()
@@ -50,15 +52,23 @@ def restore_train_state(directory: str, state: Any) -> Any:
         logger.warning("no checkpoint found in %s", directory)
         return state
     restored = mgr.restore(step)
+    kwargs = {}
+    if "ema_params" in restored and getattr(state, "ema_params", None) is not None:
+        kwargs["ema_params"] = restored["ema_params"]
     return state.replace(
         params=restored["params"],
         batch_stats=restored["batch_stats"],
         opt_state=restored["opt_state"],
-        step=jnp.asarray(restored["step"], jnp.int32))
+        step=jnp.asarray(restored["step"], jnp.int32), **kwargs)
 
 
-def export_serving_weights(state: Any, path: str) -> None:
-    """TrainState -> msgpack serving checkpoint (what DetectorProgram loads)."""
+def export_serving_weights(state: Any, path: str, use_ema: bool = True) -> None:
+    """TrainState -> msgpack serving checkpoint (what DetectorProgram loads).
+
+    Exports the EMA shadow when the state maintains one (upstream YOLOX
+    evaluates and ships the EMA model), unless use_ema=False."""
     from telescope_cam_detection_tpu.models.convert import save_variables
-    save_variables({"params": state.params,
+    params = state.serving_params() if use_ema and hasattr(
+        state, "serving_params") else state.params
+    save_variables({"params": params,
                     "batch_stats": state.batch_stats}, path)

@@ -28,20 +28,59 @@ class TrainState(struct.PyTreeNode):
     batch_stats: Any
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    # Exponential moving average of params (upstream YOLOX keeps an EMA model
+    # with decay 0.9998 and evaluates/exports it). None disables EMA.
+    ema_params: Any = None
+    ema_decay: float = struct.field(pytree_node=False, default=0.0)
 
     @classmethod
-    def create(cls, variables, tx):
+    def create(cls, variables, tx, ema_decay: float = 0.0):
         params = variables["params"]
+        # distinct buffers: the shadow must not alias params (jit donation
+        # would otherwise see the same buffer twice)
+        ema = (jax.tree.map(lambda p: jnp.array(p, copy=True), params)
+               if ema_decay > 0 else None)
         return cls(step=jnp.zeros((), jnp.int32), params=params,
                    batch_stats=variables.get("batch_stats", {}),
-                   opt_state=tx.init(params), tx=tx)
+                   opt_state=tx.init(params), tx=tx,
+                   ema_params=ema, ema_decay=ema_decay)
+
+    def serving_params(self):
+        """Params to export/evaluate: the EMA shadow when maintained."""
+        return self.ema_params if self.ema_params is not None else self.params
 
 
-def make_optimizer(learning_rate: float = 1e-3,
+def make_lr_schedule(base_lr: float, total_steps: int,
+                     warmup_steps: int = 0,
+                     min_lr_ratio: float = 0.05) -> optax.Schedule:
+    """Upstream-YOLOX-style LR: linear warmup then cosine decay to a floor
+    (yolox_warm_cos_lr; the reference inherits this via ultralytics'
+    cos_lr option in train_custom_model.py)."""
+    total_steps = max(int(total_steps), 1)
+    warmup_steps = min(max(int(warmup_steps), 0), total_steps - 1)
+    return optax.warmup_cosine_decay_schedule(
+        init_value=0.0 if warmup_steps else base_lr,
+        peak_value=base_lr,
+        warmup_steps=warmup_steps,
+        decay_steps=total_steps,
+        end_value=base_lr * min_lr_ratio,
+    )
+
+
+def _decay_mask(params: Any) -> Any:
+    """Weight decay applies to matmul/conv kernels only — biases and 1-D
+    norm scales are excluded (upstream YOLOX splits param groups the same
+    way: pg0 BN weights / pg2 biases get no decay)."""
+    return jax.tree.map(lambda p: jnp.ndim(p) > 1, params)
+
+
+def make_optimizer(learning_rate=1e-3,
                    weight_decay: float = 5e-4) -> optax.GradientTransformation:
+    """learning_rate may be a float or an optax schedule."""
     return optax.chain(
         optax.clip_by_global_norm(10.0),
-        optax.adamw(learning_rate, weight_decay=weight_decay),
+        optax.adamw(learning_rate, weight_decay=weight_decay,
+                    mask=_decay_mask),
     )
 
 
@@ -64,8 +103,17 @@ def make_train_step(model, num_classes: int = 80,
         grads, (metrics, new_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
         updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        new_ema = state.ema_params
+        if new_ema is not None:
+            # Ramped decay (upstream ModelEMA): early steps track params
+            # closely, converging to the configured decay.
+            d = state.ema_decay * (
+                1.0 - jnp.exp(-(state.step.astype(jnp.float32) + 1.0) / 2000.0))
+            new_ema = jax.tree.map(lambda e, p: e * d + p * (1.0 - d),
+                                   new_ema, new_params)
         new_state = state.replace(step=state.step + 1, params=new_params,
-                                  batch_stats=new_stats, opt_state=new_opt)
+                                  batch_stats=new_stats, opt_state=new_opt,
+                                  ema_params=new_ema)
         return new_state, metrics
 
     return train_step
@@ -94,8 +142,10 @@ def make_sharded_train_step(
         state.opt_state, is_leaf=lambda x: hasattr(x, "shape"))
     stats_sh = jax.tree.map(lambda _: mesh_lib.replicated(mesh),
                             state.batch_stats)
+    ema_sh = None if state.ema_params is None else param_sh
     state_sh = TrainState(step=mesh_lib.replicated(mesh), params=param_sh,
-                          batch_stats=stats_sh, opt_state=opt_sh, tx=state.tx)
+                          batch_stats=stats_sh, opt_state=opt_sh, tx=state.tx,
+                          ema_params=ema_sh, ema_decay=state.ema_decay)
 
     data_sh = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
     images_sh = NamedSharding(mesh, P(mesh_lib.DATA_AXIS, None, None, None))
@@ -120,12 +170,24 @@ def build_training(
     mesh: Optional[Mesh] = None,
     seed: int = 0,
     assigner: str = "simota",
+    total_steps: Optional[int] = None,
+    warmup_steps: int = 0,
+    min_lr_ratio: float = 0.05,
+    ema_decay: float = 0.0,
 ):
-    """Convenience: model + state (+ sharded step if mesh given)."""
+    """Convenience: model + state (+ sharded step if mesh given).
+
+    With total_steps given, the optimizer runs warmup+cosine LR; with
+    ema_decay > 0 the state carries an EMA shadow of the params.
+    """
     model = build_yolox(variant, num_classes)
     dummy = jnp.zeros((1, *input_hw, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(seed), dummy, train=False)
-    state = TrainState.create(variables, make_optimizer(learning_rate))
+    lr = (make_lr_schedule(learning_rate, total_steps, warmup_steps,
+                           min_lr_ratio)
+          if total_steps else learning_rate)
+    state = TrainState.create(variables, make_optimizer(lr),
+                              ema_decay=ema_decay)
     if mesh is None:
         return model, state, jax.jit(make_train_step(model, num_classes,
                                                      assigner))

@@ -1,0 +1,142 @@
+"""Training-at-scale features: LR schedule, weight-decay masking, EMA
+weights, and the multi-host sharded data pipeline.
+
+The reference gets all of this implicitly from ultralytics
+(training/scripts/train_custom_model.py:48-60: cosine LR, EMA model,
+param-group decay split, multi-worker dataloader); here each piece is
+first-party and tested on the virtual 8-device mesh.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from telescope_cam_detection_tpu.parallel.mesh import create_mesh
+from telescope_cam_detection_tpu.train.data import (
+    ShardedBatchLoader, SyntheticDetectionDataset)
+from telescope_cam_detection_tpu.train.trainer import (
+    TrainState, build_training, make_lr_schedule, make_optimizer)
+
+
+def test_lr_schedule_warmup_then_cosine_floor():
+    sched = make_lr_schedule(1e-2, total_steps=100, warmup_steps=10,
+                             min_lr_ratio=0.05)
+    lrs = [float(sched(i)) for i in range(101)]
+    assert lrs[0] == pytest.approx(0.0, abs=1e-8)
+    assert lrs[10] == pytest.approx(1e-2, rel=1e-3)      # peak at warmup end
+    assert all(b >= a for a, b in zip(lrs[:10], lrs[1:11]))  # monotone warmup
+    assert lrs[100] == pytest.approx(5e-4, rel=1e-2)     # cosine floor
+    assert lrs[50] < lrs[10] and lrs[50] > lrs[100]
+    # no warmup: starts at peak
+    flat = make_lr_schedule(1e-2, total_steps=10, warmup_steps=0)
+    assert float(flat(0)) == pytest.approx(1e-2, rel=1e-3)
+
+
+def test_weight_decay_skips_biases_and_norm_scales():
+    params = {"kernel": jnp.ones((4, 4)), "bias": jnp.ones((4,)),
+              "scale": jnp.ones((4,))}
+    tx = make_optimizer(learning_rate=0.1, weight_decay=0.1)
+    opt = tx.init(params)
+    zero = jax.tree.map(jnp.zeros_like, params)
+    updates, _ = tx.update(zero, opt, params)
+    new = jax.tree.map(lambda p, u: p + u, params, updates)
+    # zero grads: only decay moves params — and only the 2-D kernel
+    assert float(jnp.abs(new["kernel"] - 1.0).max()) > 1e-4
+    assert float(jnp.abs(new["bias"] - 1.0).max()) < 1e-7
+    assert float(jnp.abs(new["scale"] - 1.0).max()) < 1e-7
+
+
+def _tiny_batch(seed=0):
+    rng = np.random.default_rng(seed)
+    imgs = jnp.asarray(rng.uniform(0, 255, (2, 128, 128, 3)), jnp.float32)
+    targets = np.full((2, 5, 5), -1.0, np.float32)
+    targets[:, 0] = [20, 20, 70, 70, 1]
+    return imgs, jnp.asarray(targets)
+
+
+def test_ema_shadow_tracks_params():
+    model, state, step = build_training(
+        variant="yolox-nano", num_classes=4, input_hw=(128, 128),
+        learning_rate=1e-3, total_steps=20, warmup_steps=2, ema_decay=0.99)
+    assert state.ema_params is not None
+    imgs, targets = _tiny_batch()
+    p0 = state.params
+    for _ in range(3):
+        state, _ = step(state, imgs, targets)
+    # EMA lags params but has moved off the init value
+    d_param = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                           state.params, p0)
+    d_ema = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                         state.ema_params, p0)
+    moved_p = max(jax.tree.leaves(d_param))
+    moved_e = max(jax.tree.leaves(d_ema))
+    assert moved_p > 0 and moved_e > 0
+    assert moved_e < moved_p  # shadow lags
+    assert state.serving_params() is state.ema_params
+    # disabled EMA: no shadow, serving params are the live ones
+    _, s2, _ = build_training(variant="yolox-nano", num_classes=4,
+                              input_hw=(128, 128))
+    assert s2.ema_params is None and s2.serving_params() is s2.params
+
+
+def test_ema_checkpoint_roundtrip(tmp_path):
+    from telescope_cam_detection_tpu.train.checkpoint import (
+        restore_train_state, save_train_state)
+    model, state, step = build_training(
+        variant="yolox-nano", num_classes=4, input_hw=(128, 128),
+        ema_decay=0.9)
+    imgs, targets = _tiny_batch()
+    state, _ = step(state, imgs, targets)
+    save_train_state(str(tmp_path / "ck"), state)
+    _, fresh, _ = build_training(variant="yolox-nano", num_classes=4,
+                                 input_hw=(128, 128), ema_decay=0.9, seed=7)
+    restored = restore_train_state(str(tmp_path / "ck"), fresh)
+    for a, b in zip(jax.tree.leaves(restored.ema_params),
+                    jax.tree.leaves(state.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    assert int(jax.device_get(restored.step)) == 1
+
+
+def test_sharded_loader_global_batches(jax_devices):
+    mesh = create_mesh(8, model_parallel=2)
+    ds = SyntheticDetectionDataset(n=16, input_hw=(64, 64), num_classes=3)
+    loader = ShardedBatchLoader(ds, global_batch=8, mesh=mesh, seed=3)
+    assert loader.steps_per_epoch() == 2
+    batches = list(loader.epoch(0))
+    assert len(batches) == 2
+    imgs, lbls = batches[0]
+    assert imgs.shape == (8, 64, 64, 3) and lbls.shape == (8, 5, 5)
+    # dp-sharded: each addressable shard holds global_batch/dp rows
+    assert imgs.sharding.spec == jax.sharding.PartitionSpec(
+        "dp", None, None, None)
+    shard_rows = {s.data.shape[0] for s in imgs.addressable_shards}
+    assert shard_rows == {2}  # 8 rows / dp=4
+    # deterministic per (seed, epoch)
+    again_imgs, _ = next(iter(loader.epoch(0)))
+    np.testing.assert_array_equal(np.asarray(imgs), np.asarray(again_imgs))
+    # different epoch reshuffles
+    other_imgs, _ = next(iter(loader.epoch(1)))
+    assert not np.array_equal(np.asarray(imgs), np.asarray(other_imgs))
+
+
+def test_sharded_loader_feeds_train_step(jax_devices):
+    mesh = create_mesh(8, model_parallel=2)
+    model, state, step = build_training(
+        variant="yolox-nano", num_classes=3, input_hw=(64, 64), mesh=mesh,
+        total_steps=4, warmup_steps=1, ema_decay=0.99)
+    ds = SyntheticDetectionDataset(n=8, input_hw=(64, 64), num_classes=3)
+    loader = ShardedBatchLoader(ds, global_batch=8, mesh=mesh)
+    for imgs, lbls in loader.epoch(0):
+        state, metrics = step(state, imgs, lbls)
+    assert np.isfinite(float(jax.device_get(metrics["loss"])))
+    assert int(jax.device_get(state.step)) == 1
+    assert state.ema_params is not None
+
+
+def test_sharded_loader_rejects_indivisible_batch(jax_devices):
+    mesh = create_mesh(8)
+    ds = SyntheticDetectionDataset(n=8, input_hw=(64, 64))
+    # single process: any batch divides; simulate the guard directly
+    loader = ShardedBatchLoader(ds, global_batch=8, mesh=mesh)
+    assert loader.per_proc == 8 // loader.n_proc

@@ -44,7 +44,26 @@ def main() -> int:
                         choices=["simota", "center"])
     parser.add_argument("--no-augment", action="store_true",
                         help="disable mosaic/mixup/flip/HSV augmentation")
+    parser.add_argument("--ema", type=float, default=0.9998,
+                        help="EMA decay for exported weights (0 disables)")
+    parser.add_argument("--warmup-epochs", type=float, default=1.0)
+    parser.add_argument("--min-lr-ratio", type=float, default=0.05)
+    parser.add_argument("--constant-lr", action="store_true",
+                        help="disable the warmup+cosine schedule")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force a virtual CPU mesh of --mesh devices "
+                             "(hermetic smoke runs without TPU hardware)")
     args = parser.parse_args()
+
+    if args.cpu:
+        n = max(args.mesh, 1)
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={n}").strip()
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax as _jax
+        _jax.config.update("jax_platforms", "cpu")
 
     import jax
     import jax.numpy as jnp
@@ -78,10 +97,14 @@ def main() -> int:
         val_ds = DetectionDataset(val_pairs, input_hw)
     print(f"dataset: {len(train_ds)} train / {len(val_ds)} val")
 
+    steps = args.steps_per_epoch or max(len(train_ds) // args.batch, 1)
     mesh = create_mesh(args.mesh, args.model_parallel) if args.mesh else None
     model, state, train_step = build_training(
         variant=args.variant, num_classes=args.classes, input_hw=input_hw,
-        learning_rate=args.lr, mesh=mesh, assigner=args.assigner)
+        learning_rate=args.lr, mesh=mesh, assigner=args.assigner,
+        total_steps=None if args.constant_lr else steps * args.epochs,
+        warmup_steps=int(args.warmup_epochs * steps),
+        min_lr_ratio=args.min_lr_ratio, ema_decay=args.ema)
     augment = None
     if not args.no_augment:
         from telescope_cam_detection_tpu.train.augment import Augmenter
@@ -91,17 +114,29 @@ def main() -> int:
         state = restore_train_state(ckpt_dir, state)
         print(f"resumed at step {int(jax.device_get(state.step))}")
 
-    steps = args.steps_per_epoch or max(len(train_ds) // args.batch, 1)
+    loader = None
+    if mesh is not None:
+        # Multi-host-capable path: per-process loading + augment on a
+        # prefetch thread, assembled into dp-sharded global arrays.
+        from telescope_cam_detection_tpu.train.data import ShardedBatchLoader
+        loader = ShardedBatchLoader(train_ds, args.batch, mesh,
+                                    augment=augment)
+
     for epoch in range(args.epochs):
         t0 = time.time()
         losses = []
-        for imgs, lbls in train_ds.batches(args.batch, seed=epoch, epochs=1):
-            if augment is not None:
-                imgs_u8 = np.clip(imgs, 0, 255).astype(np.uint8)
-                imgs_u8, lbls = augment(imgs_u8, np.asarray(lbls))
-                imgs = imgs_u8.astype(np.float32)
-            state, metrics = train_step(state, jnp.asarray(imgs),
-                                        jnp.asarray(lbls))
+        if loader is not None:
+            batches = loader.epoch(epoch)
+        else:
+            batches = train_ds.batches(args.batch, seed=epoch, epochs=1)
+        for imgs, lbls in batches:
+            if loader is None:
+                if augment is not None:
+                    imgs_u8 = np.clip(imgs, 0, 255).astype(np.uint8)
+                    imgs_u8, lbls = augment(imgs_u8, np.asarray(lbls))
+                    imgs = imgs_u8.astype(np.float32)
+                imgs, lbls = jnp.asarray(imgs), jnp.asarray(lbls)
+            state, metrics = train_step(state, imgs, lbls)
             losses.append(float(jax.device_get(metrics["loss"])))
             if len(losses) >= steps:
                 break
