@@ -1,14 +1,22 @@
 #!/usr/bin/env python3
 """External watchdog: restart the detection service when cameras freeze.
 
-Counterpart of reference scripts/stream_watchdog.py:66-204, adapted to this
-framework's observability: instead of tailing journald for per-camera log
-lines, it polls the service's /health and /stats endpoints (independent
-process, so it survives a hung main process — when even HTTP is dead it
-restarts too). Restart actions are systemctl (and optionally docker) with a
-rate limit per hour.
+Counterpart of reference scripts/stream_watchdog.py:66-204 with two freshness
+sources:
 
-Run as its own systemd unit (stream_watchdog.service).
+- ``--source health`` (default): poll the service's /health and /stats
+  endpoints (independent process, so it survives a hung main process — when
+  even HTTP is dead it restarts too).
+- ``--source journald``: journald-native like the reference — read
+  ``journalctl -u <unit> -o json`` and track each camera's last
+  "[camera_id] capture alive" heartbeat (runtime/capture.py emits one per
+  minute). Unlike the reference's text parsing (which re-derives timestamps
+  from "Oct 06 18:55:02" strings with year-boundary patching,
+  stream_watchdog.py:95-113), JSON export carries __REALTIME_TIMESTAMP
+  directly. Works even when the web plane is disabled or wedged.
+
+Restart actions are systemctl (and optionally docker) with a rate limit per
+hour. Run as its own systemd unit (stream_watchdog.service).
 """
 import argparse
 import json
@@ -24,6 +32,48 @@ logger = logging.getLogger("watchdog")
 def fetch(url: str, timeout: float = 5.0):
     with urllib.request.urlopen(url, timeout=timeout) as resp:
         return json.load(resp)
+
+
+def journald_last_activity(unit: str, window_s: float = 600.0,
+                           _run=subprocess.run):
+    """Last per-camera activity timestamps (epoch seconds) from journald.
+
+    Scans the unit's recent journal (JSON export) for per-camera markers:
+    the capture heartbeat, connect/reconnect lines, snapshot saves — any
+    message of the form "[<camera_id>] ...". Returns {camera_id: ts} or None
+    when the journal is unreadable.
+    """
+    cmd = ["journalctl", "-u", unit, "--since", f"-{int(window_s)}s",
+           "--no-pager", "-o", "json", "-n", "2000"]
+    try:
+        result = _run(cmd, capture_output=True, text=True, timeout=10)
+    except (subprocess.TimeoutExpired, OSError) as e:
+        logger.warning("journal query failed: %s", e)
+        return None
+    if result.returncode != 0:
+        logger.warning("journalctl rc=%d: %s", result.returncode,
+                       (result.stderr or "").strip()[:200])
+        return None
+    last = {}
+    for line in result.stdout.splitlines():
+        try:
+            rec = json.loads(line)
+        except ValueError:
+            continue
+        msg = rec.get("MESSAGE") or ""
+        if not msg.startswith("["):
+            continue
+        end = msg.find("]")
+        if end <= 1:
+            continue
+        cam = msg[1:end]
+        try:
+            ts = int(rec.get("__REALTIME_TIMESTAMP", 0)) / 1e6
+        except (TypeError, ValueError):
+            continue
+        if ts > last.get(cam, 0.0):
+            last[cam] = ts
+    return last
 
 
 def restart_service(unit: str, use_sudo: bool = True) -> bool:
@@ -61,32 +111,67 @@ def main() -> int:
     parser.add_argument("--max-restarts-per-hour", type=int, default=3)
     parser.add_argument("--no-sudo", action="store_true")
     parser.add_argument("--dry-run", action="store_true")
+    parser.add_argument("--source", default="health",
+                        choices=["health", "journald"],
+                        help="freshness source: poll /stats, or tail the "
+                             "unit's journal (reference-style)")
+    parser.add_argument("--cameras", default=None,
+                        help="comma-separated camera ids to require activity "
+                             "for (journald mode; default: any camera seen)")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(levelname)s watchdog: %(message)s")
     base = f"http://{args.host}:{args.port}"
+    required = ([c.strip() for c in args.cameras.split(",") if c.strip()]
+                if args.cameras else None)
     restart_times = []
     consecutive_http_failures = 0
 
     while True:
         frozen = False
         reason = ""
-        try:
-            stats = fetch(f"{base}/stats")
-            consecutive_http_failures = 0
+        if args.source == "journald":
+            window = max(args.freeze_threshold * 2, 600.0)
+            activity = journald_last_activity(args.service, window)
             now = time.time()
-            for cid, cam in (stats.get("cameras") or {}).items():
-                last = cam.get("last_frame_time", 0)
-                if last and now - last > args.freeze_threshold:
+            if activity is None:
+                consecutive_http_failures += 1
+                if consecutive_http_failures >= 3:
                     frozen = True
-                    reason = f"camera {cid} frozen for {now - last:.0f}s"
-                    break
-        except OSError as e:
-            consecutive_http_failures += 1
-            if consecutive_http_failures >= 3:
-                frozen = True
-                reason = f"service unreachable ({e})"
+                    reason = "journal unreadable"
+            else:
+                consecutive_http_failures = 0
+                cams = required if required is not None else sorted(activity)
+                if not cams:
+                    # no camera line in the whole window: service silent
+                    frozen = True
+                    reason = (f"no camera activity in the journal for "
+                              f"{int(window)}s")
+                for cid in cams:
+                    age = now - activity.get(cid, 0.0)
+                    if age > args.freeze_threshold:
+                        frozen = True
+                        reason = (f"camera {cid} silent for {age:.0f}s"
+                                  if cid in activity else
+                                  f"camera {cid} absent from the journal")
+                        break
+        else:
+            try:
+                stats = fetch(f"{base}/stats")
+                consecutive_http_failures = 0
+                now = time.time()
+                for cid, cam in (stats.get("cameras") or {}).items():
+                    last = cam.get("last_frame_time", 0)
+                    if last and now - last > args.freeze_threshold:
+                        frozen = True
+                        reason = f"camera {cid} frozen for {now - last:.0f}s"
+                        break
+            except OSError as e:
+                consecutive_http_failures += 1
+                if consecutive_http_failures >= 3:
+                    frozen = True
+                    reason = f"service unreachable ({e})"
 
         if frozen:
             restart_times = [t for t in restart_times if time.time() - t < 3600]

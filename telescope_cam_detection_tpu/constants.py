@@ -33,6 +33,10 @@ WEBSOCKET_STATUS_INTERVAL_SECONDS = 5.0
 # Stats
 # --------------------------------------------------------------------------
 FPS_CALCULATION_INTERVAL_SECONDS = 1.0
+# Per-camera journald heartbeat cadence: scripts/stream_watchdog.py's
+# journald mode tails these lines (reference stream_watchdog.py:66-118
+# greps for capture-loop activity markers the same way).
+CAPTURE_HEARTBEAT_SECONDS = 60.0
 MIN_TIME_DELTA = 0.001
 
 # --------------------------------------------------------------------------

@@ -96,6 +96,7 @@ class BaseStreamCapture:
         self._fps = 0.0
         self._fps_count = 0
         self._fps_t0 = time.time()
+        self._heartbeat_t = time.time()
         self.connected = False
 
     # -- lifecycle ----------------------------------------------------------
@@ -174,6 +175,11 @@ class BaseStreamCapture:
             self._fps = self._fps_count / dt
             self._fps_count = 0
             self._fps_t0 = now
+        if now - self._heartbeat_t >= C.CAPTURE_HEARTBEAT_SECONDS:
+            # journald activity marker for the external watchdog
+            logger.info("[%s] capture alive: %d frames, %.1f fps",
+                        self.camera_id, self.frames_captured, self._fps)
+            self._heartbeat_t = now
         try:
             self.frame_queue.put_nowait(item)
         except Full:

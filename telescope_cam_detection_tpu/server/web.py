@@ -13,6 +13,7 @@ upgrade (utils/wsproto.py) since fastapi/uvicorn are not in this image:
   POST /api/cameras/{id}/restart
   GET  /api/cameras/health/summary
   GET  /api/system/stats         -> aggregate fps, HBM, queue depths
+  GET  /api/system/stats/history -> sampled ring of the same (charts)
   GET  /api/clips[?camera=...]   -> product listing
   GET  /api/clips/{name}         -> serve product (Bearer token + traversal guard)
   POST /api/config/reload        -> hot reload
@@ -30,6 +31,7 @@ import queue
 import socket
 import threading
 import time
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 from typing import Any, Callable, Dict, List, Optional
@@ -177,6 +179,13 @@ class WebServer:
         self._pump_thread: Optional[threading.Thread] = None
         self._running = threading.Event()
 
+        # historical stats ring for the dashboard charts: one sample every
+        # stats_history_interval seconds, an hour of retention
+        self.stats_history_interval = 5.0
+        self._stats_history: deque = deque(maxlen=720)
+        self._history_stop = threading.Event()
+        self._history_thread: Optional[threading.Thread] = None
+
     # ------------------------------------------------------------------ lifecycle
     def start(self) -> None:
         """Non-blocking start (run() is the blocking variant)."""
@@ -196,6 +205,10 @@ class WebServer:
         self._pump_thread = threading.Thread(
             target=self._detection_pump, name="detection-pump", daemon=True)
         self._pump_thread.start()
+        self._history_stop.clear()
+        self._history_thread = threading.Thread(
+            target=self._history_loop, name="stats-history", daemon=True)
+        self._history_thread.start()
         logger.info("web server listening on %s:%d", self.host, self.port)
 
     def run(self) -> None:
@@ -209,6 +222,7 @@ class WebServer:
 
     def stop(self) -> None:
         self._running.clear()
+        self._history_stop.set()
         if self._httpd is not None:
             self._httpd.shutdown()
             self._httpd.server_close()
@@ -371,6 +385,46 @@ class WebServer:
             pass
         return payload
 
+    # ---- historical stats ---------------------------------------------------
+    def _history_sample(self) -> Dict[str, Any]:
+        """One compact sample of the headline numbers the dashboard charts."""
+        cams = {cid: cap.get_stats().get("fps", 0.0)
+                for cid, cap in self.captures.items()}
+        sample: Dict[str, Any] = {
+            "t": round(time.time(), 1),
+            "fps": round(sum(cams.values()), 2),
+            "cameras": {cid: round(v, 2) for cid, v in cams.items()},
+            "queue": (self.detection_queue.qsize()
+                      if self.detection_queue else 0),
+        }
+        lat = [e.get_stats().get("inference_time_ema_ms", 0.0)
+               for e in self.engines.values()]
+        lat = [v for v in lat if v]
+        if lat:
+            sample["infer_ms"] = round(sum(lat) / len(lat), 2)
+        if self.memory_manager is not None:
+            dm = self.memory_manager.get_stats() or {}
+            frac = dm.get("memory_fraction")
+            if isinstance(frac, (int, float)):
+                sample["hbm_frac"] = round(float(frac), 4)
+        return sample
+
+    def _history_loop(self) -> None:
+        while not self._history_stop.is_set():
+            try:
+                self._stats_history.append(self._history_sample())
+            except Exception:  # sampling must never kill the thread
+                logger.exception("stats history sample failed")
+            self._history_stop.wait(self.stats_history_interval)
+
+    def history_payload(self, minutes: Optional[float] = None) -> Dict[str, Any]:
+        samples = list(self._stats_history)
+        if minutes:
+            cutoff = time.time() - minutes * 60.0
+            samples = [s for s in samples if s["t"] >= cutoff]
+        return {"interval_seconds": self.stats_history_interval,
+                "samples": samples}
+
     def prometheus_payload(self) -> str:
         """Prometheus text exposition of every component's stats contract
         (the reference exposes stats only as JSON; /metrics makes the same
@@ -510,6 +564,14 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._json(self.web.stats_payload())
             if path == "/api/system/stats":
                 return self._json(self.web.system_stats_payload())
+            if path == "/api/system/stats/history":
+                from urllib.parse import parse_qs, urlparse
+                q = parse_qs(urlparse(self.path).query)
+                try:
+                    minutes = float(q["minutes"][0]) if "minutes" in q else None
+                except (ValueError, IndexError):
+                    minutes = None
+                return self._json(self.web.history_payload(minutes))
             if path == "/metrics":
                 body = self.web.prometheus_payload().encode()
                 self.send_response(200)

@@ -32,6 +32,8 @@ class DetectionApp {
     this.connectWebSocket();
     setInterval(() => this.pollSystemStats(), 5000);
     setInterval(() => this.updateSessionPanel(), 2000);
+    this.pollHistory();
+    setInterval(() => this.pollHistory(), 10000);
     document.addEventListener("keydown", (ev) => {
       if (ev.key === "Escape" && this.view === "single") this.setView("auto");
     });
@@ -244,6 +246,55 @@ class DetectionApp {
       document.getElementById("hbm-label").textContent =
         s.device_memory ? `HBM ${Math.round(frac * 100)}%` : "HBM n/a";
     } catch { /* server away; WS reconnect handles it */ }
+  }
+
+  // Historical charts: sparklines over /api/system/stats/history samples
+  // (reference has no history endpoint; its gauge shows instants only).
+  async pollHistory() {
+    let hist;
+    try {
+      const res = await fetch("/api/system/stats/history?minutes=15");
+      hist = await res.json();
+    } catch { return; }
+    const samples = hist.samples || [];
+    if (!samples.length) return;
+    const last = samples[samples.length - 1];
+    this.sparkline("hist-fps", samples.map((s) => s.fps), "#58a6ff");
+    document.getElementById("hist-fps-label").textContent =
+      `capture fps (now ${(last.fps ?? 0).toFixed(1)})`;
+    const hbm = samples.map((s) => (s.hbm_frac ?? 0) * 100);
+    this.sparkline("hist-hbm", hbm, "#7ee787", 100);
+    document.getElementById("hist-hbm-label").textContent =
+      last.hbm_frac != null
+        ? `HBM % (now ${Math.round(last.hbm_frac * 100)}%)` : "HBM n/a";
+    this.sparkline("hist-lat", samples.map((s) => s.infer_ms ?? 0), "#ffa657");
+    document.getElementById("hist-lat-label").textContent =
+      last.infer_ms != null
+        ? `inference ms (now ${last.infer_ms.toFixed(1)})` : "inference n/a";
+  }
+
+  sparkline(id, values, color, fixedMax = null) {
+    const canvas = document.getElementById(id);
+    if (!canvas || !values.length) return;
+    const ctx = canvas.getContext("2d");
+    const w = canvas.width, h = canvas.height, pad = 3;
+    ctx.clearRect(0, 0, w, h);
+    const max = fixedMax ?? Math.max(...values, 1e-6);
+    const min = fixedMax != null ? 0 : Math.min(...values, 0);
+    const span = max - min || 1;
+    const x = (i) => pad + (i / Math.max(values.length - 1, 1)) * (w - 2 * pad);
+    const y = (v) => h - pad - ((v - min) / span) * (h - 2 * pad);
+    ctx.beginPath();
+    ctx.moveTo(x(0), y(values[0]));
+    for (let i = 1; i < values.length; i++) ctx.lineTo(x(i), y(values[i]));
+    ctx.strokeStyle = color;
+    ctx.lineWidth = 1.5;
+    ctx.stroke();
+    ctx.lineTo(x(values.length - 1), h - pad);
+    ctx.lineTo(x(0), h - pad);
+    ctx.closePath();
+    ctx.fillStyle = color + "22";
+    ctx.fill();
   }
 
   updateSessionPanel() {
