@@ -145,7 +145,9 @@ def mog2_update(
     alpha = learning_rate
 
     d2 = (x[..., None] - mu) ** 2                      # (H, W, K)
-    matches = d2 < var_threshold * var                 # match test (Tb)
+    # never-used components (weight 0) are unmatchable — cv2 grows from
+    # zero modes, so an all-zero init mean must not absorb dark samples
+    matches = (d2 < var_threshold * var) & (w > 1e-6)  # match test (Tb)
 
     # pick best matching component (highest weight among matches)
     neg = jnp.where(matches, w, -1.0)
@@ -185,6 +187,121 @@ def mog2_update(
     fg = jnp.where(state.frame_count < 1, False, ~is_bg)
     new_state = MOG2State(w_new, mu_new, var_new, state.frame_count + 1)
     return new_state, fg
+
+
+# ---------------------------------------------------------------------------
+# Color MOG2 with shadow modeling
+# ---------------------------------------------------------------------------
+
+class MOG2ColorState(NamedTuple):
+    weights: jnp.ndarray    # (H, W, K)
+    means: jnp.ndarray      # (H, W, K, 3) BGR
+    variances: jnp.ndarray  # (H, W, K) shared across channels (cv2 layout)
+    frame_count: jnp.ndarray  # () int32
+
+
+MOG2_SHADOW_TAU = 0.5  # cv2 fTau default: shadow darkens to >= 50% brightness
+# cv2 color-space defaults: varInit 15 / varMin 4 / varMax 5*varInit per
+# channel; the squared-distance test sums 3 channels, so thresholds scale by
+# the channel count.
+_COLOR_CH = 3.0
+
+
+def init_mog2_color_state(hw: Tuple[int, int], k: int = MOG2_K) -> MOG2ColorState:
+    h, w = hw
+    return MOG2ColorState(
+        weights=jnp.zeros((h, w, k), jnp.float32),
+        means=jnp.zeros((h, w, k, 3), jnp.float32),
+        variances=jnp.full((h, w, k), MOG2_VAR_INIT, jnp.float32),
+        frame_count=jnp.asarray(0, jnp.int32),
+    )
+
+
+@jax.jit
+def mog2_update_color(
+    state: MOG2ColorState,
+    frame_bgr: jnp.ndarray,       # (H, W, 3) uint8
+    var_threshold: jnp.ndarray,   # () float — cv2 varThreshold (default 16)
+    learning_rate: jnp.ndarray,   # () float
+    shadow_tau: jnp.ndarray,      # () float — cv2 fTau (default 0.5)
+) -> Tuple[MOG2ColorState, jnp.ndarray, jnp.ndarray]:
+    """Color-space mixture step with Prati-style shadow classification
+    (cv2 BackgroundSubtractorMOG2 detectShadows semantics,
+    reference motion_filter.py:56-66 constructs it with detectShadows=True).
+
+    Returns (new_state, fg_mask (H,W) bool, shadow_mask (H,W) bool) where
+    shadow_mask ⊆ fg_mask: pixels that differ from the background only as a
+    uniform darkening (tau <= brightness ratio < 1, small chroma distortion)
+    — the caller excludes them from motion (reference motion_filter.py:99
+    zeroes the 127-valued shadow pixels).
+    """
+    x = frame_bgr.astype(jnp.float32)                 # (H, W, 3)
+    w, mu, var = state.weights, state.means, state.variances
+    alpha = learning_rate
+
+    d = x[..., None, :] - mu                          # (H, W, K, 3)
+    d2 = jnp.sum(d * d, axis=-1)                      # (H, W, K)
+    # weight-0 components are unmatchable (cv2 grows from zero modes)
+    matches = (d2 < var_threshold * var * _COLOR_CH) & (w > 1e-6)
+
+    neg = jnp.where(matches, w, -1.0)
+    best = jnp.argmax(neg, axis=-1)
+    any_match = jnp.any(matches, axis=-1)
+    onehot_best = jax.nn.one_hot(best, w.shape[-1], dtype=jnp.float32) * \
+        any_match[..., None]
+
+    w_new = w + alpha * (onehot_best - w)
+    rho = alpha / jnp.maximum(w_new, 1e-6)
+    mu_new = mu + (onehot_best * rho)[..., None] * d
+    # per-component variance absorbs the mean squared channel deviation
+    var_new = var + onehot_best * rho * (d2 / _COLOR_CH - var)
+    var_new = jnp.clip(var_new, MOG2_VAR_MIN, MOG2_VAR_MAX)
+
+    weakest = jnp.argmin(w, axis=-1)
+    onehot_weak = jax.nn.one_hot(weakest, w.shape[-1], dtype=jnp.float32) * \
+        (~any_match)[..., None]
+    w_new = jnp.where(onehot_weak > 0, alpha, w_new)
+    mu_new = jnp.where(onehot_weak[..., None] > 0,
+                       x[..., None, :], mu_new)
+    var_new = jnp.where(onehot_weak > 0, MOG2_VAR_INIT, var_new)
+
+    w_new = w_new / jnp.maximum(jnp.sum(w_new, axis=-1, keepdims=True), 1e-6)
+
+    # background membership over the BG_RATIO cumulative-weight prefix
+    order = jnp.argsort(-w_new, axis=-1)
+    w_sorted = jnp.take_along_axis(w_new, order, axis=-1)
+    m_sorted = jnp.take_along_axis(matches, order, axis=-1)
+    cum = jnp.cumsum(w_sorted, axis=-1)
+    prev_cum = cum - w_sorted
+    in_bg_sorted = prev_cum < MOG2_BG_RATIO
+    is_bg = jnp.any(m_sorted & in_bg_sorted, axis=-1)
+
+    # shadow test against each PRE-UPDATE background component (cv2 runs
+    # detection against the existing modes; the sample inserted this step
+    # must not compare against itself): brightness ratio
+    # a = <x, mu>/<mu, mu> within [tau, 1] and chroma distortion
+    # ||x - a*mu||^2 under Tb * var * a^2
+    order_old = jnp.argsort(-w, axis=-1)
+    w_old_sorted = jnp.take_along_axis(w, order_old, axis=-1)
+    cum_old = jnp.cumsum(w_old_sorted, axis=-1)
+    in_bg_sorted_old = (cum_old - w_old_sorted) < MOG2_BG_RATIO
+    inv_order = jnp.argsort(order_old, axis=-1)
+    in_bg = (jnp.take_along_axis(in_bg_sorted_old, inv_order, axis=-1)
+             & (w > 1e-6))                                         # (H,W,K)
+    num = jnp.sum(x[..., None, :] * mu, axis=-1)                   # (H,W,K)
+    den = jnp.maximum(jnp.sum(mu * mu, axis=-1), 1e-6)
+    a = num / den
+    a_ok = (a >= shadow_tau) & (a <= 1.0)
+    dist = x[..., None, :] - a[..., None] * mu
+    dist2a = jnp.sum(dist * dist, axis=-1)
+    shadow_k = in_bg & a_ok & (dist2a <
+                               var_threshold * var * _COLOR_CH * a * a)
+    is_shadow = jnp.any(shadow_k, axis=-1)
+
+    fg = jnp.where(state.frame_count < 1, False, ~is_bg)
+    shadow = fg & is_shadow
+    new_state = MOG2ColorState(w_new, mu_new, var_new, state.frame_count + 1)
+    return new_state, fg, shadow
 
 
 @functools.partial(jax.jit, static_argnames=("blur_size",))

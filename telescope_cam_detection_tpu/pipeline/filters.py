@@ -151,7 +151,7 @@ class MotionFilter:
         self.enabled = enabled
         self.history = int(history)
         self.var_threshold = float(var_threshold)
-        self.detect_shadows = detect_shadows  # xla gray model folds shadows
+        self.detect_shadows = detect_shadows  # honored by both backends
         self.min_motion_area = float(min_motion_area)
         self.motion_blur_size = int(motion_blur_size)
         self.min_motion_ratio = float(min_motion_ratio)
@@ -161,7 +161,7 @@ class MotionFilter:
         if self.backend == "cv2" and not _HAS_CV2:
             raise RuntimeError("backend='cv2' but cv2 is not importable")
         self._cv2_sub = None
-        self._state: Optional[motion_ops.MOG2State] = None
+        self._state: Optional[motion_ops.MOG2ColorState] = None
         self._state_hw: Optional[Tuple[int, int]] = None
         self._lock = threading.Lock()
         self.total_processed = 0
@@ -194,13 +194,16 @@ class MotionFilter:
         hw = frame.shape[:2]
         with self._lock, jax.default_device(self._device):
             if self._state is None or self._state_hw != hw:
-                self._state = motion_ops.init_mog2_state(hw)
+                self._state = motion_ops.init_mog2_color_state(hw)
                 self._state_hw = hw
-            state, fg = motion_ops.mog2_update(
+            state, fg, shadow = motion_ops.mog2_update_color(
                 self._state, jax.device_put(frame, self._device),
                 jnp.asarray(self.var_threshold, jnp.float32),
-                jnp.asarray(self._learning_rate(), jnp.float32))
+                jnp.asarray(self._learning_rate(), jnp.float32),
+                jnp.asarray(motion_ops.MOG2_SHADOW_TAU, jnp.float32))
             self._state = state
+            if self.detect_shadows:
+                fg = fg & ~shadow  # shadow pixels are not motion (ref :99)
             return np.asarray(motion_ops.motion_mask_postprocess(
                 fg, blur_size=self.motion_blur_size))
 

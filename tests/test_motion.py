@@ -160,3 +160,69 @@ def test_motion_filter_boxes_clipped_to_frame():
                 "bbox": {"x1": -32, "y1": -32, "x2": 16, "y2": 16}}
     out = filt.filter_detections(moved, [dict(half_out)])
     assert len(out) == 1  # clipped area 16x16, fully moving -> passes
+
+
+def test_mog2_color_shadow_classification():
+    """Color mixture: multiplicative darkening of the learned background is
+    shadow (foreground but masked), a different-hue object is real motion
+    (cv2 detectShadows semantics, reference motion_filter.py:56-66,99)."""
+    import jax.numpy as jnp
+    hw = (32, 32)
+    state = motion_ops.init_mog2_color_state(hw)
+    bg = np.zeros((*hw, 3), np.uint8)
+    bg[...] = (60, 120, 180)  # saturated warm background
+    vt = jnp.asarray(16.0)
+    lr = jnp.asarray(0.05)
+    tau = jnp.asarray(motion_ops.MOG2_SHADOW_TAU)
+    for _ in range(30):
+        state, fg, shadow = motion_ops.mog2_update_color(
+            state, jnp.asarray(bg), vt, lr, tau)
+    assert not np.asarray(fg).any()
+
+    # uniform 40% darkening in a patch: shadow, not motion
+    shaded = bg.astype(np.float32)
+    shaded[8:24, 8:24] *= 0.6
+    state, fg, shadow = motion_ops.mog2_update_color(
+        state, jnp.asarray(shaded.astype(np.uint8)), vt, lr, tau)
+    fg, shadow = np.asarray(fg), np.asarray(shadow)
+    assert fg[10:22, 10:22].all()          # it IS foreground...
+    assert shadow[10:22, 10:22].all()      # ...but classified shadow
+    assert not fg[:5, :5].any()
+
+    # different-hue object at similar brightness: motion, NOT shadow
+    obj = bg.copy()
+    obj[8:24, 8:24] = (200, 60, 40)        # cool blue, similar magnitude
+    state, fg, shadow = motion_ops.mog2_update_color(
+        state, jnp.asarray(obj), vt, lr, tau)
+    fg, shadow = np.asarray(fg), np.asarray(shadow)
+    assert fg[10:22, 10:22].all()
+    assert not shadow[10:22, 10:22].any()
+
+    # darkening below tau (90% darker) is too dark to be shadow
+    black = bg.astype(np.float32)
+    black[8:24, 8:24] *= 0.1
+    state, fg, shadow = motion_ops.mog2_update_color(
+        state, jnp.asarray(black.astype(np.uint8)), vt, lr, tau)
+    assert np.asarray(fg)[10:22, 10:22].all()
+    assert not np.asarray(shadow)[10:22, 10:22].any()
+
+
+def test_motion_filter_xla_shadow_gate():
+    """End-to-end through MotionFilter backend='xla': a shadowed bbox is
+    rejected with detect_shadows=True and kept with detect_shadows=False."""
+    def run(detect_shadows):
+        filt = MotionFilter(history=20, motion_blur_size=5,
+                            min_motion_ratio=0.1, backend="xla",
+                            detect_shadows=detect_shadows)
+        bg = np.zeros((64, 64, 3), np.uint8)
+        bg[...] = (60, 120, 180)
+        for _ in range(30):
+            filt.filter_detections(bg, [])
+        shaded = bg.astype(np.float32)
+        shaded[8:40, 8:40] *= 0.6
+        det = {"class_name": "cat", "confidence": 0.9,
+               "bbox": {"x1": 10, "y1": 10, "x2": 38, "y2": 38}}
+        return filt.filter_detections(shaded.astype(np.uint8), [dict(det)])
+
+    assert run(True) == []       # shadow pixels are not motion
+    assert len(run(False)) == 1  # without shadow modeling they count

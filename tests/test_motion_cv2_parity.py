@@ -80,7 +80,7 @@ class Cv2Gate:
 def test_gate_decisions_agree_with_cv2(kind, expect_mostly):
     frames = _sequence(kind)
     ours = MotionFilter(enabled=True, min_motion_ratio=0.05,
-                        min_motion_pixels=10)
+                        min_motion_pixels=10, backend="xla")
     theirs = Cv2Gate()
     agree, ours_keep, cv_keep, total = 0, 0, 0, 0
     for i, f in enumerate(frames):
@@ -104,7 +104,7 @@ def test_gate_decisions_agree_with_cv2(kind, expect_mostly):
 
 def test_empty_scene_no_spurious_motion():
     frames = _sequence("empty")
-    ours = MotionFilter(enabled=True)
+    ours = MotionFilter(enabled=True, backend="xla")
     theirs = Cv2Gate()
     bbox = {"x1": 40.0, "y1": 40.0, "x2": 80.0, "y2": 80.0}
     spurious_ours = spurious_cv = 0
