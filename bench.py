@@ -37,6 +37,8 @@ def build_program(batch, transfer, n_cams):
     spec = ProgramSpec(detector_type="yolox", variant="yolox-s",
                        input_hw=(640, 640), max_det=300, pre_nms_topk=1000,
                        transfer=transfer, delta_lanes=n_cams,
+                       delta_payload=os.environ.get("BENCH_DELTA_PAYLOAD",
+                                                    "rgb"),
                        readback_topk=int(os.environ.get("BENCH_READBACK",
                                                         "64")) or None)
     program = DetectorProgram(spec, seed=0)

@@ -118,27 +118,63 @@ void frameio_resize_batch_u8(const uint8_t* src, int n, int sh, int sw,
     for (auto& w : workers) w.join();
 }
 
+// Canonical full-range BT.601 forward transform in Q16 fixed point —
+// integer-exact, so the C++ and numpy implementations are bit-identical by
+// construction (and it auto-vectorizes where the old float path did not).
+//   y_fp = 19595 R + 38470 G + 7471 B                 (Q16)
+//   Y    = (y_fp + 32768) >> 16
+//   U    = ((36963 * (B<<16 - y_fp) + 2^31) >> 32) + 128, clamped
+//   V    = ((46727 * (R<<16 - y_fp) + 2^31) >> 32) + 128, clamped
+static inline void bgr_pixel_to_yuv(int b, int g, int r,
+                                    uint8_t* y_out, int* u_out, int* v_out) {
+    int32_t y_fp = 19595 * r + 38470 * g + 7471 * b;
+    *y_out = static_cast<uint8_t>((y_fp + 32768) >> 16);
+    if (u_out) {
+        int64_t ut = (static_cast<int64_t>(b) << 16) - y_fp;
+        int64_t vt = (static_cast<int64_t>(r) << 16) - y_fp;
+        int64_t u = ((36963 * ut + (1LL << 31)) >> 32) + 128;
+        int64_t v = ((46727 * vt + (1LL << 31)) >> 32) + 128;
+        *u_out = static_cast<int>(u < 0 ? 0 : (u > 255 ? 255 : u));
+        *v_out = static_cast<int>(v < 0 ? 0 : (v > 255 ? 255 : v));
+    }
+}
+
+// Row-wise passes in the vectorizer-friendly form: a simple counted loop
+// with stride-3 (Y) / stride-6 (chroma) interleaved loads and no escaping
+// pointers, which GCC's interleaved-access vectorization handles.
+static void yuv_row_y(const uint8_t* p, uint8_t* y_row, int w) {
+    for (int x = 0; x < w; ++x) {
+        int32_t y_fp = 19595 * p[3 * x + 2] + 38470 * p[3 * x + 1] +
+                       7471 * p[3 * x];
+        y_row[x] = static_cast<uint8_t>((y_fp + 32768) >> 16);
+    }
+}
+
+static void yuv_row_chroma(const uint8_t* p, uint8_t* u_row, uint8_t* v_row,
+                           int half_w) {
+    for (int x = 0; x < half_w; ++x) {
+        int b = p[6 * x], g = p[6 * x + 1], r = p[6 * x + 2];
+        int32_t y_fp = 19595 * r + 38470 * g + 7471 * b;
+        int64_t u = ((36963 * ((static_cast<int64_t>(b) << 16) - y_fp) +
+                      (1LL << 31)) >> 32) + 128;
+        int64_t v = ((46727 * ((static_cast<int64_t>(r) << 16) - y_fp) +
+                      (1LL << 31)) >> 32) + 128;
+        u_row[x] = static_cast<uint8_t>(u < 0 ? 0 : (u > 255 ? 255 : u));
+        v_row[x] = static_cast<uint8_t>(v < 0 ? 0 : (v > 255 ? 255 : v));
+    }
+}
+
 // BGR888 -> planar YUV420 (BT.601). dst must hold h*w*3/2 bytes; h, w even.
 void frameio_bgr_to_yuv420(const uint8_t* src, int h, int w, uint8_t* dst) {
     uint8_t* y_plane = dst;
     uint8_t* u_plane = dst + static_cast<long>(h) * w;
     uint8_t* v_plane = u_plane + static_cast<long>(h) * w / 4;
     for (int yy = 0; yy < h; ++yy) {
-        for (int xx = 0; xx < w; ++xx) {
-            const uint8_t* p = src + (static_cast<long>(yy) * w + xx) * 3;
-            float b = p[0], g = p[1], r = p[2];
-            float yv = 0.299f * r + 0.587f * g + 0.114f * b;
-            y_plane[static_cast<long>(yy) * w + xx] =
-                static_cast<uint8_t>(std::min(std::max(yv, 0.f), 255.f) + 0.5f);
-            if ((yy & 1) == 0 && (xx & 1) == 0) {
-                float u = (b - yv) * 0.564f + 128.f;
-                float v = (r - yv) * 0.713f + 128.f;
-                long ci = static_cast<long>(yy / 2) * (w / 2) + xx / 2;
-                u_plane[ci] = static_cast<uint8_t>(
-                    std::min(std::max(u, 0.f), 255.f) + 0.5f);
-                v_plane[ci] = static_cast<uint8_t>(
-                    std::min(std::max(v, 0.f), 255.f) + 0.5f);
-            }
+        const uint8_t* p = src + static_cast<long>(yy) * w * 3;
+        yuv_row_y(p, y_plane + static_cast<long>(yy) * w, w);
+        if ((yy & 1) == 0) {
+            long ci = static_cast<long>(yy / 2) * (w / 2);
+            yuv_row_chroma(p, u_plane + ci, v_plane + ci, w / 2);
         }
     }
 }
@@ -173,15 +209,27 @@ int frameio_delta_encode(const uint8_t* frame, uint8_t* ref, int h, int w,
         }
         bool changed = refresh;
         if (!changed) {
-            for (int r = 0; r < tile && !changed; ++r) {
+            // branchless max-absdiff per row: |a-b| as saturating u8 subs in
+            // both directions, max-reduced — the form GCC/Clang auto-
+            // vectorize to psubusb/pmaxub under -O3 -march=native (the old
+            // early-exit byte loop defeated vectorization and made the scan
+            // ~1.4 ms/frame; most tiles are unchanged, so the full-tile scan
+            // dominates encode cost).
+            uint8_t maxd = 0;
+            for (int r = 0; r < tile; ++r) {
                 const uint8_t* fp = frame + base + r * row_bytes;
                 const uint8_t* rp = ref + base + r * row_bytes;
+                uint8_t rowmax = 0;
                 for (long i = 0; i < tile_row_bytes; ++i) {
-                    int d = static_cast<int>(fp[i]) - static_cast<int>(rp[i]);
-                    if (d < 0) d = -d;
-                    if (d > threshold) { changed = true; break; }
+                    uint8_t d1 = (uint8_t)(fp[i] - rp[i]);
+                    uint8_t d2 = (uint8_t)(rp[i] - fp[i]);
+                    uint8_t d = fp[i] > rp[i] ? d1 : d2;
+                    rowmax = d > rowmax ? d : rowmax;
                 }
+                maxd = rowmax > maxd ? rowmax : maxd;
+                if (maxd > threshold) break;  // row-granular early exit
             }
+            changed = maxd > threshold;
         }
         if (!changed) continue;
         idx_out[k] = t;
@@ -191,6 +239,93 @@ int frameio_delta_encode(const uint8_t* frame, uint8_t* ref, int h, int w,
             std::memcpy(out + r * tile_row_bytes, fp, tile_row_bytes);
             std::memcpy(ref + base + r * row_bytes, fp, tile_row_bytes);
         }
+        ++k;
+    }
+    return k;
+}
+
+// BGR888 -> TILED planar YUV420 (BT.601, same math as frameio_bgr_to_yuv420):
+// dst is (num_tiles, tile*tile*3/2) where each row holds one tile's bytes as
+// [Y tile*tile | U (tile/2)^2 | V (tile/2)^2], tiles row-major over the
+// frame grid. Pairs with runtime/delta.py's YUV payload mode and
+// ops/delta.untile_yuv_tiles on device. h % tile == 0, w % tile == 0,
+// tile even.
+void frameio_bgr_to_yuv_tiles(const uint8_t* src, int h, int w, int tile,
+                              uint8_t* dst) {
+    const int grid_w = w / tile;
+    const int grid_h = h / tile;
+    const int t2 = tile / 2;
+    const int y_bytes = tile * tile;
+    const int c_bytes = t2 * t2;
+    const long row_sz = y_bytes + 2 * c_bytes;
+    // pass 1: full planes via the vectorized row kernels
+    std::vector<uint8_t> scratch(static_cast<size_t>(h) * w * 3 / 2);
+    uint8_t* y_plane = scratch.data();
+    uint8_t* u_plane = y_plane + static_cast<long>(h) * w;
+    uint8_t* v_plane = u_plane + static_cast<long>(h) * w / 4;
+    for (int yy = 0; yy < h; ++yy) {
+        const uint8_t* p = src + static_cast<long>(yy) * w * 3;
+        yuv_row_y(p, y_plane + static_cast<long>(yy) * w, w);
+        if ((yy & 1) == 0) {
+            long ci = static_cast<long>(yy / 2) * (w / 2);
+            yuv_row_chroma(p, u_plane + ci, v_plane + ci, w / 2);
+        }
+    }
+    // pass 2: reorder planes into per-tile records (pure memcpy)
+    for (int ty = 0; ty < grid_h; ++ty) {
+        for (int tx = 0; tx < grid_w; ++tx) {
+            uint8_t* out = dst + (static_cast<long>(ty) * grid_w + tx) * row_sz;
+            for (int yy = 0; yy < tile; ++yy) {
+                std::memcpy(out + yy * tile,
+                            y_plane + (static_cast<long>(ty) * tile + yy) * w +
+                                static_cast<long>(tx) * tile,
+                            tile);
+            }
+            uint8_t* u_out = out + y_bytes;
+            uint8_t* v_out = u_out + c_bytes;
+            for (int yy = 0; yy < t2; ++yy) {
+                long ci = (static_cast<long>(ty) * t2 + yy) * (w / 2) +
+                          static_cast<long>(tx) * t2;
+                std::memcpy(u_out + yy * t2, u_plane + ci, t2);
+                std::memcpy(v_out + yy * t2, v_plane + ci, t2);
+            }
+        }
+    }
+}
+
+// Row-delta encode over contiguous fixed-size records (the YUV tile layout
+// above: one record per tile). Same semantics as frameio_delta_encode but
+// records are contiguous, so the branchless max-absdiff scan vectorizes
+// cleanly. Updates ref in place; returns the number of records emitted.
+int frameio_delta_encode_rows(const uint8_t* data, uint8_t* ref, int n_rows,
+                              long row_bytes, int threshold,
+                              int refresh_start, int refresh_count,
+                              int32_t* idx_out, uint8_t* rows_out) {
+    int k = 0;
+    for (int t = 0; t < n_rows; ++t) {
+        const uint8_t* dp = data + t * row_bytes;
+        uint8_t* rp = ref + t * row_bytes;
+        bool refresh = false;
+        if (refresh_count > 0) {
+            int rel = t - refresh_start;
+            if (rel < 0) rel += n_rows;
+            refresh = rel < refresh_count;
+        }
+        bool changed = refresh;
+        if (!changed) {
+            uint8_t maxd = 0;
+            for (long i = 0; i < row_bytes; ++i) {
+                uint8_t d1 = (uint8_t)(dp[i] - rp[i]);
+                uint8_t d2 = (uint8_t)(rp[i] - dp[i]);
+                uint8_t d = dp[i] > rp[i] ? d1 : d2;
+                maxd = d > maxd ? d : maxd;
+            }
+            changed = maxd > threshold;
+        }
+        if (!changed) continue;
+        idx_out[k] = t;
+        std::memcpy(rows_out + static_cast<long>(k) * row_bytes, dp, row_bytes);
+        std::memcpy(rp, dp, row_bytes);
         ++k;
     }
     return k;

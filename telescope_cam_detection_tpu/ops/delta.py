@@ -26,11 +26,14 @@ import jax.numpy as jnp
 
 
 def tiled_shape(frame_hw: Tuple[int, int], tile: int,
-                lanes: int) -> Tuple[int, int, int, int, int]:
+                lanes: int, payload: str = "rgb") -> Tuple[int, ...]:
     h, w = frame_hw
     if h % tile or w % tile:
         raise ValueError(f"frame {frame_hw} not divisible by tile {tile}")
-    return (lanes, (h // tile) * (w // tile), tile, tile, 3)
+    t = (h // tile) * (w // tile)
+    if payload == "yuv420":
+        return (lanes, t, tile * tile * 3 // 2)
+    return (lanes, t, tile, tile, 3)
 
 
 def untile(frames_tiled: jnp.ndarray, frame_hw: Tuple[int, int]) -> jnp.ndarray:
@@ -43,32 +46,71 @@ def untile(frames_tiled: jnp.ndarray, frame_hw: Tuple[int, int]) -> jnp.ndarray:
     return x.reshape(b, h, w, c)
 
 
+def untile_yuv(frames_tiled: jnp.ndarray, frame_hw: Tuple[int, int],
+               tile: int) -> jnp.ndarray:
+    """(B, T, tile*tile*3//2) tiled planar YUV420 records -> (B, H, W, 3)
+    uint8 BGR. Inverse of the host packer (native frameio_bgr_to_yuv_tiles /
+    runtime.delta.bgr_to_yuv_tiles_numpy); chroma upsample + BT.601 inverse
+    use the exact coefficients of ops.preprocess.yuv420_to_bgr."""
+    b, t, s = frames_tiled.shape
+    h, w = frame_hw
+    gh, gw, t2 = h // tile, w // tile, tile // 2
+    y_n = tile * tile
+
+    def plane(records, ts, ph, pw):
+        x = records.reshape(b, gh, gw, ts, ts)
+        return x.transpose(0, 1, 3, 2, 4).reshape(b, ph, pw)
+
+    y = plane(frames_tiled[..., :y_n], tile, h, w).astype(jnp.float32)
+    u = plane(frames_tiled[..., y_n:y_n + t2 * t2], t2, h // 2, w // 2)
+    v = plane(frames_tiled[..., y_n + t2 * t2:], t2, h // 2, w // 2)
+
+    def up2(c):
+        c = jnp.broadcast_to(c[:, :, None, :, None],
+                             (b, h // 2, 2, w // 2, 2))
+        return c.reshape(b, h, w).astype(jnp.float32)
+
+    u = up2(u) - 128.0
+    v = up2(v) - 128.0
+    r = y + 1.403 * v
+    g = y - 0.714 * v - 0.344 * u
+    bch = y + 1.773 * u
+    rgb = jnp.clip(jnp.stack([bch, g, r], axis=-1), 0.0, 255.0)
+    return rgb.astype(jnp.uint8)
+
+
 def apply_tile_deltas(
     ref_tiled: jnp.ndarray,
     lanes: jnp.ndarray,
     tile_idx: jnp.ndarray,
     tiles: jnp.ndarray,
     frame_hw: Tuple[int, int],
+    payload: str = "rgb",
+    tile: int = 16,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Scatter per-frame tile deltas into the reference, emit full frames.
 
     Args:
-      ref_tiled: (L, T, th, tw, 3) uint8 device reference (donated by caller).
+      ref_tiled: (L, T, th, tw, 3) uint8 device reference for "rgb" payloads,
+        (L, T, th*tw*3//2) for "yuv420" (donated by caller).
       lanes: (B,) int32 — which lane each batch entry belongs to. Entries are
         applied IN ORDER, so a batch may contain several sequential frames of
         the same lane (each delta is relative to the previous entry's state).
       tile_idx: (B, K) int32 — tile slots to overwrite; pad with T (one past
         the end, dropped by the scatter).
-      tiles: (B, K, th, tw, 3) uint8 tile payloads.
+      tiles: (B, K, th, tw, 3) / (B, K, th*tw*3//2) uint8 tile payloads.
       frame_hw: full frame (H, W).
+      payload/tile: payload layout ("rgb" | "yuv420") and tile size (yuv).
 
-    Returns (new_ref_tiled, frames) with frames (B, H, W, 3) uint8.
+    Returns (new_ref_tiled, frames) with frames (B, H, W, 3) uint8 BGR.
     """
     def step(ref, x):
-        lane, idx, payload = x
-        ref = ref.at[lane, idx].set(payload, mode="drop")
+        lane, idx, rows = x
+        ref = ref.at[lane, idx].set(rows, mode="drop")
         return ref, ref[lane]
 
     new_ref, frames_tiled = jax.lax.scan(
         step, ref_tiled, (lanes, tile_idx, tiles))
+    if payload == "yuv420":
+        return new_ref, untile_yuv(frames_tiled, frame_hw, tile)
     return new_ref, untile(frames_tiled, frame_hw)

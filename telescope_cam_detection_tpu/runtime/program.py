@@ -76,6 +76,13 @@ class ProgramSpec:
     delta_threshold: int = 14
     delta_refresh_tiles: int = 16
     delta_lanes: int = 8                  # max concurrent streams in delta mode
+    # Delta payload space: "rgb" ships raw tiles (exact reconstruction;
+    # fastest when the link overlaps transfer under compute — measured best
+    # on this environment's relay). "yuv420" ships planar 4:2:0 records —
+    # half the bytes, for links where bandwidth (not host encode) binds;
+    # same chroma tradeoff as the full-frame yuv420 mode, and mirror
+    # semantics stay exact because both sides hold identical YUV bytes.
+    delta_payload: str = "rgb"
     # RT-DETR deformable-attention sampling: "auto" (pallas on TPU, xla
     # elsewhere — gathers are ~24x slower on TPU at high res), "xla", or
     # "pallas" (ops/pallas_deform.py). Ignored for yolox.
@@ -206,7 +213,8 @@ class DetectorProgram:
                                  "(stateful device reference buffer)")
             from telescope_cam_detection_tpu.ops.delta import tiled_shape
             self._delta_ref_shape = tiled_shape(
-                spec.input_hw, spec.delta_tile, spec.delta_lanes)
+                spec.input_hw, spec.delta_tile, spec.delta_lanes,
+                spec.delta_payload)
             self._delta_ref = None          # lazily placed on device
             self._delta_encoders: Dict[int, Any] = {}
             self._delta_lock = threading.Lock()
@@ -355,7 +363,8 @@ class DetectorProgram:
         def program(variables, ref, lanes, tile_idx, tiles, class_conf,
                     min_area, max_area, class_allowed):
             new_ref, frames_u8 = apply_tile_deltas(
-                ref, lanes, tile_idx, tiles, spec.input_hw)
+                ref, lanes, tile_idx, tiles, spec.input_hw,
+                payload=spec.delta_payload, tile=spec.delta_tile)
             if spec.detector_type == "yolox":
                 x = preprocess_yolox(frames_u8, spec.input_hw)
                 outs = model.apply(variables, x, train=False)
@@ -417,7 +426,8 @@ class DetectorProgram:
                     self._delta_encoders[lane] = DeltaEncoder(
                         spec.input_hw, tile=spec.delta_tile,
                         threshold=spec.delta_threshold,
-                        refresh_tiles=spec.delta_refresh_tiles)
+                        refresh_tiles=spec.delta_refresh_tiles,
+                        payload=spec.delta_payload)
             # encode lanes concurrently: encoders are per-lane state, so only
             # same-lane ordering matters (preserved within each lane's list)
             by_lane: Dict[int, List[int]] = {}
@@ -437,7 +447,8 @@ class DetectorProgram:
                 encode_lane(next(iter(by_lane)))
             num_tiles = self._delta_ref_shape[1]
             lanes_a, idx_a, tiles_a, k = pack_batch(
-                encoded, lane_list, num_tiles, spec.delta_tile)
+                encoded, lane_list, num_tiles, spec.delta_tile,
+                payload=spec.delta_payload)
             if self._delta_ref is None:
                 self._delta_ref = jnp.zeros(self._delta_ref_shape, jnp.uint8)
             fn = self._get_delta_program(len(frames), capture_hw, k)
@@ -568,17 +579,13 @@ class DetectorProgram:
 
 
 def _pack_yuv420_numpy(frame: np.ndarray) -> np.ndarray:
-    """Full-range BT.601 BGR -> planar I420 (numpy fallback packer)."""
+    """Full-range BT.601 BGR -> planar I420 (numpy fallback packer; the
+    canonical fixed-point transform, bit-identical to the native packer)."""
+    from telescope_cam_detection_tpu.runtime.delta import bgr_to_yuv_planes_numpy
     h, w, _ = frame.shape
-    f = frame.astype(np.float32)
-    b, g, r = f[..., 0], f[..., 1], f[..., 2]
-    y = 0.299 * r + 0.587 * g + 0.114 * b
-    u = (b - y) * 0.564 + 128.0
-    v = (r - y) * 0.713 + 128.0
+    yq, u_sub, v_sub = bgr_to_yuv_planes_numpy(frame)
     out = np.empty((h * 3 // 2, w), np.uint8)
-    out[:h] = np.clip(y + 0.5, 0, 255).astype(np.uint8)
-    u_sub = np.clip(u[0::2, 0::2] + 0.5, 0, 255).astype(np.uint8)
-    v_sub = np.clip(v[0::2, 0::2] + 0.5, 0, 255).astype(np.uint8)
+    out[:h] = yq
     out[h:h + h // 4] = u_sub.reshape(h // 4, w)
     out[h + h // 4:] = v_sub.reshape(h // 4, w)
     return out

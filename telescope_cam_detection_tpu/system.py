@@ -153,6 +153,7 @@ class TelescopeDetectionSystem:
             delta_tile=detection.get("delta_tile", 16),
             delta_threshold=detection.get("delta_threshold", 14),
             delta_refresh_tiles=detection.get("delta_refresh_tiles", 16),
+            delta_payload=detection.get("delta_payload", "rgb"),
             # one device reference-frame lane per camera + one for the
             # coordinator's batch-padding frames
             delta_lanes=len([c for c in cfg.get("cameras", [])

@@ -68,6 +68,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 u8p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p, u8p]
             lib.frameio_delta_encode.restype = ctypes.c_int
+        if hasattr(lib, "frameio_bgr_to_yuv_tiles"):
+            lib.frameio_bgr_to_yuv_tiles.argtypes = [
+                u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, u8p]
+            lib.frameio_bgr_to_yuv_tiles.restype = None
+        if hasattr(lib, "frameio_delta_encode_rows"):
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            lib.frameio_delta_encode_rows.argtypes = [
+                u8p, u8p, ctypes.c_int, ctypes.c_long, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, i32p, u8p]
+            lib.frameio_delta_encode_rows.restype = ctypes.c_int
         _lib = lib
         logger.info("native frameio loaded: %s", _LIB_PATH)
         return _lib
@@ -155,3 +165,38 @@ def delta_encode(frame: np.ndarray, ref: np.ndarray, tile: int,
         int(refresh_start), int(refresh_count),
         idx.ctypes.data_as(_ct.POINTER(_ct.c_int32)), _ptr(tiles))
     return idx[:k].copy(), tiles[:k].copy()
+
+
+def bgr_to_yuv_tiles(frame: np.ndarray, tile: int) -> Optional[np.ndarray]:
+    """(H, W, 3) uint8 BGR -> (num_tiles, tile*tile*3//2) tiled planar
+    YUV420 records ([Y | U | V] per tile, row-major grid). None if no lib."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "frameio_bgr_to_yuv_tiles"):
+        return None
+    frame = np.ascontiguousarray(frame)
+    h, w, _ = frame.shape
+    num_tiles = (h // tile) * (w // tile)
+    out = np.empty((num_tiles, tile * tile * 3 // 2), np.uint8)
+    lib.frameio_bgr_to_yuv_tiles(_ptr(frame), h, w, tile, _ptr(out))
+    return out
+
+
+def delta_encode_rows(data: np.ndarray, ref: np.ndarray, threshold: int,
+                      refresh_start: int, refresh_count: int):
+    """Row-record delta encode (GIL-free C++): data/ref (N, S) u8 contiguous;
+    returns (idx (K,) int32, rows (K, S) u8), updating ref IN PLACE. None
+    when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "frameio_delta_encode_rows"):
+        return None
+    if not (data.flags["C_CONTIGUOUS"] and ref.flags["C_CONTIGUOUS"]):
+        return None
+    import ctypes as _ct
+    n, s = data.shape
+    idx = np.empty((n,), np.int32)
+    rows = np.empty((n, s), np.uint8)
+    k = lib.frameio_delta_encode_rows(
+        _ptr(data), _ptr(ref), n, s, int(threshold),
+        int(refresh_start), int(refresh_count),
+        idx.ctypes.data_as(_ct.POINTER(_ct.c_int32)), _ptr(rows))
+    return idx[:k].copy(), rows[:k].copy()

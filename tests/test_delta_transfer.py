@@ -142,7 +142,7 @@ def test_program_delta_matches_host_transfer():
 
     delta_prog = DetectorProgram(
         _mini_spec(transfer="delta", delta_threshold=0, delta_refresh_tiles=0,
-                   delta_lanes=2), seed=0)
+                   delta_lanes=2, delta_payload="rgb"), seed=0)
     delta_prog.update_filters(filt)
     got = delta_prog.detect_batch_rows(frames, lanes=[0, 0, 0])
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
@@ -161,8 +161,8 @@ def test_program_delta_multilane_independent_streams():
     src_a = SyntheticFrameSource(width=128, height=128, seed=0, noise_sigma=0)
     src_b = SyntheticFrameSource(width=128, height=128, seed=7, noise_sigma=0)
     prog = DetectorProgram(
-        _mini_spec(transfer="delta", delta_threshold=4, delta_lanes=2),
-        seed=0)
+        _mini_spec(transfer="delta", delta_threshold=4, delta_lanes=2,
+                   delta_payload="rgb"), seed=0)
     prog.update_filters(FilterSettings(conf_threshold=0.0,
                                        wildlife_only=False))
     host = DetectorProgram(_mini_spec(transfer="host"), seed=0)
@@ -245,3 +245,79 @@ def test_readback_compaction_keeps_all_valid_rows():
         np.testing.assert_allclose(g_scores, w_scores[:len(g_scores)],
                                    rtol=1e-5)
         assert len(g_valid) == min(len(w_valid), 6)
+
+
+def test_yuv_payload_matches_yuv420_transfer_mode():
+    """YUV delta payload (threshold=0: every changed tile ships) must match
+    the full-frame yuv420 transfer mode — identical YUV bytes reach the
+    device, so rows agree to float tolerance."""
+    frames = np.stack([SyntheticFrameSource(width=256, height=192, seed=1)
+                       .frame_at(i) for i in range(3)])
+    filt = FilterSettings(conf_threshold=0.0, wildlife_only=False)
+
+    yuv_prog = DetectorProgram(_mini_spec(transfer="yuv420"), seed=0)
+    yuv_prog.update_filters(filt)
+    want = yuv_prog.detect_batch_rows(frames)
+
+    delta_prog = DetectorProgram(
+        _mini_spec(transfer="delta", delta_threshold=0, delta_refresh_tiles=0,
+                   delta_lanes=2, delta_payload="yuv420"), seed=0)
+    delta_prog.update_filters(filt)
+    got = delta_prog.detect_batch_rows(frames, lanes=[0, 0, 0])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+    # steady state: sparse yuv deltas, bounded error, rows stay close
+    frames2 = np.stack([SyntheticFrameSource(width=256, height=192, seed=1)
+                        .frame_at(i) for i in range(3, 6)])
+    want2 = yuv_prog.detect_batch_rows(frames2)
+    got2 = delta_prog.detect_batch_rows(frames2, lanes=[0, 0, 0])
+    np.testing.assert_allclose(got2, want2, rtol=1e-4, atol=1e-3)
+
+
+def test_yuv_payload_encoder_mirror_and_size():
+    """YUV payload records are tile*tile*3//2 bytes (half of RGB) and the
+    encoder mirror tracks the device reference exactly."""
+    enc = DeltaEncoder((32, 32), tile=16, threshold=6, refresh_tiles=0,
+                       payload="yuv420")
+    frame = np.full((32, 32, 3), 90, np.uint8)
+    idx, rows = enc.encode(frame)
+    assert len(idx) == enc.num_tiles           # first frame: full refresh
+    assert rows.shape == (4, 16 * 16 * 3 // 2)
+    # tiny wiggle below threshold: nothing sent
+    wiggle = frame.astype(np.int16) + 2
+    idx2, rows2 = enc.encode(np.clip(wiggle, 0, 255).astype(np.uint8))
+    assert len(idx2) == 0
+    # big change in one tile: exactly that tile ships
+    poked = frame.copy()
+    poked[16:, 16:] = 200
+    idx3, rows3 = enc.encode(poked)
+    assert list(idx3) == [3]
+
+
+def test_native_yuv_tiles_and_rows_match_numpy():
+    """Native bgr_to_yuv_tiles / delta_encode_rows are bit-identical to the
+    numpy fallbacks (same contract as the RGB encoder pair)."""
+    from telescope_cam_detection_tpu.runtime.delta import bgr_to_yuv_tiles_numpy
+    from telescope_cam_detection_tpu.utils import native
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 256, (64, 96, 3), np.uint8)
+    got = native.bgr_to_yuv_tiles(frame, 16)
+    if got is None:
+        pytest.skip("native yuv tiles unavailable")
+    np.testing.assert_array_equal(got, bgr_to_yuv_tiles_numpy(frame, 16))
+
+    data = rng.integers(0, 256, (24, 384), np.uint8)
+    ref_native = rng.integers(0, 256, (24, 384), np.uint8)
+    ref_numpy = ref_native.copy()
+    out = native.delta_encode_rows(data, ref_native, 10, 2, 3)
+    assert out is not None
+    idx_n, rows_n = out
+    diff = np.abs(data.astype(np.int16) - ref_numpy.astype(np.int16))
+    changed = diff.max(axis=1) > 10
+    changed[(np.arange(2, 5)) % 24] = True
+    idx_p = np.flatnonzero(changed).astype(np.int32)
+    rows_p = data[idx_p]
+    ref_numpy[idx_p] = rows_p
+    np.testing.assert_array_equal(idx_n, idx_p)
+    np.testing.assert_array_equal(rows_n, rows_p)
+    np.testing.assert_array_equal(ref_native, ref_numpy)

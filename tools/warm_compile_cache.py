@@ -82,9 +82,11 @@ def main() -> int:
                     import jax.numpy as jnp
                     lanes = np.zeros((batch,), np.int32)
                     idx = np.full((batch, k), num_tiles, np.int32)
-                    tiles = np.zeros(
-                        (batch, k, spec.delta_tile, spec.delta_tile, 3),
-                        np.uint8)
+                    tile_shape = (
+                        (k, spec.delta_tile * spec.delta_tile * 3 // 2)
+                        if spec.delta_payload == "yuv420"
+                        else (k, spec.delta_tile, spec.delta_tile, 3))
+                    tiles = np.zeros((batch, *tile_shape), np.uint8)
                     if program._delta_ref is None:
                         program._delta_ref = jnp.zeros(
                             program._delta_ref_shape, jnp.uint8)
