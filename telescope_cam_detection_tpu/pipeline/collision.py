@@ -114,6 +114,21 @@ class CollisionDetector:
                            "alert_on_entry": list(zone.get("alert_on_entry")
                                                   or [])})
 
+    def set_zones(self, zones: List[Dict[str, Any]]) -> None:
+        """Replace every zone (live zone-editor path, server/web.py
+        POST /api/zones). Alert cooldown state resets with the zones."""
+        self.zones = []
+        self._last_alert.clear()
+        for zone in zones or []:
+            self.add_danger_zone(zone)
+
+    def zones_payload(self) -> List[Dict[str, Any]]:
+        """JSON-safe copy of the live zones."""
+        return [{"name": z["name"],
+                 "points": [[x, y] for x, y in z["points"]],
+                 "alert_on_entry": list(z["alert_on_entry"])}
+                for z in self.zones]
+
     # -- main entry -----------------------------------------------------------
     def check(self, detections: List[Dict[str, Any]],
               now: Optional[float] = None) -> List[Dict[str, Any]]:

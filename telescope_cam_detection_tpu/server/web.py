@@ -18,6 +18,8 @@ upgrade (utils/wsproto.py) since fastapi/uvicorn are not in this image:
   GET  /api/clips/{name}         -> serve product (Bearer token + traversal guard)
   POST /api/config/reload        -> hot reload
   GET  /api/config/current       -> redacted live config
+  GET  /api/zones                -> live collision zones per camera
+  POST /api/zones                -> replace one camera's zones (editor)
   GET  /video/feed/{camera_id}   -> multipart MJPEG
   WS   /ws/detections            -> detection stream (skip-empty + 5s status
                                     + 1s heartbeat, reference :743-801)
@@ -134,6 +136,9 @@ class WebServer:
         restart_callback: Optional[Callable[[str], bool]] = None,
         reload_callback: Optional[Callable[[], Dict[str, Any]]] = None,
         get_config: Optional[Callable[[], Dict[str, Any]]] = None,
+        set_zones_callback: Optional[Callable[[str, List[Dict[str, Any]]],
+                                              Dict[str, Any]]] = None,
+        get_zones_callback: Optional[Callable[[], Dict[str, Any]]] = None,
         mjpeg_fps: float = C.DEFAULT_MJPEG_FPS,
         jpeg_quality: int = C.DEFAULT_JPEG_QUALITY,
         clips_dir: str = "clips",
@@ -155,6 +160,8 @@ class WebServer:
         self.restart_callback = restart_callback
         self.reload_callback = reload_callback
         self.get_config = get_config
+        self.set_zones_callback = set_zones_callback
+        self.get_zones_callback = get_zones_callback
         self.mjpeg_fps = mjpeg_fps
         self.jpeg_quality = jpeg_quality
         self.clips_dir = Path(clips_dir)
@@ -581,6 +588,10 @@ class _Handler(BaseHTTPRequestHandler):
                 self.end_headers()
                 self.wfile.write(body)
                 return
+            if path == "/api/zones":
+                if self.web.get_zones_callback is None:
+                    return self._error(503, "zones unavailable")
+                return self._json({"zones": self.web.get_zones_callback()})
             if path == "/api/cameras/health/summary":
                 hm = self.web.health_monitor
                 return self._json(hm.get_health_summary() if hm
@@ -623,6 +634,24 @@ class _Handler(BaseHTTPRequestHandler):
                 ok = self.web.restart_callback(cam_id)
                 self.web.set_camera_start_time(cam_id)
                 return self._json({"success": bool(ok), "camera_id": cam_id})
+            if path == "/api/zones":
+                # live zone editor: {"camera_id": ..., "zones": [...]}
+                if self.web.set_zones_callback is None:
+                    return self._error(503, "zones unavailable")
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    if length <= 0 or length > 1 << 20:
+                        return self._error(400, "bad body length")
+                    body = json.loads(self.rfile.read(length))
+                    cam_id = str(body["camera_id"])
+                    zones = body.get("zones") or []
+                    if not isinstance(zones, list):
+                        raise ValueError("zones must be a list")
+                except (KeyError, ValueError, TypeError) as e:
+                    return self._error(400, f"bad zones body: {e}")
+                result = self.web.set_zones_callback(cam_id, zones)
+                status = 200 if result.get("success") else 404
+                return self._json(result, status)
             self._error(404, "not found")
         except BrokenPipeError:
             pass

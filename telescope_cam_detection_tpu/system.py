@@ -285,6 +285,8 @@ class TelescopeDetectionSystem:
             restart_callback=self.restart_camera,
             reload_callback=self.reload_config,
             get_config=lambda: self.config,
+            set_zones_callback=self.set_camera_zones,
+            get_zones_callback=self.get_camera_zones,
             mjpeg_fps=web.get("mjpeg_fps", C.DEFAULT_MJPEG_FPS),
             jpeg_quality=web.get("jpeg_quality", C.DEFAULT_JPEG_QUALITY),
             clips_dir=(cfg.get("snapshots", {}) or {}).get("output_dir",
@@ -429,6 +431,43 @@ class TelescopeDetectionSystem:
             collision_detector=collision_detector,
             history_size=perf.get("history_size", 30))
         self.processors[cam_id] = processor
+
+    def set_camera_zones(self, cam_id: str,
+                         zones: List[Dict[str, Any]]) -> Dict[str, Any]:
+        """Live zone-editor path (web POST /api/zones): replace one camera's
+        danger zones in the running processor. Session-only — the response
+        carries the zones as applied so the operator can persist them under
+        ``collision_detection.zones`` in config.yaml."""
+        processor = self.processors.get(cam_id)
+        if processor is None:
+            return {"success": False, "error": f"camera {cam_id} not found"}
+        zones = [dict(z, camera_id=cam_id) for z in (zones or [])]
+        valid = [z for z in zones if len(z.get("points") or []) >= 3]
+        if not valid:
+            processor.collision_detector = None
+            return {"success": True, "camera_id": cam_id, "zones": []}
+        det = processor.collision_detector
+        if det is None:
+            cc = self.config.get("collision_detection", {}) or {}
+            from telescope_cam_detection_tpu.pipeline.collision import (
+                CollisionDetector)
+            det = CollisionDetector(
+                zones=[],
+                danger_threshold=cc.get("danger_threshold", 50.0),
+                predict_horizon_frames=cc.get("predict_horizon_frames", 5),
+                alert_cooldown_seconds=cc.get("alert_cooldown_seconds", 5.0))
+        det.set_zones(valid)
+        processor.collision_detector = det
+        return {"success": True, "camera_id": cam_id,
+                "zones": det.zones_payload()}
+
+    def get_camera_zones(self) -> Dict[str, Any]:
+        """Live zones per camera (for the dashboard editor)."""
+        out: Dict[str, Any] = {}
+        for cam_id, proc in self.processors.items():
+            det = getattr(proc, "collision_detector", None)
+            out[cam_id] = det.zones_payload() if det is not None else []
+        return out
 
     def _build_collision_detector(self, cam_id: str):
         """Phase-3 danger zones (config ``collision_detection``): zones

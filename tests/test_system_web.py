@@ -386,3 +386,55 @@ def test_stats_history_endpoint(system):
     # malformed minutes falls back to the full ring
     status, body = _get(port, "/api/system/stats/history?minutes=bogus")
     assert status == 200 and len(json.loads(body)["samples"]) >= 1
+
+
+def test_zone_editor_endpoints(system):
+    sys_obj, port = system
+    # initially: all cameras present, no live zones
+    status, body = _get(port, "/api/zones")
+    assert status == 200
+    zones = json.loads(body)["zones"]
+    assert set(zones) == {"cam1", "cam2"}
+
+    # set zones for cam1
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    payload = json.dumps({"camera_id": "cam1", "zones": [
+        {"name": "gate", "points": [[10, 10], [100, 10], [100, 100]]},
+        {"name": "bad", "points": [[1, 1]]},          # < 3 points: dropped
+    ]})
+    conn.request("POST", "/api/zones", body=payload,
+                 headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    data = json.loads(resp.read())
+    conn.close()
+    assert resp.status == 200 and data["success"], data
+    assert [z["name"] for z in data["zones"]] == ["gate"]
+
+    # live detector attached to the processor and visible via GET
+    assert sys_obj.processors["cam1"].collision_detector is not None
+    _, body = _get(port, "/api/zones")
+    assert json.loads(body)["zones"]["cam1"][0]["name"] == "gate"
+
+    # clearing removes the detector
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("POST", "/api/zones",
+                 body=json.dumps({"camera_id": "cam1", "zones": []}),
+                 headers={"Content-Type": "application/json"})
+    resp = conn.getresponse(); resp.read(); conn.close()
+    assert sys_obj.processors["cam1"].collision_detector is None
+
+    # unknown camera -> 404; malformed body -> 400
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("POST", "/api/zones",
+                 body=json.dumps({"camera_id": "nope",
+                                  "zones": [{"name": "z",
+                                             "points": [[0, 0], [1, 0],
+                                                        [1, 1]]}]}),
+                 headers={"Content-Type": "application/json"})
+    assert conn.getresponse().status == 404
+    conn.close()
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("POST", "/api/zones", body="{}",
+                 headers={"Content-Type": "application/json"})
+    assert conn.getresponse().status == 400
+    conn.close()

@@ -14,6 +14,8 @@ class DetectionApp {
     this.ws = null;
     this.wsRetryMs = 1000;
     this.zones = new Map();          // camera_id -> [{name, points}]
+    this.editZones = false;          // zone-editor mode
+    this.draft = null;               // {camId, points} while drawing
     this.view = localStorage.getItem("view") || "auto"; // auto|1|2|3|single
     this.singleCam = localStorage.getItem("singleCam") || null;
     if (this.view === "single" && !this.singleCam) this.view = "auto";
@@ -35,6 +37,21 @@ class DetectionApp {
     this.pollHistory();
     setInterval(() => this.pollHistory(), 10000);
     document.addEventListener("keydown", (ev) => {
+      if (this.editZones && this.draft) {
+        if (ev.key === "Escape") {
+          const id = this.draft.camId;
+          this.draft = null;
+          this.redrawOverlay(id);
+          return;
+        }
+        if (ev.key === "Backspace") {
+          this.draft.points.pop();
+          this.redrawOverlay(this.draft.camId);
+          ev.preventDefault();
+          return;
+        }
+        if (ev.key === "Enter") { this.zoneClose(this.draft.camId); return; }
+      }
       if (ev.key === "Escape" && this.view === "single") this.setView("auto");
     });
   }
@@ -52,6 +69,112 @@ class DetectionApp {
     mk("1", "1", "one column");
     mk("2", "2", "2-wide grid");
     mk("3", "3", "3-wide grid");
+    const zb = document.createElement("button");
+    zb.textContent = "✎ zones";
+    zb.id = "zone-edit-btn";
+    zb.title = "zone editor: click to add points, double-click to close, " +
+      "Backspace undoes, Esc cancels";
+    zb.onclick = () => this.toggleZoneEdit();
+    bar.appendChild(zb);
+  }
+
+  // ---- zone editor ------------------------------------------------------
+  toggleZoneEdit() {
+    this.editZones = !this.editZones;
+    this.draft = null;
+    document.getElementById("zone-edit-btn")
+      .classList.toggle("active", this.editZones);
+    for (const [id, cam] of this.cameras) {
+      cam.clearBtn.style.display = this.editZones ? "" : "none";
+      this.redrawOverlay(id);
+    }
+    if (this.editZones) {
+      this.log("zone editor ON: click a feed to add vertices, " +
+               "double-click to close the polygon");
+    }
+  }
+
+  frameCoords(cam, ev) {
+    const rect = cam.img.getBoundingClientRect();
+    const fw = cam.canvas.width || cam.img.naturalWidth || rect.width;
+    const fh = cam.canvas.height || cam.img.naturalHeight || rect.height;
+    if (!cam.canvas.width && fw && fh) {
+      cam.canvas.width = fw; cam.canvas.height = fh;
+    }
+    return [Math.round((ev.clientX - rect.left) / rect.width * fw),
+            Math.round((ev.clientY - rect.top) / rect.height * fh)];
+  }
+
+  zoneClick(camId, ev) {
+    const cam = this.cameras.get(camId);
+    if (!cam) return;
+    if (!this.draft || this.draft.camId !== camId) {
+      this.draft = { camId, points: [] };
+    }
+    this.draft.points.push(this.frameCoords(cam, ev));
+    this.redrawOverlay(camId);
+  }
+
+  async zoneClose(camId) {
+    if (!this.draft || this.draft.camId !== camId) return;
+    const pts = this.draft.points;
+    if (pts.length < 3) { this.log("zone needs ≥ 3 points"); return; }
+    const name = prompt("zone name:", `zone${
+      (this.zones.get(camId) || []).length + 1}`);
+    this.draft = null;
+    if (name === null) { this.redrawOverlay(camId); return; }
+    const zones = (this.zones.get(camId) || [])
+      .concat([{ name: name || "zone", points: pts }]);
+    await this.postZones(camId, zones);
+  }
+
+  async clearZones(camId) {
+    this.draft = null;
+    await this.postZones(camId, []);
+  }
+
+  async postZones(camId, zones) {
+    try {
+      const res = await fetch("/api/zones", {
+        method: "POST",
+        headers: { "Content-Type": "application/json" },
+        body: JSON.stringify({ camera_id: camId, zones }),
+      });
+      const data = await res.json();
+      if (!data.success) { this.log(`zone update failed: ${data.error}`); return; }
+      this.zones.set(camId, data.zones || []);
+      this.redrawOverlay(camId);
+      this.log(`zones updated for ${camId} (${(data.zones || []).length}); ` +
+               `session-only — persist in config.yaml:`);
+      const yaml = (data.zones || []).map((z) =>
+        `    - name: "${z.name}"\n      camera_id: "${camId}"\n` +
+        `      points: ${JSON.stringify(z.points)}`).join("\n");
+      if (yaml) this.log(`<span class="muted">collision_detection:\n  ` +
+                         `enabled: true\n  zones:\n${yaml}</span>`);
+    } catch (e) { this.log(`zone update failed: ${e}`); }
+  }
+
+  redrawOverlay(camId) {
+    const cam = this.cameras.get(camId);
+    if (!cam || !cam.canvas.width) return;
+    const ctx = cam.ctx;
+    ctx.clearRect(0, 0, cam.canvas.width, cam.canvas.height);
+    this.drawZones(cam, camId);
+    if (this.draft && this.draft.camId === camId) {
+      const pts = this.draft.points;
+      ctx.strokeStyle = "#58a6ff";
+      ctx.fillStyle = "#58a6ff";
+      ctx.lineWidth = 2;
+      if (pts.length > 1) {
+        ctx.beginPath();
+        ctx.moveTo(pts[0][0], pts[0][1]);
+        for (const [x, y] of pts.slice(1)) ctx.lineTo(x, y);
+        ctx.stroke();
+      }
+      for (const [x, y] of pts) {
+        ctx.beginPath(); ctx.arc(x, y, 4, 0, Math.PI * 2); ctx.fill();
+      }
+    }
   }
 
   setView(view, camId = null) {
@@ -85,6 +208,8 @@ class DetectionApp {
     div.innerHTML = `
       <div class="head">
         <span class="name">${cam.name || cam.id}</span>
+        <button class="zone-clear" style="display:none"
+                title="remove all zones">clear zones</button>
         <span class="badge fps" id="fps-${cam.id}">— fps</span>
         <span class="badge" id="badge-${cam.id}">—</span>
       </div>
@@ -95,19 +220,41 @@ class DetectionApp {
     root.appendChild(div);
     const img = div.querySelector("img");
     const canvas = div.querySelector("canvas");
-    div.querySelector(".view").onclick = () => {
+    const view = div.querySelector(".view");
+    view.onclick = (ev) => {
+      if (this.editZones) { this.zoneClick(cam.id, ev); return; }
       this.setView(this.view === "single" ? "auto" : "single",
                    this.view === "single" ? null : cam.id);
+    };
+    view.ondblclick = (ev) => {
+      if (this.editZones) { ev.preventDefault(); this.zoneClose(cam.id); }
+    };
+    const clearBtn = div.querySelector(".zone-clear");
+    clearBtn.onclick = (ev) => {
+      ev.stopPropagation(); this.clearZones(cam.id);
     };
     this.cameras.set(cam.id, {
       el: div, img, canvas, ctx: canvas.getContext("2d"),
       badge: div.querySelector(`#badge-${CSS.escape(cam.id)}`),
       fpsBadge: div.querySelector(`#fps-${CSS.escape(cam.id)}`),
+      clearBtn,
       lastSeen: 0,
     });
   }
 
   async loadZones() {
+    // live zones (config + any session edits) from the server
+    try {
+      const res = await fetch("/api/zones");
+      if (res.ok) {
+        const data = await res.json();
+        let any = false;
+        for (const [cam, zones] of Object.entries(data.zones || {})) {
+          if (zones.length) { this.zones.set(cam, zones); any = true; }
+        }
+        if (any) return;
+      }
+    } catch { /* fall back to config */ }
     try {
       const res = await fetch("/api/config/current");
       const cfg = await res.json();
