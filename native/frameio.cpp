@@ -119,26 +119,14 @@ void frameio_resize_batch_u8(const uint8_t* src, int n, int sh, int sw,
 }
 
 // Canonical full-range BT.601 forward transform in Q16 fixed point —
-// integer-exact, so the C++ and numpy implementations are bit-identical by
-// construction (and it auto-vectorizes where the old float path did not).
+// integer-exact, so the C++ (row kernels below) and numpy
+// (runtime/delta.bgr_to_yuv_planes_numpy) implementations are
+// bit-identical by construction:
 //   y_fp = 19595 R + 38470 G + 7471 B                 (Q16)
 //   Y    = (y_fp + 32768) >> 16
 //   U    = ((36963 * (B<<16 - y_fp) + 2^31) >> 32) + 128, clamped
 //   V    = ((46727 * (R<<16 - y_fp) + 2^31) >> 32) + 128, clamped
-static inline void bgr_pixel_to_yuv(int b, int g, int r,
-                                    uint8_t* y_out, int* u_out, int* v_out) {
-    int32_t y_fp = 19595 * r + 38470 * g + 7471 * b;
-    *y_out = static_cast<uint8_t>((y_fp + 32768) >> 16);
-    if (u_out) {
-        int64_t ut = (static_cast<int64_t>(b) << 16) - y_fp;
-        int64_t vt = (static_cast<int64_t>(r) << 16) - y_fp;
-        int64_t u = ((36963 * ut + (1LL << 31)) >> 32) + 128;
-        int64_t v = ((46727 * vt + (1LL << 31)) >> 32) + 128;
-        *u_out = static_cast<int>(u < 0 ? 0 : (u > 255 ? 255 : u));
-        *v_out = static_cast<int>(v < 0 ? 0 : (v > 255 ? 255 : v));
-    }
-}
-
+//
 // Row-wise passes in the vectorizer-friendly form: a simple counted loop
 // with stride-3 (Y) / stride-6 (chroma) interleaved loads and no escaping
 // pointers, which GCC's interleaved-access vectorization handles.

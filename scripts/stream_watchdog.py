@@ -34,23 +34,37 @@ def fetch(url: str, timeout: float = 5.0):
         return json.load(resp)
 
 
+import re as _re
+
+# First "[camera_id]" token anywhere in the message: the app's log format
+# prefixes asctime/level/logger-name (main.py:25-27), so the bracket is NOT
+# at the start of MESSAGE.
+_CAM_MARKER = _re.compile(r"\[([A-Za-z0-9_.\-]+)\]")
+
+
 def journald_last_activity(unit: str, window_s: float = 600.0,
                            _run=subprocess.run):
     """Last per-camera activity timestamps (epoch seconds) from journald.
 
     Scans the unit's recent journal (JSON export) for per-camera markers:
     the capture heartbeat, connect/reconnect lines, snapshot saves — any
-    message of the form "[<camera_id>] ...". Returns {camera_id: ts} or None
-    when the journal is unreadable.
+    message containing a "[<camera_id>]" token. Returns {camera_id: ts} or
+    None when the journal is unreadable.
     """
-    cmd = ["journalctl", "-u", unit, "--since", f"-{int(window_s)}s",
-           "--no-pager", "-o", "json", "-n", "2000"]
-    try:
-        result = _run(cmd, capture_output=True, text=True, timeout=10)
-    except (subprocess.TimeoutExpired, OSError) as e:
-        logger.warning("journal query failed: %s", e)
-        return None
-    if result.returncode != 0:
+    base = ["journalctl", "-u", unit, "--since", f"-{int(window_s)}s",
+            "--no-pager", "-o", "json", "-n", "10000"]
+    # -g pre-filters to bracketed lines server-side so chatty request logs
+    # cannot evict the once-per-minute heartbeats from the line cap;
+    # retried without -g for journalctl builds lacking grep support.
+    for cmd in (base + ["-g", r"\["], base):
+        try:
+            result = _run(cmd, capture_output=True, text=True, timeout=10)
+        except (subprocess.TimeoutExpired, OSError) as e:
+            logger.warning("journal query failed: %s", e)
+            return None
+        if result.returncode == 0:
+            break
+    else:
         logger.warning("journalctl rc=%d: %s", result.returncode,
                        (result.stderr or "").strip()[:200])
         return None
@@ -61,12 +75,10 @@ def journald_last_activity(unit: str, window_s: float = 600.0,
         except ValueError:
             continue
         msg = rec.get("MESSAGE") or ""
-        if not msg.startswith("["):
+        m = _CAM_MARKER.search(msg)
+        if m is None:
             continue
-        end = msg.find("]")
-        if end <= 1:
-            continue
-        cam = msg[1:end]
+        cam = m.group(1)
         try:
             ts = int(rec.get("__REALTIME_TIMESTAMP", 0)) / 1e6
         except (TypeError, ValueError):

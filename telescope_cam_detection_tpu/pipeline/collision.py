@@ -116,11 +116,13 @@ class CollisionDetector:
 
     def set_zones(self, zones: List[Dict[str, Any]]) -> None:
         """Replace every zone (live zone-editor path, server/web.py
-        POST /api/zones). Alert cooldown state resets with the zones."""
-        self.zones = []
+        POST /api/zones). Alert cooldown state resets with the zones.
+        The swap is a single reference assignment so a processor thread
+        iterating concurrently sees either the old or the new list, never
+        a partially-built one."""
+        staged = CollisionDetector(zones=zones, enabled=False)
         self._last_alert.clear()
-        for zone in zones or []:
-            self.add_danger_zone(zone)
+        self.zones = staged.zones
 
     def zones_payload(self) -> List[Dict[str, Any]]:
         """JSON-safe copy of the live zones."""

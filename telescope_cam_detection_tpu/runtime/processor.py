@@ -97,8 +97,10 @@ class DetectionProcessor:
         result["processed_timestamp"] = now
         counts = Counter(d.get("class_name", "?") for d in detections)
         result["detection_counts"] = dict(counts)
-        if self.collision_detector is not None:
-            alerts = self.collision_detector.check(detections, now=now)
+        # local read: the zone editor may swap/None this attribute live
+        collision = self.collision_detector
+        if collision is not None:
+            alerts = collision.check(detections, now=now)
             if alerts:
                 result["collision_alerts"] = alerts
                 for a in alerts:

@@ -44,6 +44,7 @@ def save_train_state(directory: str, state: Any, step: Optional[int] = None,
 
 def restore_train_state(directory: str, state: Any) -> Any:
     """Restore into an existing TrainState template (shapes must match)."""
+    import jax
     import jax.numpy as jnp
     import orbax.checkpoint as ocp
     mgr = _manager(directory)
@@ -53,8 +54,17 @@ def restore_train_state(directory: str, state: Any) -> Any:
         return state
     restored = mgr.restore(step)
     kwargs = {}
-    if "ema_params" in restored and getattr(state, "ema_params", None) is not None:
-        kwargs["ema_params"] = restored["ema_params"]
+    if getattr(state, "ema_params", None) is not None:
+        if "ema_params" in restored:
+            kwargs["ema_params"] = restored["ema_params"]
+        else:
+            # pre-EMA checkpoint: seed the shadow from the restored params
+            # (leaving the init-weight shadow would make the default EMA
+            # export ship near-untrained weights)
+            import numpy as np
+            kwargs["ema_params"] = jax.tree.map(
+                lambda p: np.array(p, copy=True), restored["params"])
+            logger.info("checkpoint has no EMA shadow; seeding from params")
     return state.replace(
         params=restored["params"],
         batch_stats=restored["batch_stats"],

@@ -166,7 +166,11 @@ class ShardedBatchLoader:
 
     def epoch(self, epoch: int = 0) -> Iterator[Tuple[Any, Any]]:
         """Yield (images, targets) as dp-sharded GLOBAL jax.Arrays, with
-        host-side loading prefetched on a daemon thread."""
+        host-side loading prefetched on a daemon thread.
+
+        Abandoning the generator early (break / --steps-per-epoch) is safe:
+        the producer polls a stop flag instead of blocking forever on a full
+        queue, and the finally block unblocks + joins it."""
         import queue as queue_mod
         import threading
 
@@ -175,25 +179,44 @@ class ShardedBatchLoader:
         img_sh, lbl_sh = self._shardings()
         q: Any = queue_mod.Queue(maxsize=self.prefetch)
         _END = object()
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue_mod.Full:
+                    continue
+            return False
 
         def produce():
             try:
                 for item in self._local_batches(epoch):
-                    q.put(item)
+                    if not put(item):
+                        return
             finally:
-                q.put(_END)
+                put(_END)
 
         t = threading.Thread(target=produce, daemon=True,
                              name="data-prefetch")
         t.start()
-        while True:
-            item = q.get()
-            if item is _END:
-                break
-            imgs, lbls = item
-            yield (jax.make_array_from_process_local_data(img_sh, imgs),
-                   jax.make_array_from_process_local_data(lbl_sh, lbls))
-        t.join(timeout=5)
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                imgs, lbls = item
+                yield (jax.make_array_from_process_local_data(img_sh, imgs),
+                       jax.make_array_from_process_local_data(lbl_sh, lbls))
+        finally:
+            stop.set()
+            try:  # unblock a producer waiting on a full queue
+                while True:
+                    q.get_nowait()
+            except queue_mod.Empty:
+                pass
+            t.join(timeout=5)
 
 
 class SyntheticDetectionDataset(DetectionDataset):

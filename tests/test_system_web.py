@@ -376,9 +376,10 @@ def test_stats_history_endpoint(system):
     s = samples[-1]
     assert {"t", "fps", "cameras", "queue"} <= set(s)
     assert "cam1" in s["cameras"] and "cam2" in s["cameras"]
-    # minutes filter: everything is recent, so a wide window keeps all ...
+    # minutes filter: everything is recent, so a wide window keeps all
+    # (the ring may gain samples between requests, never lose them)
     status, body = _get(port, "/api/system/stats/history?minutes=60")
-    assert len(json.loads(body)["samples"]) == len(samples) or True
+    assert len(json.loads(body)["samples"]) >= len(samples)
     # ... and a zero-width window drops them (tolerate a sample landing in
     # the same 100 ms as the request: t rounds to 0.1 s)
     status, body = _get(port, "/api/system/stats/history?minutes=0.000001")

@@ -140,3 +140,45 @@ def test_sharded_loader_rejects_indivisible_batch(jax_devices):
     # single process: any batch divides; simulate the guard directly
     loader = ShardedBatchLoader(ds, global_batch=8, mesh=mesh)
     assert loader.per_proc == 8 // loader.n_proc
+
+
+def test_sharded_loader_abandonment_stops_prefetch(jax_devices):
+    """Breaking out of an epoch early must not leave the prefetch thread
+    blocked on a full queue (it would pin a global batch of memory)."""
+    import threading
+    import time as time_mod
+    mesh = create_mesh(8)
+    ds = SyntheticDetectionDataset(n=64, input_hw=(32, 32), num_classes=2)
+    loader = ShardedBatchLoader(ds, global_batch=8, mesh=mesh, prefetch=1)
+    gen = loader.epoch(0)
+    next(gen)          # consume one batch, leave the rest
+    gen.close()        # abandon (what a break in a for-loop does)
+    deadline = time_mod.time() + 6
+    while time_mod.time() < deadline:
+        if not any(t.name == "data-prefetch" and t.is_alive()
+                   for t in threading.enumerate()):
+            break
+        time_mod.sleep(0.1)
+    assert not any(t.name == "data-prefetch" and t.is_alive()
+                   for t in threading.enumerate())
+
+
+def test_pre_ema_checkpoint_seeds_shadow_from_params(tmp_path):
+    """Restoring a pre-EMA checkpoint into an EMA-enabled state must seed
+    the shadow from the RESTORED params, not leave the init-weight shadow
+    (which the default EMA export would then ship)."""
+    from telescope_cam_detection_tpu.train.checkpoint import (
+        restore_train_state, save_train_state)
+    model, state, step = build_training(
+        variant="yolox-nano", num_classes=4, input_hw=(128, 128))
+    imgs, targets = _tiny_batch()
+    state, _ = step(state, imgs, targets)
+    save_train_state(str(tmp_path / "ck"), state)   # no ema_params key
+
+    _, fresh, _ = build_training(variant="yolox-nano", num_classes=4,
+                                 input_hw=(128, 128), ema_decay=0.9998,
+                                 seed=7)
+    restored = restore_train_state(str(tmp_path / "ck"), fresh)
+    for a, b in zip(jax.tree.leaves(restored.ema_params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))

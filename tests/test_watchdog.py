@@ -45,17 +45,24 @@ def test_journald_last_activity_per_camera():
         _rec("cam1", 1000.0),
         _rec("cam2", 1010.0),
         _rec("cam1", 1050.0),                      # newer wins
-        {"MESSAGE": "no bracket prefix here",
+        {"MESSAGE": "no bracket marker here",
          "__REALTIME_TIMESTAMP": "2000000000"},    # ignored
         {"MESSAGE": "[cam3] reconnecting after 3 failures",
          "__REALTIME_TIMESTAMP": str(int(1040.0 * 1e6))},
         {"MESSAGE": "[] empty id", "__REALTIME_TIMESTAMP": "1"},  # ignored
         {"garbage": True},                          # no MESSAGE: ignored
+        # the REAL app log format: asctime/level/logger prefix BEFORE the
+        # camera marker (main.py logging format) — must still parse
+        {"MESSAGE": "2026-08-16 10:00:00,123 INFO "
+                    "telescope_cam_detection_tpu.runtime.capture: "
+                    "[cam4] capture alive: 120 frames, 2.0 fps",
+         "__REALTIME_TIMESTAMP": str(int(1060.0 * 1e6))},
     ])
     last = wd.journald_last_activity("svc", _run=run)
     assert last == {"cam1": pytest.approx(1050.0),
                     "cam2": pytest.approx(1010.0),
-                    "cam3": pytest.approx(1040.0)}
+                    "cam3": pytest.approx(1040.0),
+                    "cam4": pytest.approx(1060.0)}
 
 
 def test_journald_last_activity_unreadable():

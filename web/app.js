@@ -160,20 +160,26 @@ class DetectionApp {
     const ctx = cam.ctx;
     ctx.clearRect(0, 0, cam.canvas.width, cam.canvas.height);
     this.drawZones(cam, camId);
-    if (this.draft && this.draft.camId === camId) {
-      const pts = this.draft.points;
-      ctx.strokeStyle = "#58a6ff";
-      ctx.fillStyle = "#58a6ff";
-      ctx.lineWidth = 2;
-      if (pts.length > 1) {
-        ctx.beginPath();
-        ctx.moveTo(pts[0][0], pts[0][1]);
-        for (const [x, y] of pts.slice(1)) ctx.lineTo(x, y);
-        ctx.stroke();
-      }
-      for (const [x, y] of pts) {
-        ctx.beginPath(); ctx.arc(x, y, 4, 0, Math.PI * 2); ctx.fill();
-      }
+    this.drawDraft(cam, camId);
+  }
+
+  // In-progress editor polygon; called from EVERY overlay render path so
+  // detection messages and the 2s auto-clear cannot erase the draft.
+  drawDraft(cam, camId) {
+    if (!this.draft || this.draft.camId !== camId) return;
+    const ctx = cam.ctx;
+    const pts = this.draft.points;
+    ctx.strokeStyle = "#58a6ff";
+    ctx.fillStyle = "#58a6ff";
+    ctx.lineWidth = 2;
+    if (pts.length > 1) {
+      ctx.beginPath();
+      ctx.moveTo(pts[0][0], pts[0][1]);
+      for (const [x, y] of pts.slice(1)) ctx.lineTo(x, y);
+      ctx.stroke();
+    }
+    for (const [x, y] of pts) {
+      ctx.beginPath(); ctx.arc(x, y, 4, 0, Math.PI * 2); ctx.fill();
     }
   }
 
@@ -345,6 +351,7 @@ class DetectionApp {
     const ctx = cam.ctx;
     ctx.clearRect(0, 0, w, h);
     this.drawZones(cam, msg.camera_id);
+    this.drawDraft(cam, msg.camera_id);
     ctx.lineWidth = Math.max(2, w / 640);
     ctx.font = `${Math.max(14, w / 55)}px system-ui`;
     for (const d of msg.detections || []) {
@@ -363,6 +370,7 @@ class DetectionApp {
     cam.clearTimer = setTimeout(() => {
       ctx.clearRect(0, 0, w, h);
       this.drawZones(cam, msg.camera_id);
+      this.drawDraft(cam, msg.camera_id);
     }, 2000);
   }
 
