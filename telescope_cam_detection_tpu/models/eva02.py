@@ -73,7 +73,11 @@ class EVA02Block(nn.Module):
     heads: int
     mlp_hidden: int
     dtype: Any = jnp.float32
-    attn_impl: str = "xla"   # "xla" | "pallas" (ops/pallas_attention.py)
+    # "xla" | "pallas" (ops/pallas_attention.py) | "auto" (pallas for small
+    # crop batches where the fused kernel measured ~22% faster, XLA's
+    # attention above — docs/PERFORMANCE.md Stage-2 table; the batch size is
+    # static at trace time, so each batch bucket compiles its best choice)
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, rope_angles):
@@ -89,7 +93,13 @@ class EVA02Block(nn.Module):
         v = v.reshape(b, t, self.heads, head_dim)
         q = _apply_rope(q, rope_angles)
         k = _apply_rope(k, rope_angles)
-        if self.attn_impl == "pallas":
+        impl = self.attn_impl
+        if impl == "auto":
+            # b is static under trace: batch<=8 picks the fused kernel
+            # (measured faster at small batches), larger batches pick XLA
+            impl = ("pallas" if b <= 8 and jax.default_backend() == "tpu"
+                    else "xla")
+        if impl == "pallas":
             from telescope_cam_detection_tpu.ops.pallas_attention import (
                 flash_attention)
             interpret = jax.default_backend() != "tpu"

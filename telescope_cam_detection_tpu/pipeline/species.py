@@ -76,7 +76,7 @@ class SpeciesClassifier:
         variables: Optional[Any] = None,
         seed: int = 0,
         param_dtype=jnp.bfloat16,
-        attn_impl: str = "xla",
+        attn_impl: str = "auto",
     ):
         self.model_name = model_name
         self.num_classes = num_classes

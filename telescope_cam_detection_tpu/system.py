@@ -229,7 +229,7 @@ class TelescopeDetectionSystem:
                 use_hierarchical=inat.get("use_hierarchical", True),
                 enable_geographic_filter=geo.get("enabled", False),
                 allowed_species=geo.get("allowed_species") or [],
-                attn_impl=inat.get("attn_impl", "xla"))
+                attn_impl=inat.get("attn_impl", "auto"))
             weights = inat.get("weights")
             if self.load_weights and weights:
                 from telescope_cam_detection_tpu.models.convert import (
