@@ -54,12 +54,21 @@ class SharedInferenceCoordinator:
         enable_metrics: bool = True,
         memory_manager=None,          # optional HBM MemoryManager
         callback_workers: int = 4,
+        pipeline_depth: int = 2,
     ):
+        """pipeline_depth >= 2 overlaps batch k+1's host encode + H2D
+        transfer + dispatch under batch k's device execute + readback (a
+        drainer thread forces readbacks in dispatch order, so per-camera
+        callback ordering is unchanged). Depth 1 restores the serial
+        dispatch->readback loop. Measured on the relay-attached v5e: the
+        same overlap lifts the raw dispatch path ~2x (bench.py pipelined
+        mode); the reference has no analog (PCIe makes readback ~free)."""
         self.program = program
         self.max_batch_size = max_batch_size
         self.max_batch_wait_ms = max_batch_wait_ms
         self.enable_metrics = enable_metrics
         self.memory_manager = memory_manager
+        self.pipeline_depth = max(int(pipeline_depth), 1)
         # Callbacks (which include per-camera post-processing and Stage-2)
         # run OFF the coordinator thread — the reference executes Stage-2 on
         # its coordinator thread, serializing classification against the next
@@ -77,6 +86,12 @@ class SharedInferenceCoordinator:
         self._cond = threading.Condition()
         self._thread: Optional[threading.Thread] = None
         self._running = threading.Event()
+        # dispatched-but-unread batches (FIFO): maxsize bounds device-side
+        # in-flight work; the blocking put is the backpressure
+        import queue as _queue_mod
+        self._inflight: Any = _queue_mod.Queue(
+            maxsize=max(self.pipeline_depth - 1, 1))
+        self._drain_thread: Optional[threading.Thread] = None
 
         # delta transfer: lanes come from the program's shared registry
         # (program.lane_for_stream), so engines and coordinator agree
@@ -101,6 +116,11 @@ class SharedInferenceCoordinator:
                                         name="inference-coordinator",
                                         daemon=True)
         self._thread.start()
+        if self.pipeline_depth > 1:
+            self._drain_thread = threading.Thread(
+                target=self._drain_loop, name="coordinator-readback",
+                daemon=True)
+            self._drain_thread.start()
 
     def stop(self) -> None:
         self._running.clear()
@@ -111,6 +131,13 @@ class SharedInferenceCoordinator:
             if self._thread.is_alive():
                 logger.critical("coordinator thread did not stop (leak)")
             self._thread = None
+        if self._drain_thread is not None:
+            self._inflight.put(None)  # sentinel AFTER the dispatcher stops
+            self._drain_thread.join(timeout=C.THREAD_JOIN_TIMEOUT_SECONDS * 2)
+            if self._drain_thread.is_alive():
+                logger.critical("coordinator readback thread did not stop "
+                                "(leak)")
+            self._drain_thread = None
         self._callback_pool.shutdown(wait=True)
 
     # -- submission -----------------------------------------------------------
@@ -217,16 +244,61 @@ class SharedInferenceCoordinator:
             lanes = [self.program.lane_for_stream(r.camera_id)
                      for r in reqs] + [pad_lane] * (padded_n - n)
         t0 = time.perf_counter()
-        if lanes is None:  # keep duck-typed (lane-less) programs working
-            rows = self.program.detect_batch_rows(frames)
-        else:
-            rows = self.program.detect_batch_rows(frames, lanes=lanes)
-        infer_ms = (time.perf_counter() - t0) * 1000.0
-        self._infer_times.append(infer_ms)
+        try:
+            if (self._drain_thread is None
+                    or not hasattr(self.program, "dispatch_batch")):
+                # serial mode: dispatch + blocking readback in one call
+                if lanes is None:  # duck-typed (lane-less) programs
+                    rows = self.program.detect_batch_rows(frames)
+                else:
+                    rows = self.program.detect_batch_rows(frames, lanes=lanes)
+                self._finish_group(reqs, rows, t0)
+                return
+            # pipelined mode: async dispatch here; the drainer thread forces
+            # readbacks in dispatch order while this thread encodes and
+            # dispatches the NEXT batch. Bounded queue = backpressure.
+            if lanes is None:
+                handle = self.program.dispatch_batch(frames)
+            else:
+                handle = self.program.dispatch_batch(frames, lanes=lanes)
+        except Exception:
+            logger.exception("batch dispatch failed (%d reqs)", n)
+            self._fail_group(reqs)
+            return
+        self._inflight.put((reqs, handle, padded_n, t0))
+
+    def _drain_loop(self) -> None:
+        """Force readbacks in dispatch order and fire callbacks."""
+        while True:
+            item = self._inflight.get()
+            if item is None:
+                return
+            reqs, handle, padded_n, t0 = item
+            try:
+                rows = np.asarray(handle)[:padded_n]
+            except Exception:
+                logger.exception("batch readback failed (%d reqs)", len(reqs))
+                self._fail_group(reqs)
+                continue
+            self._finish_group(reqs, rows, t0)
+
+    def _fail_group(self, reqs: List[PendingInference]) -> None:
+        empty = np.full((self.program.spec.max_det, 7), -1.0, np.float32)
+        for req in reqs:
+            try:
+                req.callback(empty)
+            except Exception:
+                pass
+
+    def _finish_group(self, reqs: List[PendingInference], rows,
+                      t0: float) -> None:
+        """Record stats + fire per-camera-ordered callbacks (dispatch->
+        readback time is the honest batch latency)."""
+        n = len(reqs)
+        self._infer_times.append((time.perf_counter() - t0) * 1000.0)
         self.total_batches += 1
         self.total_frames += n
         self._batch_sizes.append(n)
-
         for i, req in enumerate(reqs):
             def run_one(req=req, row=rows[i]):
                 try:

@@ -198,7 +198,8 @@ class TelescopeDetectionSystem:
                 max_batch_size=batching.get("max_batch_size", 8),
                 max_batch_wait_ms=batching.get("max_batch_wait_ms", 35.0),
                 enable_metrics=batching.get("enable_metrics", True),
-                memory_manager=self.memory_manager)
+                memory_manager=self.memory_manager,
+                pipeline_depth=batching.get("pipeline_depth", 2))
 
         # snapshots (shared)
         snaps = cfg.get("snapshots", {}) or {}

@@ -129,3 +129,70 @@ def test_coordinator_callbacks_overlap_across_cameras():
     assert overlapped.is_set(), "camera callbacks never overlapped"
     assert order["camA"] == [0, 1, 2]
     assert order["camB"] == [0, 1, 2]
+
+
+def test_coordinator_pipeline_overlaps_dispatch_and_readback():
+    """pipeline_depth=2: while the drainer blocks on batch k's readback, the
+    coordinator thread dispatches batch k+1 — and results still arrive in
+    per-camera submission order."""
+    from telescope_cam_detection_tpu.runtime.coordinator import (
+        SharedInferenceCoordinator)
+
+    dispatched = []
+    overlap_seen = threading.Event()
+    in_readback = threading.Event()
+
+    class SlowReadbackHandle:
+        def __init__(self, n, serial):
+            self.n = n
+            self.serial = serial
+
+        def __array__(self, dtype=None, copy=None):
+            in_readback.set()
+            time.sleep(0.15)  # device exec + relay readback stand-in
+            out = np.zeros((self.n, 4, 7), np.float32)
+            out[:, :, 6] = self.serial  # stamp the batch serial into rows
+            return out
+
+    class PipelinedFakeProgram:
+        class spec:
+            max_det = 4
+
+        def dispatch_batch(self, frames, lanes=None):
+            serial = len(dispatched)
+            dispatched.append(time.time())
+            if in_readback.is_set() and serial >= 1:
+                overlap_seen.set()  # dispatching while a readback is active
+            return SlowReadbackHandle(len(frames), serial)
+
+        def detect_batch_rows(self, frames, lanes=None):  # serial fallback
+            return np.asarray(self.dispatch_batch(frames, lanes))
+
+    coord = SharedInferenceCoordinator(PipelinedFakeProgram(),
+                                       max_batch_size=2,
+                                       max_batch_wait_ms=5.0,
+                                       pipeline_depth=2)
+    lock = threading.Lock()
+    got = []
+    done = threading.Event()
+    total = 6
+
+    def cb(rows):
+        with lock:
+            got.append(float(rows[0, 6]))
+            if len(got) == total:
+                done.set()
+
+    coord.start()
+    try:
+        frame = np.zeros((16, 16, 3), np.uint8)
+        for i in range(total):
+            coord.infer_async(frame, cb, camera_id="camA")
+            time.sleep(0.02)  # trickle: force multiple batches
+        assert done.wait(15), got
+    finally:
+        coord.stop()
+    assert len(dispatched) >= 2
+    assert overlap_seen.is_set(), "no dispatch happened during a readback"
+    # batch serials arrive monotonically: readbacks in dispatch order
+    assert got == sorted(got), got
