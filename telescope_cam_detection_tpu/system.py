@@ -54,11 +54,19 @@ from telescope_cam_detection_tpu.server.web import WebServer
 
 logger = logging.getLogger(__name__)
 
-# settings that cannot hot-reload (reference main.py:604-651)
+# settings that cannot hot-reload (reference main.py:604-651), extended with
+# this framework's compiled-into-the-program keys: anything baked into
+# ProgramSpec or the coordinator at build time must be reported as
+# requires-restart, not silently ignored by a "successful" reload
 RESTART_REQUIRED_KEYS = (
     "cameras", "detection.detector_type", "detection.yolox",
     "detection.rtdetr", "detection.input_size", "detection.device",
     "detection.use_two_stage", "web",
+    "detection.transfer", "detection.delta_tile", "detection.delta_threshold",
+    "detection.delta_refresh_tiles", "detection.delta_payload",
+    "detection.readback_topk", "detection.precision",
+    "detection.mesh_devices", "detection.nms_threshold",
+    "detection.batching",
 )
 
 

@@ -439,3 +439,30 @@ def test_zone_editor_endpoints(system):
                  headers={"Content-Type": "application/json"})
     assert conn.getresponse().status == 400
     conn.close()
+
+
+def test_reload_reports_compiled_keys_as_restart_required(system):
+    """Keys baked into the compiled program/coordinator (transfer mode,
+    delta knobs, batching) must surface in requires_restart, not vanish
+    into a 'successful' no-op reload."""
+    sys_obj, port = system
+    path = sys_obj.config_path
+    original = open(path).read()
+    try:
+        modified = original.replace(
+            "detection:",
+            "detection:\n  transfer: delta\n  readback_topk: 32", 1)
+        modified = modified.replace("max_batch_size: 4", "max_batch_size: 2")
+        with open(path, "w") as f:
+            f.write(modified)
+        status, body = _post(port, "/api/config/reload")
+        data = json.loads(body)
+        assert data["success"] is True
+        need = set(data["requires_restart"])
+        assert "detection.transfer" in need
+        assert "detection.readback_topk" in need
+        assert "detection.batching" in need
+    finally:
+        with open(path, "w") as f:
+            f.write(original)
+        _post(port, "/api/config/reload")
