@@ -450,7 +450,20 @@ class TelescopeDetectionSystem:
         processor = self.processors.get(cam_id)
         if processor is None:
             return {"success": False, "error": f"camera {cam_id} not found"}
-        zones = [dict(z, camera_id=cam_id) for z in (zones or [])]
+        if len(zones or []) > 64:
+            return {"success": False, "error": "too many zones (max 64)"}
+        cleaned = []
+        for z in zones or []:
+            pts = z.get("points") or []
+            if len(pts) > 256:
+                return {"success": False,
+                        "error": "zone has too many points (max 256)"}
+            # names render in the dashboard and persist into YAML — keep a
+            # safe charset and bounded length (stored-XSS hardening)
+            name = "".join(ch for ch in str(z.get("name", "zone"))[:64]
+                           if ch.isalnum() or ch in " _.-") or "zone"
+            cleaned.append(dict(z, name=name, camera_id=cam_id))
+        zones = cleaned
         valid = [z for z in zones if len(z.get("points") or []) >= 3]
         if not valid:
             processor.collision_detector = None

@@ -466,3 +466,33 @@ def test_reload_reports_compiled_keys_as_restart_required(system):
         with open(path, "w") as f:
             f.write(original)
         _post(port, "/api/config/reload")
+
+
+def test_zone_editor_sanitizes_names_and_caps(system):
+    sys_obj, port = system
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("POST", "/api/zones", body=json.dumps({
+        "camera_id": "cam2",
+        "zones": [{"name": "<script>alert(1)</script> gate!",
+                   "points": [[0, 0], [50, 0], [50, 50]]}]}),
+        headers={"Content-Type": "application/json"})
+    data = json.loads(conn.getresponse().read()); conn.close()
+    assert data["success"]
+    name = data["zones"][0]["name"]
+    assert "<" not in name and ">" not in name and "!" not in name
+    assert "gate" in name
+    # caps: too many zones / too many points are rejected outright
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("POST", "/api/zones", body=json.dumps({
+        "camera_id": "cam2",
+        "zones": [{"name": f"z{i}", "points": [[0, 0], [1, 0], [1, 1]]}
+                  for i in range(65)]}),
+        headers={"Content-Type": "application/json"})
+    data = json.loads(conn.getresponse().read()); conn.close()
+    assert not data["success"] and "too many zones" in data["error"]
+    # cleanup
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("POST", "/api/zones",
+                 body=json.dumps({"camera_id": "cam2", "zones": []}),
+                 headers={"Content-Type": "application/json"})
+    conn.getresponse().read(); conn.close()

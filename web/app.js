@@ -141,13 +141,13 @@ class DetectionApp {
         body: JSON.stringify({ camera_id: camId, zones }),
       });
       const data = await res.json();
-      if (!data.success) { this.log(`zone update failed: ${data.error}`); return; }
+      if (!data.success) { this.log(`zone update failed: ${this.esc(data.error)}`); return; }
       this.zones.set(camId, data.zones || []);
       this.redrawOverlay(camId);
       this.log(`zones updated for ${camId} (${(data.zones || []).length}); ` +
                `session-only — persist in config.yaml:`);
       const yaml = (data.zones || []).map((z) =>
-        `    - name: "${z.name}"\n      camera_id: "${camId}"\n` +
+        `    - name: "${this.esc(z.name)}"\n      camera_id: "${this.esc(camId)}"\n` +
         `      points: ${JSON.stringify(z.points)}`).join("\n");
       if (yaml) this.log(`<span class="muted">collision_detection:\n  ` +
                          `enabled: true\n  zones:\n${yaml}</span>`);
@@ -213,7 +213,7 @@ class DetectionApp {
     div.className = "cam";
     div.innerHTML = `
       <div class="head">
-        <span class="name">${cam.name || cam.id}</span>
+        <span class="name">${this.esc(cam.name || cam.id)}</span>
         <button class="zone-clear" style="display:none"
                 title="remove all zones">clear zones</button>
         <span class="badge fps" id="fps-${cam.id}">— fps</span>
@@ -330,8 +330,8 @@ class DetectionApp {
       this.drawDetections(cam, msg);
     }
     for (const alert of msg.collision_alerts || []) {
-      this.log(`<span class="alert">⚠ ${msg.camera_id}: ${alert.class_name} ` +
-               `${alert.risk} at zone "${alert.zone}" ` +
+      this.log(`<span class="alert">⚠ ${this.esc(msg.camera_id)}: ${this.esc(alert.class_name)} ` +
+               `${this.esc(alert.risk)} at zone "${this.esc(alert.zone)}" ` +
                `(${alert.distance_px}px${alert.predicted ? ", predicted" : ""})` +
                `</span>`);
     }
@@ -341,7 +341,7 @@ class DetectionApp {
       const label = d.species
         ? `${d.species} (${Math.round((d.species_confidence || 0) * 100)}%)`
         : `${d.class_name} (${Math.round((d.confidence || 0) * 100)}%)`;
-      this.log(`<span class="det">${msg.camera_id}: ${label}</span>`);
+      this.log(`<span class="det">${this.esc(msg.camera_id)}: ${this.esc(label)}</span>`);
     }
   }
 
@@ -461,6 +461,12 @@ class DetectionApp {
     document.getElementById("session-panel").innerHTML =
       `<b>session</b> ${this.sessionDetections} detections · ` +
       `${recent.toFixed(1)} msg/s<br><span class="muted">${top}</span>`;
+  }
+
+  esc(s) {
+    return String(s).replace(/[&<>"']/g, (c) => ({
+      "&": "&amp;", "<": "&lt;", ">": "&gt;", '"': "&quot;", "'": "&#39;",
+    }[c]));
   }
 
   log(html) {
