@@ -175,3 +175,38 @@ def test_converter_strict_name_coverage(both_models):
                    if "num_batches_tracked" not in k}
     assert exported == torch_names, (
         exported.symmetric_difference(torch_names))
+
+
+def test_eva02_stage2_parity_vs_torch_mirror():
+    """Stage-2 cross-framework parity: the same Flax EVA02 params through
+    (a) the jitted Flax model and (b) the from-scratch torch mirror
+    (tools/torch_eva02.py) must produce matching logits and identical
+    top-1/top-5 class rankings — patch embed, RoPE, attention, sub-LN,
+    SwiGLU divergence all fail here. Reference path: timm EVA02 wrapped by
+    species_classifier.py:235-353."""
+    import jax
+    from telescope_cam_detection_tpu.models.eva02 import init_eva02
+    from tools.torch_eva02 import torch_eva02_forward
+
+    image_size = 112  # 8x8 patch grid: fast but exercises the 2D rope fully
+    model, variables = init_eva02("eva02-tiny", num_classes=64,
+                                  image_size=image_size, seed=3)
+    rng = np.random.default_rng(0)
+    # normalized-crop regime (species.py feeds (x/255 - mean)/std)
+    images = rng.normal(0.0, 1.0, (3, image_size, image_size, 3)) \
+        .astype(np.float32)
+
+    flax_logits = np.asarray(jax.jit(
+        lambda v, x: model.apply(v, x, train=False))(variables,
+                                                     jnp.asarray(images)))
+    torch_logits = torch_eva02_forward(variables["params"], images,
+                                       variant="eva02-tiny",
+                                       image_size=image_size)
+    assert flax_logits.shape == torch_logits.shape == (3, 64)
+    np.testing.assert_allclose(flax_logits, torch_logits,
+                               rtol=2e-4, atol=2e-4)
+    # ranking-level agreement (what Stage-2 consumes)
+    assert (flax_logits.argmax(-1) == torch_logits.argmax(-1)).all()
+    top5_f = np.argsort(-flax_logits, -1)[:, :5]
+    top5_t = np.argsort(-torch_logits, -1)[:, :5]
+    np.testing.assert_array_equal(top5_f, top5_t)
