@@ -210,3 +210,58 @@ def test_eva02_stage2_parity_vs_torch_mirror():
     top5_f = np.argsort(-flax_logits, -1)[:, :5]
     top5_t = np.argsort(-torch_logits, -1)[:, :5]
     np.testing.assert_array_equal(top5_f, top5_t)
+
+
+def test_rtdetr_parity_vs_torch_mirror():
+    """RT-DETR cross-framework parity: same Flax variables through the
+    jitted Flax model and the from-scratch torch mirror
+    (tools/torch_rtdetr.py) — backbone BN, AIFI positions, CCFF fusion,
+    deformable sampling, decoder refinement, and the NMS-free top-k rows
+    must all agree (reference drives torch RT-DETR via
+    src/rtdetr_detector.py:26-425)."""
+    import jax
+    from telescope_cam_detection_tpu.models.rtdetr import RTDETR
+    from tools.torch_rtdetr import (torch_rtdetr_forward,
+                                    torch_rtdetr_predict_rows)
+
+    num_q, num_c = 60, 12
+    model = RTDETR(num_classes=num_c, depths=(2, 2, 2, 2), bottleneck=False,
+                   decoder_layers=3, num_queries=num_q, sampling_impl="xla")
+    variables = model.init(jax.random.PRNGKey(5),
+                           jnp.zeros((1, 256, 256, 3)), train=False)
+    rng = np.random.default_rng(1)
+    images = rng.uniform(0.0, 1.0, (2, 256, 256, 3)).astype(np.float32)
+
+    flax_logits, flax_boxes = jax.jit(
+        lambda v, x: model.apply(v, x, train=False))(variables,
+                                                     jnp.asarray(images))
+    flax_logits = np.asarray(flax_logits)
+    flax_boxes = np.asarray(flax_boxes)
+    t_logits, t_boxes = torch_rtdetr_forward(
+        variables, images, variant="rtdetrv2-r18vd", num_classes=num_c,
+        num_queries=num_q)
+    assert flax_logits.shape == t_logits.shape == (2, num_q, num_c)
+    np.testing.assert_allclose(flax_boxes, t_boxes, rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(flax_logits, t_logits, rtol=1e-3, atol=5e-3)
+
+    # full deploy path: predict() rows vs the mirror's rows
+    flax_rows = np.asarray(jax.jit(
+        lambda v, x: model.apply(v, x, train=False,
+                                 method=model.predict))(variables,
+                                                        jnp.asarray(images)))
+    t_rows = torch_rtdetr_predict_rows(
+        variables, images, variant="rtdetrv2-r18vd", num_classes=num_c,
+        num_queries=num_q)
+    # IoU >= 0.99 + same class on the top-10 confident rows of each frame
+    for i in range(2):
+        for j in range(10):
+            fa, ta = flax_rows[i, j], t_rows[i, j]
+            assert int(fa[6]) == int(ta[6]), (i, j, fa, ta)
+            xx1, yy1 = max(fa[0], ta[0]), max(fa[1], ta[1])
+            xx2, yy2 = min(fa[2], ta[2]), min(fa[3], ta[3])
+            inter = max(xx2 - xx1, 0) * max(yy2 - yy1, 0)
+            a1 = (fa[2] - fa[0]) * (fa[3] - fa[1])
+            a2 = (ta[2] - ta[0]) * (ta[3] - ta[1])
+            iou = inter / max(a1 + a2 - inter, 1e-9)
+            assert iou >= 0.99, (i, j, iou, fa, ta)
+            assert abs(fa[5] - ta[5]) < 1e-3

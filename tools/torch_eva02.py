@@ -32,7 +32,7 @@ _EPS = 1e-6  # flax LayerNorm default (torch's default is 1e-5)
 
 
 def _t(a) -> torch.Tensor:
-    return torch.from_numpy(np.asarray(a, np.float32))
+    return torch.from_numpy(np.array(a, np.float32, copy=True))
 
 
 def _dense(x: torch.Tensor, p: dict) -> torch.Tensor:
