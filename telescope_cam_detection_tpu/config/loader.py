@@ -80,6 +80,7 @@ _RANGE_SPECS: Tuple[Tuple[Tuple[str, ...], type, Optional[float], Optional[float
     (("detection", "max_detections"), int, 1, 10000),
     (("detection", "batching", "max_batch_size"), int, 1, 64),
     (("detection", "batching", "max_batch_wait_ms"), float, 0.0, 1000.0),
+    (("detection", "batching", "pipeline_depth"), int, 1, 8),
     (("species_classification", "confidence_threshold"), float, 0.0, 1.0),
     (("species_classification", "preprocessing", "crop_padding_percent"), float, 0.0, 200.0),
     (("species_classification", "preprocessing", "min_crop_size"), int, 1, 4096),

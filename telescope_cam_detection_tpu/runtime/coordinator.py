@@ -105,6 +105,10 @@ class SharedInferenceCoordinator:
         self._batch_sizes: deque = deque(maxlen=200)
         self._wait_times: deque = deque(maxlen=200)
         self._infer_times: deque = deque(maxlen=200)
+        # pipelined mode: how much of each batch's dispatch->readback window
+        # overlapped the PREVIOUS batch's readback (subtract from
+        # avg_infer_ms for pure device+transfer time)
+        self._pipeline_waits: deque = deque(maxlen=200)
         self._per_camera: Dict[str, int] = defaultdict(int)
 
     # -- lifecycle -----------------------------------------------------------
@@ -126,18 +130,37 @@ class SharedInferenceCoordinator:
         self._running.clear()
         with self._cond:
             self._cond.notify_all()
+        dispatcher_stopped = True
         if self._thread is not None:
             self._thread.join(timeout=C.THREAD_JOIN_TIMEOUT_SECONDS)
             if self._thread.is_alive():
+                # keep the reference: a later start() must NOT spawn a second
+                # dispatcher next to a still-live one
                 logger.critical("coordinator thread did not stop (leak)")
-            self._thread = None
+                dispatcher_stopped = False
+            else:
+                self._thread = None
         if self._drain_thread is not None:
-            self._inflight.put(None)  # sentinel AFTER the dispatcher stops
+            if not dispatcher_stopped:
+                logger.critical(
+                    "stopping readback drainer under a live dispatcher: "
+                    "any batch it dispatches after this point is dropped")
+            self._inflight.put(None)  # sentinel after the dispatcher stops
             self._drain_thread.join(timeout=C.THREAD_JOIN_TIMEOUT_SECONDS * 2)
             if self._drain_thread.is_alive():
                 logger.critical("coordinator readback thread did not stop "
                                 "(leak)")
-            self._drain_thread = None
+            else:
+                self._drain_thread = None
+            # fail any batch that raced in behind the sentinel so its
+            # callbacks still fire (engines would otherwise wait forever)
+            try:
+                while True:
+                    item = self._inflight.get_nowait()
+                    if item is not None:
+                        self._fail_group(item[0])
+            except Exception:
+                pass
         self._callback_pool.shutdown(wait=True)
 
     # -- submission -----------------------------------------------------------
@@ -274,28 +297,50 @@ class SharedInferenceCoordinator:
             if item is None:
                 return
             reqs, handle, padded_n, t0 = item
+            t_pick = time.perf_counter()
             try:
                 rows = np.asarray(handle)[:padded_n]
             except Exception:
                 logger.exception("batch readback failed (%d reqs)", len(reqs))
+                # device errors surface HERE in pipelined mode (dispatch is
+                # async) — the host delta mirrors may now be ahead of the
+                # device reference; force a clean full refresh
+                reset = getattr(self.program, "reset_delta", None)
+                if callable(reset):
+                    try:
+                        reset()
+                    except Exception:
+                        logger.exception("delta reset failed")
                 self._fail_group(reqs)
                 continue
-            self._finish_group(reqs, rows, t0)
+            self._finish_group(reqs, rows, t0, t_pick)
 
     def _fail_group(self, reqs: List[PendingInference]) -> None:
+        """Empty-result callbacks, routed through the same per-camera FIFO
+        lanes as real results so a failure can never overtake an earlier
+        in-flight result for the same camera."""
         empty = np.full((self.program.spec.max_det, 7), -1.0, np.float32)
         for req in reqs:
-            try:
-                req.callback(empty)
-            except Exception:
-                pass
+            def fail_one(req=req):
+                try:
+                    req.callback(empty)
+                except Exception:
+                    logger.exception("failure callback failed (camera %s)",
+                                     req.camera_id)
+            if not self._callback_pool.submit(req.camera_id, fail_one):
+                fail_one()
 
     def _finish_group(self, reqs: List[PendingInference], rows,
-                      t0: float) -> None:
-        """Record stats + fire per-camera-ordered callbacks (dispatch->
-        readback time is the honest batch latency)."""
+                      t0: float, t_pick: Optional[float] = None) -> None:
+        """Record stats + fire per-camera-ordered callbacks. The recorded
+        batch time is dispatch->readback-complete (what a frame actually
+        experiences); in pipelined mode part of that window overlaps the
+        previous batch's readback, tracked separately in _pipeline_waits."""
         n = len(reqs)
-        self._infer_times.append((time.perf_counter() - t0) * 1000.0)
+        now = time.perf_counter()
+        self._infer_times.append((now - t0) * 1000.0)
+        if t_pick is not None:
+            self._pipeline_waits.append((t_pick - t0) * 1000.0)
         self.total_batches += 1
         self.total_frames += n
         self._batch_sizes.append(n)
@@ -324,7 +369,13 @@ class SharedInferenceCoordinator:
             "total_dropped": self.total_dropped,
             "avg_batch_size": float(np.mean(sizes)) if sizes else 0.0,
             "avg_wait_ms": 1000.0 * float(np.mean(waits)) if waits else 0.0,
+            # dispatch -> readback-complete: the latency a frame experiences
             "avg_infer_ms": float(np.mean(infers)) if infers else 0.0,
+            # portion of that window spent queued behind the previous
+            # batch's readback (pipelined mode); avg_infer_ms minus this is
+            # the pure device+transfer time
+            "avg_pipeline_wait_ms": (float(np.mean(self._pipeline_waits))
+                                     if self._pipeline_waits else 0.0),
             "per_camera_requests": dict(self._per_camera),
             "max_batch_size": self.max_batch_size,
             "current_batch_limit": self._current_batch_limit(),

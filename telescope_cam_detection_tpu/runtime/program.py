@@ -217,7 +217,7 @@ class DetectorProgram:
                 spec.delta_payload)
             self._delta_ref = None          # lazily placed on device
             self._delta_encoders: Dict[int, Any] = {}
-            self._delta_lock = threading.Lock()
+            self._delta_lock = threading.RLock()
             self._encode_pool_obj = None
             self._lane_registry: Dict[str, int] = {}
 
@@ -406,6 +406,17 @@ class DetectorProgram:
             self._compiled[key] = fn
         return fn
 
+    def reset_delta(self) -> None:
+        """Force a clean full refresh on the next delta dispatch: device
+        execution errors surface at READBACK under pipelined callers (JAX
+        dispatch is async), at which point the host mirrors may be ahead of
+        the device reference buffer. Resetting both sides restores the
+        mirror contract."""
+        with self._delta_lock:
+            for enc in self._delta_encoders.values():
+                enc.reset()
+            self._delta_ref = None
+
     def _dispatch_delta(self, frames: np.ndarray,
                         capture_hw: Tuple[int, int],
                         lanes: Optional[Sequence[int]]):
@@ -460,11 +471,7 @@ class DetectorProgram:
                                    f["min_area"], f["max_area"],
                                    f["class_allowed"])
             except Exception:
-                # host mirrors may now be ahead of the device buffer; force a
-                # clean full-refresh on the next dispatch
-                for enc in self._delta_encoders.values():
-                    enc.reset()
-                self._delta_ref = None
+                self.reset_delta()
                 raise
             self._delta_ref = new_ref
             self.stats["delta_tiles_sent"] += int(

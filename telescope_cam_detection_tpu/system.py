@@ -452,12 +452,26 @@ class TelescopeDetectionSystem:
             return {"success": False, "error": f"camera {cam_id} not found"}
         if len(zones or []) > 64:
             return {"success": False, "error": "too many zones (max 64)"}
+        import math
         cleaned = []
         for z in zones or []:
             pts = z.get("points") or []
             if len(pts) > 256:
                 return {"success": False,
                         "error": "zone has too many points (max 256)"}
+            # coordinates must be finite numbers: python json accepts the
+            # NaN/Infinity tokens, which would poison every later
+            # /api/zones response for strict JSON.parse clients
+            for p in pts:
+                try:
+                    ok = (len(p) == 2 and math.isfinite(float(p[0]))
+                          and math.isfinite(float(p[1])))
+                except (TypeError, ValueError):
+                    ok = False
+                if not ok:
+                    return {"success": False,
+                            "error": f"zone {z.get('name')!r} has a "
+                                     "non-finite or malformed point"}
             # names render in the dashboard and persist into YAML — keep a
             # safe charset and bounded length (stored-XSS hardening)
             name = "".join(ch for ch in str(z.get("name", "zone"))[:64]

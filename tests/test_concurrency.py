@@ -196,3 +196,75 @@ def test_coordinator_pipeline_overlaps_dispatch_and_readback():
     assert overlap_seen.is_set(), "no dispatch happened during a readback"
     # batch serials arrive monotonically: readbacks in dispatch order
     assert got == sorted(got), got
+
+
+def test_coordinator_failures_keep_per_camera_order_and_reset_delta():
+    """A batch whose readback fails must deliver its empty results through
+    the same per-camera FIFO lane (no overtaking) and trigger the program's
+    delta reset (host mirrors would otherwise run ahead of device state)."""
+    from telescope_cam_detection_tpu.runtime.coordinator import (
+        SharedInferenceCoordinator)
+
+    resets = []
+
+    class FailingHandle:
+        def __init__(self, n, serial):
+            self.n, self.serial = n, serial
+
+        def __array__(self, dtype=None, copy=None):
+            time.sleep(0.05)
+            if self.serial == 1:  # second batch's readback blows up
+                raise RuntimeError("device error surfaced at readback")
+            out = np.zeros((self.n, 4, 7), np.float32)
+            out[:, :, 6] = self.serial
+            return out
+
+    class Prog:
+        class spec:
+            max_det = 4
+
+        def __init__(self):
+            self.serial = 0
+
+        def dispatch_batch(self, frames, lanes=None):
+            h = FailingHandle(len(frames), self.serial)
+            self.serial += 1
+            return h
+
+        def reset_delta(self):
+            resets.append(True)
+
+    coord = SharedInferenceCoordinator(Prog(), max_batch_size=2,
+                                       max_batch_wait_ms=5.0,
+                                       pipeline_depth=2)
+    lock = threading.Lock()
+    got = []
+    done = threading.Event()
+    total = 6
+
+    def cb(rows):
+        with lock:
+            got.append(float(rows[0, 6]))
+            if len(got) == total:
+                done.set()
+
+    coord.start()
+    try:
+        frame = np.zeros((16, 16, 3), np.uint8)
+        for _ in range(total):
+            coord.infer_async(frame, cb, camera_id="camA")
+            time.sleep(0.03)
+        assert done.wait(15), got
+    finally:
+        coord.stop()
+    assert resets, "reset_delta was not invoked on readback failure"
+    # all callbacks fired, in dispatch order: the failed batch delivers -1
+    # rows AT ITS POSITION (never overtaking or being overtaken)
+    non_fail = [v for v in got if v >= 0]
+    assert non_fail == sorted(non_fail), got
+    assert -1.0 in got
+    first_fail = got.index(-1.0)
+    before = [v for v in got[:first_fail] if v >= 0]
+    after = [v for v in got[first_fail:] if v >= 0]
+    assert all(v <= 0 for v in before), got   # only batch 0 precedes
+    assert all(v >= 2 for v in after), got    # batches >=2 follow

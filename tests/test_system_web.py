@@ -490,6 +490,16 @@ def test_zone_editor_sanitizes_names_and_caps(system):
         headers={"Content-Type": "application/json"})
     data = json.loads(conn.getresponse().read()); conn.close()
     assert not data["success"] and "too many zones" in data["error"]
+    # NaN/Infinity coordinates are rejected (python json accepts the tokens;
+    # they would poison strict JSON.parse clients on every later GET)
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("POST", "/api/zones", body=json.dumps({
+        "camera_id": "cam2",
+        "zones": [{"name": "bad", "points": [[float("nan"), 0], [50, 0],
+                                             [50, 50]]}]}),
+        headers={"Content-Type": "application/json"})
+    data = json.loads(conn.getresponse().read()); conn.close()
+    assert not data["success"] and "non-finite" in data["error"]
     # cleanup
     conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
     conn.request("POST", "/api/zones",

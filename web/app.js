@@ -144,7 +144,7 @@ class DetectionApp {
       if (!data.success) { this.log(`zone update failed: ${this.esc(data.error)}`); return; }
       this.zones.set(camId, data.zones || []);
       this.redrawOverlay(camId);
-      this.log(`zones updated for ${camId} (${(data.zones || []).length}); ` +
+      this.log(`zones updated for ${this.esc(camId)} (${(data.zones || []).length}); ` +
                `session-only — persist in config.yaml:`);
       const yaml = (data.zones || []).map((z) =>
         `    - name: "${this.esc(z.name)}"\n      camera_id: "${this.esc(camId)}"\n` +
@@ -211,20 +211,25 @@ class DetectionApp {
     const root = document.getElementById("cameras");
     const div = document.createElement("div");
     div.className = "cam";
+    // no id/name interpolation into markup: ids/names are server-sourced
+    // strings and must never reach innerHTML raw (attribute injection)
     div.innerHTML = `
       <div class="head">
-        <span class="name">${this.esc(cam.name || cam.id)}</span>
+        <span class="name"></span>
         <button class="zone-clear" style="display:none"
                 title="remove all zones">clear zones</button>
-        <span class="badge fps" id="fps-${cam.id}">— fps</span>
-        <span class="badge" id="badge-${cam.id}">—</span>
+        <span class="badge fps">— fps</span>
+        <span class="badge state">—</span>
       </div>
       <div class="view">
-        <img src="/video/feed/${cam.id}" alt="${cam.id}">
+        <img>
         <canvas></canvas>
       </div>`;
     root.appendChild(div);
+    div.querySelector(".name").textContent = cam.name || cam.id;
     const img = div.querySelector("img");
+    img.src = `/video/feed/${encodeURIComponent(cam.id)}`;
+    img.alt = cam.id;
     const canvas = div.querySelector("canvas");
     const view = div.querySelector(".view");
     view.onclick = (ev) => {
@@ -241,8 +246,8 @@ class DetectionApp {
     };
     this.cameras.set(cam.id, {
       el: div, img, canvas, ctx: canvas.getContext("2d"),
-      badge: div.querySelector(`#badge-${CSS.escape(cam.id)}`),
-      fpsBadge: div.querySelector(`#fps-${CSS.escape(cam.id)}`),
+      badge: div.querySelector(".badge.state"),
+      fpsBadge: div.querySelector(".badge.fps"),
       clearBtn,
       lastSeen: 0,
     });
