@@ -212,6 +212,7 @@ def test_eva02_stage2_parity_vs_torch_mirror():
     np.testing.assert_array_equal(top5_f, top5_t)
 
 
+@pytest.mark.slow
 def test_rtdetr_parity_vs_torch_mirror():
     """RT-DETR cross-framework parity: same Flax variables through the
     jitted Flax model and the from-scratch torch mirror
