@@ -116,6 +116,34 @@ _VALID_ENHANCEMENT = ("none", "clahe", "realesrgan")
 _VALID_MASK_STYLES = ("gaussian_blur", "pixelate", "black_box", "adaptive_blur")
 
 
+def _check_size_constraints(errors: List[str], prefix: str, constraints: Any) -> None:
+    """Validate a class_size_constraints block (reference main.py:251-270):
+    mapping of class name -> {min?: int>=0, max?: int>=0} with min <= max."""
+    if constraints is None:
+        return
+    if not isinstance(constraints, dict):
+        errors.append(f"{prefix} must be a mapping of class name -> constraints")
+        return
+    for cls, block in constraints.items():
+        if not isinstance(block, dict):
+            errors.append(f"{prefix}.{cls} must be a mapping with 'min'/'max'")
+            continue
+        for bound in ("min", "max"):
+            if bound in block and (
+                    not isinstance(block[bound], int)
+                    or isinstance(block[bound], bool)
+                    or block[bound] < 0):
+                errors.append(
+                    f"{prefix}.{cls}.{bound} must be an int >= 0, "
+                    f"got {block[bound]!r}")
+        if (isinstance(block.get("min"), int) and isinstance(block.get("max"), int)
+                and not isinstance(block["min"], bool)
+                and not isinstance(block["max"], bool)
+                and block["min"] > block["max"]):
+            errors.append(f"{prefix}.{cls}: min ({block['min']}) > "
+                          f"max ({block['max']})")
+
+
 def _lookup(config: Dict[str, Any], path: Tuple[str, ...]):
     node: Any = config
     for key in path:
@@ -180,6 +208,9 @@ def validate_config(config: Dict[str, Any]) -> List[str]:
             _check_threshold_block(
                 errors, f"cameras[{i}].detection_overrides.class_confidence_overrides",
                 ov.get("class_confidence_overrides"))
+            _check_size_constraints(
+                errors, f"cameras[{i}].detection_overrides.class_size_constraints",
+                ov.get("class_size_constraints"))
 
     detection = config.get("detection", {}) or {}
     det_type = detection.get("detector_type", "yolox")
@@ -192,6 +223,8 @@ def validate_config(config: Dict[str, Any]) -> List[str]:
             errors.append("detection.input_size must be [height, width] ints in [32, 8192]")
     _check_threshold_block(errors, "detection.class_confidence_overrides",
                            detection.get("class_confidence_overrides"))
+    _check_size_constraints(errors, "detection.class_size_constraints",
+                            detection.get("class_size_constraints"))
 
     for path, typ, lo, hi in _RANGE_SPECS:
         val = _lookup(config, path)
@@ -295,17 +328,18 @@ def merge_camera_detection_config(
     """Merge per-camera ``detection_overrides`` on top of the global
     ``detection`` section (reference main.py:941-1034).
 
-    Scalar overrides replace; ``class_confidence_overrides`` merges per-class
-    (camera wins). The result is the effective detection config for that
+    Scalar overrides replace; ``class_confidence_overrides`` and
+    ``class_size_constraints`` merge per-class (camera wins; reference
+    main.py:1012-1032). The result is the effective detection config for that
     camera's engine.
     """
     merged = copy.deepcopy(global_detection)
     overrides = camera.get("detection_overrides") or {}
     for key, val in overrides.items():
-        if key == "class_confidence_overrides":
-            base = dict(merged.get("class_confidence_overrides") or {})
-            base.update(val or {})
-            merged["class_confidence_overrides"] = base
+        if key in ("class_confidence_overrides", "class_size_constraints"):
+            base = dict(merged.get(key) or {})
+            base.update(copy.deepcopy(val) or {})
+            merged[key] = base
         else:
             merged[key] = copy.deepcopy(val)
     return merged

@@ -68,6 +68,11 @@ class InferenceEngine:
             "min_box_area": cfg.get("min_box_area", 0),
             "max_detections": cfg.get("max_detections", 100),
             "wildlife_only": cfg.get("wildlife_only", True),
+            # per-class min/max box-area constraints, e.g.
+            # {'bird': {'max': 8000}} (reference inference_engine_yolox.py:
+            # 112, applied :523-528, hot-reloaded :699-701)
+            "class_size_constraints": dict(
+                cfg.get("class_size_constraints") or {}),
         }
 
         self._thread: Optional[threading.Thread] = None
@@ -170,6 +175,7 @@ class InferenceEngine:
         with self._settings_lock:
             s = dict(self._settings)
             overrides = dict(s["class_confidence_overrides"])
+            size_constraints = dict(s["class_size_constraints"])
         out = []
         for det in detections:
             det["bbox"] = ensure_valid_bbox(det["bbox"])
@@ -180,6 +186,14 @@ class InferenceEngine:
                 continue
             if det["bbox"]["area"] < s["min_box_area"]:
                 continue
+            # per-class size constraints (reference :523-528)
+            constraints = size_constraints.get(det["class_name"])
+            if constraints:
+                area = det["bbox"]["area"]
+                if "min" in constraints and area < constraints["min"]:
+                    continue
+                if "max" in constraints and area > constraints["max"]:
+                    continue
             out.append(det)
             if len(out) >= s["max_detections"]:
                 break

@@ -329,11 +329,27 @@ class TelescopeDetectionSystem:
                 for m in merged_configs)
         # the device wildlife mask applies only if EVERY camera wants it
         wildlife = all(m.get("wildlife_only", True) for m in merged_configs)
+        # per-class size floor: the loosest (min of mins, max of maxes)
+        # constraint across cameras; a camera without a constraint for the
+        # class loosens the floor to unbounded on that side. Per-camera
+        # exact constraints refine host-side in each engine
+        # (reference inference_engine_yolox.py:523-528).
+        size_named = {cls for m in merged_configs
+                      for cls in (m.get("class_size_constraints") or {})}
+        size_floor: Dict[str, Any] = {}
+        for cls in size_named:
+            blocks = [(m.get("class_size_constraints") or {}).get(cls) or {}
+                      for m in merged_configs]
+            lo = min(b.get("min", 0) for b in blocks)
+            hi = max(b.get("max", float("inf")) for b in blocks)
+            if lo > 0 or hi != float("inf"):
+                size_floor[cls] = (float(lo), float(hi))
         return FilterSettings(
             conf_threshold=conf,
             class_confidence_overrides=class_floor,
             min_box_area=min_area,
-            wildlife_only=wildlife)
+            wildlife_only=wildlife,
+            class_size_limits=size_floor)
 
     @staticmethod
     def _classifier_variant(model_name: str) -> str:
@@ -641,6 +657,8 @@ class TelescopeDetectionSystem:
                     "min_box_area": merged.get("min_box_area", 0),
                     "max_detections": merged.get("max_detections", 100),
                     "wildlife_only": merged.get("wildlife_only", True),
+                    "class_size_constraints": merged.get(
+                        "class_size_constraints") or {},
                 })
                 result["reloaded"] += [f"{cam['id']}.{u}" for u in updated]
             if self.program is not None:
@@ -659,7 +677,14 @@ class TelescopeDetectionSystem:
                     new_cfg.get("time_of_day_filter", {}) or {})
                 result["reloaded"] += [f"{cam_id}.tod.{u}" for u in updated]
 
-            # restart-required diff
+            # restart-required diff. Per-camera detection_overrides hot-reload
+            # through the engines above, so they are stripped from the cameras
+            # comparison (the reference likewise only flags id/ip/count
+            # changes, main.py:608-617 — overrides reload without restart).
+            def _strip_overrides(cams):
+                return [{k: v for k, v in (c or {}).items()
+                         if k != "detection_overrides"} for c in (cams or [])]
+
             for dotted in RESTART_REQUIRED_KEYS:
                 node_old, node_new = old_cfg, new_cfg
                 for key in dotted.split("."):
@@ -667,6 +692,9 @@ class TelescopeDetectionSystem:
                         node_old, dict) else None
                     node_new = (node_new or {}).get(key) if isinstance(
                         node_new, dict) else None
+                if dotted == "cameras":
+                    node_old = _strip_overrides(node_old)
+                    node_new = _strip_overrides(node_new)
                 if node_old != node_new:
                     result["requires_restart"].append(dotted)
 

@@ -138,3 +138,50 @@ def test_example_configs_validate():
             cfg = yaml.safe_load(f)
         errors = validate_config(cfg)
         assert errors == [], f"{os.path.basename(p)}: {errors}"
+
+
+def test_validate_class_size_constraints():
+    """detection.class_size_constraints (reference main.py:251-270): mapping
+    of class -> {min/max int >= 0}, min <= max; also per-camera overrides."""
+    cfg = _minimal_config()
+    cfg["detection"]["class_size_constraints"] = {
+        "bird": {"max": 8000}, "bear": {"min": 5000},
+        "dog": {"min": 1000, "max": 90000}}
+    assert validate_config(cfg) == []
+
+    cfg["detection"]["class_size_constraints"] = {"bird": [1, 2]}
+    assert any("class_size_constraints.bird" in e for e in validate_config(cfg))
+
+    cfg["detection"]["class_size_constraints"] = {"bird": {"min": -5}}
+    assert any("must be an int >= 0" in e for e in validate_config(cfg))
+
+    cfg["detection"]["class_size_constraints"] = {"bird": {"min": 2.5}}
+    assert any("must be an int >= 0" in e for e in validate_config(cfg))
+
+    cfg["detection"]["class_size_constraints"] = {"bird": {"min": 10, "max": 5}}
+    assert any("min (10) > max (5)" in e for e in validate_config(cfg))
+
+    cfg["detection"].pop("class_size_constraints")
+    cfg["cameras"][0]["detection_overrides"] = {
+        "class_size_constraints": {"person": {"min": "big"}}}
+    errs = validate_config(cfg)
+    assert any("cameras[0].detection_overrides.class_size_constraints.person"
+               in e for e in errs)
+
+
+def test_merge_class_size_constraints():
+    """Per-class merge with camera precedence (reference main.py:1027-1032)."""
+    global_det = {"conf_threshold": 0.25,
+                  "class_size_constraints": {"bird": {"max": 8000},
+                                             "bear": {"min": 5000}}}
+    camera = {"id": "cam1", "detection_overrides": {
+        "class_size_constraints": {"bird": {"max": 6000},
+                                   "person": {"min": 4000}}}}
+    merged = merge_camera_detection_config(global_det, camera)
+    assert merged["class_size_constraints"] == {
+        "bird": {"max": 6000},          # camera wins
+        "bear": {"min": 5000},          # global preserved
+        "person": {"min": 4000},        # camera-only added
+    }
+    # global dict untouched
+    assert global_det["class_size_constraints"]["bird"] == {"max": 8000}

@@ -303,3 +303,60 @@ def test_system_filter_floor():
     # bird: cam a overrides 0.4; cam b has no bird override so its base 0.5
     # applies -> floor 0.4
     assert floor.class_confidence_overrides["bird"] == 0.4
+
+
+def test_engine_class_size_constraints(program):
+    """Per-class min/max box-area constraints must filter host-side and be
+    hot-reloadable (reference inference_engine_yolox.py:523-528, :699-701)."""
+    from telescope_cam_detection_tpu.runtime.engine import InferenceEngine
+    engine = InferenceEngine(
+        queue.Queue(1), queue.Queue(1), program=program,
+        detection_config={"conf_threshold": 0.0, "wildlife_only": False,
+                          "min_box_area": 0,
+                          "class_size_constraints": {
+                              "bird": {"max": 6000},
+                              "bear": {"min": 5000}}})
+
+    def det(name, cid, side):
+        return {"class_id": cid, "class_name": name, "confidence": 0.9,
+                "bbox": {"x1": 0, "y1": 0, "x2": side, "y2": side}}
+
+    dets = [det("bird", 14, 50),    # 2500 px^2 <= 6000: keep
+            det("bird", 14, 100),   # 10000 px^2 > 6000: drop
+            det("bear", 21, 50),    # 2500 px^2 < 5000: drop
+            det("bear", 21, 100),   # 10000 px^2 >= 5000: keep
+            det("cat", 15, 100)]    # unconstrained: keep
+    out = engine._apply_camera_filters([dict(d) for d in dets])
+    kept = [(d["class_name"], d["bbox"]["area"]) for d in out]
+    assert kept == [("bird", 2500.0), ("bear", 10000.0), ("cat", 10000.0)]
+
+    updated = engine.update_settings({"class_size_constraints": {}})
+    assert "class_size_constraints" in updated
+    out = engine._apply_camera_filters([dict(d) for d in dets])
+    assert len(out) == 5
+
+
+def test_system_filter_floor_class_size():
+    """Device size floor = loosest constraint across cameras; a camera
+    without the constraint loosens that side to unbounded."""
+    from telescope_cam_detection_tpu.system import TelescopeDetectionSystem
+    detection = {"conf_threshold": 0.5,
+                 "class_size_constraints": {"bird": {"max": 8000},
+                                            "bear": {"min": 5000}}}
+    cameras = [
+        {"id": "a", "enabled": True,
+         "detection_overrides": {"class_size_constraints": {
+             "bird": {"max": 6000}}}},
+        {"id": "b", "enabled": True},
+    ]
+    floor = TelescopeDetectionSystem._compute_filter_floor(detection, cameras)
+    # bird: max(6000, 8000) = 8000 ceiling; no camera sets a min -> lo 0
+    assert floor.class_size_limits["bird"] == (0.0, 8000.0)
+    # bear: both cameras inherit the global min 5000 -> floor 5000
+    assert floor.class_size_limits["bear"] == (5000.0, float("inf"))
+    # device arrays reflect the floor
+    arrays = floor.to_arrays(80)
+    from telescope_cam_detection_tpu.coco_constants import COCO_CLASSES
+    import numpy as np
+    assert float(arrays["max_area"][COCO_CLASSES.index("bird")]) == 8000.0
+    assert float(arrays["min_area"][COCO_CLASSES.index("bear")]) == 5000.0

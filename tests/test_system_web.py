@@ -506,3 +506,34 @@ def test_zone_editor_sanitizes_names_and_caps(system):
                  body=json.dumps({"camera_id": "cam2", "zones": []}),
                  headers={"Content-Type": "application/json"})
     conn.getresponse().read(); conn.close()
+
+
+def test_reload_camera_overrides_hot_not_restart(system):
+    """Changing only a camera's detection_overrides (e.g. adding
+    class_size_constraints) hot-reloads through the engines; it must NOT be
+    reported as a cameras restart (the reference only flags id/ip/count
+    changes, main.py:608-617)."""
+    sys_obj, port = system
+    path = sys_obj.config_path
+    original = open(path).read()
+    try:
+        modified = original.replace(
+            "  - id: cam1\n",
+            "  - id: cam1\n"
+            "    detection_overrides:\n"
+            "      class_size_constraints:\n"
+            "        bird:\n"
+            "          max: 6000\n")
+        with open(path, "w") as f:
+            f.write(modified)
+        status, body = _post(port, "/api/config/reload")
+        data = json.loads(body)
+        assert data["success"] is True
+        assert any("class_size_constraints" in r for r in data["reloaded"])
+        assert "cameras" not in data["requires_restart"]
+        s = sys_obj.engines["cam1"].get_settings()
+        assert s["class_size_constraints"] == {"bird": {"max": 6000}}
+    finally:
+        with open(path, "w") as f:
+            f.write(original)
+        _post(port, "/api/config/reload")
