@@ -139,6 +139,11 @@ def main() -> int:
                 if args.cameras else None)
     restart_times = []
     consecutive_http_failures = 0
+    # journald mode without --cameras: remember every camera id EVER seen so
+    # a camera that has been dead longer than the query window (watchdog
+    # started after the failure, or silent past the window) stays monitored
+    # instead of vanishing from the activity map
+    seen_cameras: set = set()
 
     while True:
         frozen = False
@@ -154,7 +159,9 @@ def main() -> int:
                     reason = "journal unreadable"
             else:
                 consecutive_http_failures = 0
-                cams = required if required is not None else sorted(activity)
+                seen_cameras.update(activity)
+                cams = (required if required is not None
+                        else sorted(seen_cameras))
                 if not cams:
                     # no camera line in the whole window: service silent
                     frozen = True

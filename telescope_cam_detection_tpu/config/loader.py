@@ -114,6 +114,8 @@ _VALID_PROTOCOLS = ("rtsp", "rtsp-tcp", "onvif", "h265", "neolink", "file", "syn
 _VALID_SAVE_MODES = ("image", "clip")
 _VALID_ENHANCEMENT = ("none", "clahe", "realesrgan")
 _VALID_MASK_STYLES = ("gaussian_blur", "pixelate", "black_box", "adaptive_blur")
+_VALID_TRANSFERS = ("auto", "device", "host", "yuv420", "delta")
+_VALID_DELTA_PAYLOADS = ("rgb", "yuv420")
 
 
 def _check_size_constraints(errors: List[str], prefix: str, constraints: Any) -> None:
@@ -225,6 +227,15 @@ def validate_config(config: Dict[str, Any]) -> List[str]:
                            detection.get("class_confidence_overrides"))
     _check_size_constraints(errors, "detection.class_size_constraints",
                             detection.get("class_size_constraints"))
+
+    transfer = detection.get("transfer")
+    if transfer is not None and transfer not in _VALID_TRANSFERS:
+        errors.append(
+            f"detection.transfer must be one of {_VALID_TRANSFERS}, got {transfer!r}")
+    payload = detection.get("delta_payload")
+    if payload is not None and payload not in _VALID_DELTA_PAYLOADS:
+        errors.append(f"detection.delta_payload must be one of "
+                      f"{_VALID_DELTA_PAYLOADS}, got {payload!r}")
 
     for path, typ, lo, hi in _RANGE_SPECS:
         val = _lookup(config, path)

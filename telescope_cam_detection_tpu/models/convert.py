@@ -217,11 +217,21 @@ def load_variables(path: str, reference_variables: Optional[Any] = None) -> Opti
     suffix = p.suffix.lower()
     if suffix == ".msgpack":
         from flax import serialization
-        with open(p, "rb") as f:
-            return serialization.msgpack_restore(f.read())
+        try:
+            with open(p, "rb") as f:
+                return serialization.msgpack_restore(f.read())
+        except Exception as e:  # corrupt/truncated file -> "failed to load"
+            logger.warning("could not parse msgpack checkpoint %s: %s",
+                           path, e)
+            return None
     if suffix == ".npz":
-        flat = dict(np.load(p, allow_pickle=False))
-        return _unflatten({tuple(k.split("/")): v for k, v in flat.items()})
+        try:
+            flat = dict(np.load(p, allow_pickle=False))
+            return _unflatten({tuple(k.split("/")): v
+                               for k, v in flat.items()})
+        except Exception as e:
+            logger.warning("could not parse npz checkpoint %s: %s", path, e)
+            return None
     if suffix in (".pth", ".pt"):
         if reference_variables is None:
             logger.warning("torch checkpoint needs reference variables for "

@@ -201,10 +201,11 @@ class MOG2ColorState(NamedTuple):
 
 
 MOG2_SHADOW_TAU = 0.5  # cv2 fTau default: shadow darkens to >= 50% brightness
-# cv2 color-space defaults: varInit 15 / varMin 4 / varMax 5*varInit per
-# channel; the squared-distance test sums 3 channels, so thresholds scale by
-# the channel count.
-_COLOR_CH = 3.0
+# cv2 color semantics (bgfg_gaussmix2.cpp): the squared distance SUMS the 3
+# channels and compares against Tb*var with the SAME varInit 15 / varMin 4 /
+# varMax 75 constants as gray — the per-component variance absorbs the
+# 3-channel summed deviation, there is no channel-count scaling. So
+# var_threshold here is numerically interchangeable with cv2's varThreshold.
 
 
 def init_mog2_color_state(hw: Tuple[int, int], k: int = MOG2_K) -> MOG2ColorState:
@@ -242,7 +243,7 @@ def mog2_update_color(
     d = x[..., None, :] - mu                          # (H, W, K, 3)
     d2 = jnp.sum(d * d, axis=-1)                      # (H, W, K)
     # weight-0 components are unmatchable (cv2 grows from zero modes)
-    matches = (d2 < var_threshold * var * _COLOR_CH) & (w > 1e-6)
+    matches = (d2 < var_threshold * var) & (w > 1e-6)
 
     neg = jnp.where(matches, w, -1.0)
     best = jnp.argmax(neg, axis=-1)
@@ -253,8 +254,8 @@ def mog2_update_color(
     w_new = w + alpha * (onehot_best - w)
     rho = alpha / jnp.maximum(w_new, 1e-6)
     mu_new = mu + (onehot_best * rho)[..., None] * d
-    # per-component variance absorbs the mean squared channel deviation
-    var_new = var + onehot_best * rho * (d2 / _COLOR_CH - var)
+    # variance absorbs the summed 3-channel squared deviation (cv2 layout)
+    var_new = var + onehot_best * rho * (d2 - var)
     var_new = jnp.clip(var_new, MOG2_VAR_MIN, MOG2_VAR_MAX)
 
     weakest = jnp.argmin(w, axis=-1)
@@ -294,8 +295,7 @@ def mog2_update_color(
     a_ok = (a >= shadow_tau) & (a <= 1.0)
     dist = x[..., None, :] - a[..., None] * mu
     dist2a = jnp.sum(dist * dist, axis=-1)
-    shadow_k = in_bg & a_ok & (dist2a <
-                               var_threshold * var * _COLOR_CH * a * a)
+    shadow_k = in_bg & a_ok & (dist2a < var_threshold * var * a * a)
     is_shadow = jnp.any(shadow_k, axis=-1)
 
     fg = jnp.where(state.frame_count < 1, False, ~is_bg)

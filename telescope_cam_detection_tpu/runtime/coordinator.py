@@ -31,7 +31,9 @@ class PendingInference:
     frame: np.ndarray
     callback: Callable[[np.ndarray], None]   # receives (max_det, 7) rows
     camera_id: str
-    enqueue_time: float = field(default_factory=time.time)
+    # monotonic: wait-time stats and linger deadlines must not stretch or
+    # collapse when NTP steps the wall clock mid-collect
+    enqueue_time: float = field(default_factory=time.monotonic)
 
 
 def bucket_for(n: int, buckets=C.BATCH_BUCKETS) -> int:
@@ -145,7 +147,16 @@ class SharedInferenceCoordinator:
                 logger.critical(
                     "stopping readback drainer under a live dispatcher: "
                     "any batch it dispatches after this point is dropped")
-            self._inflight.put(None)  # sentinel after the dispatcher stops
+            # bounded put, matching the timeout discipline of every join in
+            # stop(): if the drainer is wedged inside a hung readback and the
+            # in-flight queue is full, log and move on instead of blocking
+            # stop() forever
+            try:
+                self._inflight.put(  # sentinel after the dispatcher stops
+                    None, timeout=C.THREAD_JOIN_TIMEOUT_SECONDS)
+            except Exception:
+                logger.critical("could not enqueue drainer stop sentinel "
+                                "(readback wedged?); abandoning drainer")
             self._drain_thread.join(timeout=C.THREAD_JOIN_TIMEOUT_SECONDS * 2)
             if self._drain_thread.is_alive():
                 logger.critical("coordinator readback thread did not stop "
@@ -204,11 +215,12 @@ class SharedInferenceCoordinator:
                 self._cond.wait(timeout=0.1)
             if not self._running.is_set():
                 return []
-            deadline = time.time() + self.max_batch_wait_ms / 1000.0
+            deadline = time.monotonic() + self.max_batch_wait_ms / 1000.0
             limit = self._current_batch_limit()
-            while (len(self._queue) < limit and time.time() < deadline
+            while (len(self._queue) < limit and time.monotonic() < deadline
                    and self._running.is_set()):
-                self._cond.wait(timeout=max(deadline - time.time(), 0.001))
+                self._cond.wait(
+                    timeout=max(deadline - time.monotonic(), 0.001))
             batch = []
             while self._queue and len(batch) < limit:
                 batch.append(self._queue.popleft())
@@ -237,7 +249,7 @@ class SharedInferenceCoordinator:
                         pass
 
     def _process(self, batch: List[PendingInference]) -> None:
-        now = time.time()
+        now = time.monotonic()
         for req in batch:
             self._wait_times.append(now - req.enqueue_time)
 

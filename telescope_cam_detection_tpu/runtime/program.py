@@ -177,6 +177,17 @@ class DetectorProgram:
         SURVEY §2.4)."""
         from telescope_cam_detection_tpu.utils.jaxconfig import configure_jax
         configure_jax()
+        # fail at STARTUP on config typos: an unknown value would otherwise
+        # surface only at first dispatch, where the fail-soft coordinator
+        # converts it into perpetual empty-result batches from a "healthy"
+        # service
+        if spec.transfer not in ("auto", "device", "host", "yuv420", "delta"):
+            raise ValueError(f"unknown transfer mode {spec.transfer!r}")
+        if spec.delta_payload not in ("rgb", "yuv420"):
+            raise ValueError(f"unknown delta_payload {spec.delta_payload!r} "
+                             "(valid: rgb, yuv420)")
+        if spec.sampling_impl not in ("auto", "xla", "pallas"):
+            raise ValueError(f"unknown sampling_impl {spec.sampling_impl!r}")
         self.mesh = mesh
         self.spec = spec
         if spec.detector_type == "yolox":

@@ -246,9 +246,16 @@ class TelescopeDetectionSystem:
                 loaded = load_variables(
                     weights,
                     reference_variables=self.species_classifier.variables)
-                if loaded is not None:
-                    self.species_classifier.variables = loaded
-                    logger.info("loaded classifier weights from %s", weights)
+                if loaded is None:
+                    # same contract as the detector path above: configured
+                    # weights that fail to load are FATAL — a typo'd Stage-2
+                    # path must not silently serve random-weight species
+                    # labels from a "healthy" system
+                    raise RuntimeError(
+                        "configured classifier weights failed to load: "
+                        f"{weights}")
+                self.species_classifier.variables = loaded
+                logger.info("loaded classifier weights from %s", weights)
 
         # per-camera pipelines (fault-tolerant: a broken camera config skips)
         for cam in cfg.get("cameras", []) or []:

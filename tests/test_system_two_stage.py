@@ -113,3 +113,43 @@ def test_two_stage_stats_surface(system):
     stats = pipe.get_stats()
     assert stats["total_detections"] > 0
     assert stats["classifier"]["total_classified"] > 0
+
+
+def test_bad_classifier_weights_fatal(tmp_path):
+    """A configured Stage-2 weights path that fails to load must abort
+    startup exactly like the detector path — not serve random-weight
+    species labels from a 'healthy' system."""
+    tax = {"0": {"common_name": "S", "genus": "G", "family": "F",
+                 "order": "O", "class": "Mammalia"}}
+    tax_path = tmp_path / "tax.json"
+    tax_path.write_text(json.dumps(tax))
+    bad = tmp_path / "nope.msgpack"
+    bad.write_bytes(b"not a checkpoint")
+    cfg = textwrap.dedent(f"""
+        cameras:
+          - id: cam1
+            protocol: synthetic
+            target_width: 64
+            target_height: 64
+        detection:
+          detector_type: yolox
+          yolox: {{model_name: yolox-nano}}
+          input_size: [64, 64]
+          use_two_stage: true
+          batching: {{enabled: false}}
+        species_classification:
+          enabled: true
+          inat_classifier:
+            model_name: eva02-tiny
+            num_classes: 4
+            input_size: 56
+            taxonomy_file: {tax_path}
+            weights: {bad}
+        web: {{host: 127.0.0.1, port: {_free_port()}}}
+    """)
+    cfg_path = tmp_path / "config.yaml"
+    cfg_path.write_text(cfg)
+    sys_obj = TelescopeDetectionSystem(str(cfg_path), load_weights=True)
+    sys_obj.load_config()
+    with pytest.raises(RuntimeError, match="classifier weights"):
+        sys_obj.initialize_components()

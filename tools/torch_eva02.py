@@ -25,8 +25,23 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from telescope_cam_detection_tpu.models.eva02 import (  # noqa: E402
     EVA02_VARIANTS,
-    _rope_freqs,
 )
+
+
+def _rope_freqs_torch(dim: int, n_side: int,
+                      theta: float = 100.0) -> torch.Tensor:
+    """2D axial RoPE angle table, written independently of the flax model's
+    `_rope_freqs` (torch ops, index arithmetic instead of repeats) so the
+    parity test catches a frequency/position-generation bug in either side.
+    Layout contract: rows scan the patch grid row-major (y outer, x inner);
+    first dim/4 angles rotate with y, the next dim/4 with x."""
+    quarter = dim // 4
+    inv = theta ** (-torch.arange(quarter, dtype=torch.float64) / quarter)
+    t = torch.arange(n_side * n_side, dtype=torch.float64)
+    y_pos, x_pos = t // n_side, t % n_side
+    ang_y = y_pos[:, None] * inv[None, :]          # (T, quarter)
+    ang_x = x_pos[:, None] * inv[None, :]
+    return torch.cat([ang_y, ang_x], dim=1).float()  # (T, dim/2)
 
 _EPS = 1e-6  # flax LayerNorm default (torch's default is 1e-5)
 
@@ -79,7 +94,7 @@ def torch_eva02_forward(params: dict, images_nhwc: np.ndarray,
     x = torch.cat([cls, x], dim=1)
     x = x + _t(params["pos_embed"])
 
-    angles = torch.from_numpy(_rope_freqs(head_dim, n_side))
+    angles = _rope_freqs_torch(head_dim, n_side)
     cos, sin = torch.cos(angles), torch.sin(angles)
 
     for i in range(depth):

@@ -30,8 +30,26 @@ from telescope_cam_detection_tpu.models.rtdetr import (  # noqa: E402
     HIDDEN,
     N_POINTS,
     RTDETR_VARIANTS,
-    sincos_pos_embed_2d,
 )
+
+
+def _sincos_pos_embed_2d_torch(h: int, w: int, dim: int,
+                               temperature: float = 10000.0) -> torch.Tensor:
+    """(h*w, dim) AIFI 2D sine-cosine embedding, written independently of
+    the flax model's `sincos_pos_embed_2d` (torch ops, flat-index
+    arithmetic) so the parity test catches a position-generation bug in
+    either side. Layout contract: tokens scan row-major (y outer, x inner);
+    channels are [sin(x), cos(x), sin(y), cos(y)] quarters."""
+    assert dim % 4 == 0
+    quarter = dim // 4
+    omega = temperature ** (-torch.arange(quarter, dtype=torch.float64)
+                            / quarter)
+    t = torch.arange(h * w, dtype=torch.float64)
+    ys, xs = t // w, t % w
+    out_x = xs[:, None] * omega[None, :]
+    out_y = ys[:, None] * omega[None, :]
+    return torch.cat([torch.sin(out_x), torch.cos(out_x),
+                      torch.sin(out_y), torch.cos(out_y)], dim=1).float()
 
 _LN_EPS = 1e-6
 _BN_EPS = 1e-3
@@ -166,7 +184,7 @@ def _encoder(feats, p, s, heads):
     s3, s4, s5 = proj
     b, h5, w5, _ = s5.shape
     tokens = s5.reshape(b, h5 * w5, HIDDEN)
-    pos = torch.from_numpy(sincos_pos_embed_2d(h5, w5, HIDDEN))[None]
+    pos = _sincos_pos_embed_2d_torch(h5, w5, HIDDEN)[None]
     tokens = _aifi(tokens, pos, p["aifi"], heads)
     s5 = tokens.reshape(b, h5, w5, HIDDEN)
 
