@@ -116,6 +116,7 @@ _VALID_ENHANCEMENT = ("none", "clahe", "realesrgan")
 _VALID_MASK_STYLES = ("gaussian_blur", "pixelate", "black_box", "adaptive_blur")
 _VALID_TRANSFERS = ("auto", "device", "host", "yuv420", "delta")
 _VALID_DELTA_PAYLOADS = ("rgb", "yuv420")
+_VALID_GATES = ("none", "device")
 
 
 def _check_size_constraints(errors: List[str], prefix: str, constraints: Any) -> None:
@@ -236,6 +237,10 @@ def validate_config(config: Dict[str, Any]) -> List[str]:
     if payload is not None and payload not in _VALID_DELTA_PAYLOADS:
         errors.append(f"detection.delta_payload must be one of "
                       f"{_VALID_DELTA_PAYLOADS}, got {payload!r}")
+    gates = detection.get("gates")
+    if gates is not None and gates not in _VALID_GATES:
+        errors.append(f"detection.gates must be one of {_VALID_GATES}, "
+                      f"got {gates!r}")
 
     for path, typ, lo, hi in _RANGE_SPECS:
         val = _lookup(config, path)

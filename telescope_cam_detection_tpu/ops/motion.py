@@ -115,6 +115,22 @@ MOG2_VAR_MAX = 75.0
 MOG2_BG_RATIO = 0.9   # cumulative weight ratio marking background components
 
 
+def _bg_prefix_mass(w: jnp.ndarray) -> jnp.ndarray:
+    """For each component k: the total weight of components ranked ABOVE it
+    when sorted by weight descending (ties broken by lower index first —
+    matching stable argsort(-w)). Sort-free: K^2 pairwise comparisons
+    instead of jnp.argsort, because XLA sorts at image scale dominate the
+    whole mixture update on TPU (measured ~45 ms/step at 640^2 with two
+    argsorts vs ~1 ms without)."""
+    k = w.shape[-1]
+    wi = w[..., :, None]                       # (..., K, 1): w_k
+    wj = w[..., None, :]                       # (..., 1, K): w_j
+    i_idx = jnp.arange(k)[:, None]
+    j_idx = jnp.arange(k)[None, :]
+    above = (wj > wi) | ((wj == wi) & (j_idx < i_idx))
+    return jnp.sum(wj * above, axis=-1)        # (..., K)
+
+
 def init_mog2_state(hw: Tuple[int, int], k: int = MOG2_K) -> MOG2State:
     h, w = hw
     return MOG2State(
@@ -174,14 +190,9 @@ def mog2_update(
     # renormalize weights
     w_new = w_new / jnp.maximum(jnp.sum(w_new, axis=-1, keepdims=True), 1e-6)
 
-    # background test over the BG_RATIO cumulative-weight prefix
-    order = jnp.argsort(-w_new, axis=-1)
-    w_sorted = jnp.take_along_axis(w_new, order, axis=-1)
-    m_sorted = jnp.take_along_axis(matches, order, axis=-1)
-    cum = jnp.cumsum(w_sorted, axis=-1)
-    prev_cum = cum - w_sorted
-    in_bg = prev_cum < MOG2_BG_RATIO
-    is_bg = jnp.any(m_sorted & in_bg, axis=-1)
+    # background test over the BG_RATIO cumulative-weight prefix (sort-free)
+    in_bg = _bg_prefix_mass(w_new) < MOG2_BG_RATIO
+    is_bg = jnp.any(matches & in_bg, axis=-1)
 
     # warm-up: first frames are all background (model still learning)
     fg = jnp.where(state.frame_count < 1, False, ~is_bg)
@@ -218,26 +229,19 @@ def init_mog2_color_state(hw: Tuple[int, int], k: int = MOG2_K) -> MOG2ColorStat
     )
 
 
-@jax.jit
-def mog2_update_color(
-    state: MOG2ColorState,
-    frame_bgr: jnp.ndarray,       # (H, W, 3) uint8
-    var_threshold: jnp.ndarray,   # () float — cv2 varThreshold (default 16)
-    learning_rate: jnp.ndarray,   # () float
-    shadow_tau: jnp.ndarray,      # () float — cv2 fTau (default 0.5)
-) -> Tuple[MOG2ColorState, jnp.ndarray, jnp.ndarray]:
-    """Color-space mixture step with Prati-style shadow classification
-    (cv2 BackgroundSubtractorMOG2 detectShadows semantics,
-    reference motion_filter.py:56-66 constructs it with detectShadows=True).
-
-    Returns (new_state, fg_mask (H,W) bool, shadow_mask (H,W) bool) where
-    shadow_mask ⊆ fg_mask: pixels that differ from the background only as a
-    uniform darkening (tau <= brightness ratio < 1, small chroma distortion)
-    — the caller excludes them from motion (reference motion_filter.py:99
-    zeroes the 127-valued shadow pixels).
-    """
-    x = frame_bgr.astype(jnp.float32)                 # (H, W, 3)
-    w, mu, var = state.weights, state.means, state.variances
+def _mog2_color_core(
+    w: jnp.ndarray,               # (..., K)
+    mu: jnp.ndarray,              # (..., K, 3)
+    var: jnp.ndarray,             # (..., K)
+    frame_count: jnp.ndarray,     # () int32
+    x: jnp.ndarray,               # (..., 3) float32 BGR sample
+    var_threshold: jnp.ndarray,
+    learning_rate: jnp.ndarray,
+    shadow_tau: jnp.ndarray,
+):
+    """One color-mixture update without the state wrapper; shared by the
+    single-frame `mog2_update_color` and the fused multi-lane `gate_step`.
+    Returns (w_new, mu_new, var_new, fg, shadow)."""
     alpha = learning_rate
 
     d = x[..., None, :] - mu                          # (H, W, K, 3)
@@ -269,25 +273,16 @@ def mog2_update_color(
     w_new = w_new / jnp.maximum(jnp.sum(w_new, axis=-1, keepdims=True), 1e-6)
 
     # background membership over the BG_RATIO cumulative-weight prefix
-    order = jnp.argsort(-w_new, axis=-1)
-    w_sorted = jnp.take_along_axis(w_new, order, axis=-1)
-    m_sorted = jnp.take_along_axis(matches, order, axis=-1)
-    cum = jnp.cumsum(w_sorted, axis=-1)
-    prev_cum = cum - w_sorted
-    in_bg_sorted = prev_cum < MOG2_BG_RATIO
-    is_bg = jnp.any(m_sorted & in_bg_sorted, axis=-1)
+    # (sort-free pairwise formulation, _bg_prefix_mass)
+    in_bg_new = _bg_prefix_mass(w_new) < MOG2_BG_RATIO
+    is_bg = jnp.any(matches & in_bg_new, axis=-1)
 
     # shadow test against each PRE-UPDATE background component (cv2 runs
     # detection against the existing modes; the sample inserted this step
     # must not compare against itself): brightness ratio
     # a = <x, mu>/<mu, mu> within [tau, 1] and chroma distortion
     # ||x - a*mu||^2 under Tb * var * a^2
-    order_old = jnp.argsort(-w, axis=-1)
-    w_old_sorted = jnp.take_along_axis(w, order_old, axis=-1)
-    cum_old = jnp.cumsum(w_old_sorted, axis=-1)
-    in_bg_sorted_old = (cum_old - w_old_sorted) < MOG2_BG_RATIO
-    inv_order = jnp.argsort(order_old, axis=-1)
-    in_bg = (jnp.take_along_axis(in_bg_sorted_old, inv_order, axis=-1)
+    in_bg = ((_bg_prefix_mass(w) < MOG2_BG_RATIO)
              & (w > 1e-6))                                         # (H,W,K)
     num = jnp.sum(x[..., None, :] * mu, axis=-1)                   # (H,W,K)
     den = jnp.maximum(jnp.sum(mu * mu, axis=-1), 1e-6)
@@ -298,8 +293,33 @@ def mog2_update_color(
     shadow_k = in_bg & a_ok & (dist2a < var_threshold * var * a * a)
     is_shadow = jnp.any(shadow_k, axis=-1)
 
-    fg = jnp.where(state.frame_count < 1, False, ~is_bg)
+    fg = jnp.where(frame_count < 1, jnp.zeros_like(is_bg), ~is_bg)
     shadow = fg & is_shadow
+    return w_new, mu_new, var_new, fg, shadow
+
+
+@jax.jit
+def mog2_update_color(
+    state: MOG2ColorState,
+    frame_bgr: jnp.ndarray,       # (H, W, 3) uint8
+    var_threshold: jnp.ndarray,   # () float — cv2 varThreshold (default 16)
+    learning_rate: jnp.ndarray,   # () float
+    shadow_tau: jnp.ndarray,      # () float — cv2 fTau (default 0.5)
+) -> Tuple[MOG2ColorState, jnp.ndarray, jnp.ndarray]:
+    """Color-space mixture step with Prati-style shadow classification
+    (cv2 BackgroundSubtractorMOG2 detectShadows semantics,
+    reference motion_filter.py:56-66 constructs it with detectShadows=True).
+
+    Returns (new_state, fg_mask (H,W) bool, shadow_mask (H,W) bool) where
+    shadow_mask ⊆ fg_mask: pixels that differ from the background only as a
+    uniform darkening (tau <= brightness ratio < 1, small chroma distortion)
+    — the caller excludes them from motion (reference motion_filter.py:99
+    zeroes the 127-valued shadow pixels).
+    """
+    w_new, mu_new, var_new, fg, shadow = _mog2_color_core(
+        state.weights, state.means, state.variances, state.frame_count,
+        frame_bgr.astype(jnp.float32), var_threshold, learning_rate,
+        shadow_tau)
     new_state = MOG2ColorState(w_new, mu_new, var_new, state.frame_count + 1)
     return new_state, fg, shadow
 
@@ -329,3 +349,128 @@ def bbox_motion_ratios(mask: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
     total = ii[y2, x2] - ii[y1, x2] - ii[y2, x1] + ii[y1, x1]
     area = jnp.maximum((x2 - x1) * (y2 - y1), 1).astype(jnp.float32)
     return total / area
+
+
+# ---------------------------------------------------------------------------
+# Fused multi-lane gates (device-resident state inside the detector program)
+# ---------------------------------------------------------------------------
+
+class GateState(NamedTuple):
+    """Per-lane gate state for the FUSED detector program (SURVEY §7: the
+    empty-frame gate and the MOG2 background model live in HBM inside the
+    same jitted program as the detector, so gating costs zero host work and
+    zero extra dispatches). One lane per camera stream.
+
+    Shapes: L lanes at mask resolution (h, w), K mixture components."""
+    prev_blurred: jnp.ndarray   # (L, h, w) float32 — frame-diff state
+    initialized: jnp.ndarray    # (L,) bool
+    weights: jnp.ndarray        # (L, h, w, K)
+    means: jnp.ndarray          # (L, h, w, K, 3) BGR
+    variances: jnp.ndarray      # (L, h, w, K)
+    frame_count: jnp.ndarray    # (L,) int32
+
+
+def init_gate_state(hw: Tuple[int, int], lanes: int,
+                    k: int = MOG2_K) -> GateState:
+    h, w = hw
+    return GateState(
+        prev_blurred=jnp.zeros((lanes, h, w), jnp.float32),
+        initialized=jnp.zeros((lanes,), bool),
+        weights=jnp.zeros((lanes, h, w, k), jnp.float32),
+        means=jnp.zeros((lanes, h, w, k, 3), jnp.float32),
+        variances=jnp.full((lanes, h, w, k), MOG2_VAR_INIT, jnp.float32),
+        frame_count=jnp.zeros((lanes,), jnp.int32),
+    )
+
+
+# gate_params layout (runtime array -> hot-reload without recompilation)
+GATE_PARAM_EMPTY_THRESHOLD = 0   # empty-frame diff threshold (cfg .threshold)
+GATE_PARAM_VAR_THRESHOLD = 1     # MOG2 Tb (cfg motion_filter.var_threshold)
+GATE_PARAM_LEARNING_RATE = 2     # MOG2 alpha (1 / history)
+GATE_PARAM_SHADOW_TAU = 3        # MOG2 fTau
+GATE_PARAM_DETECT_SHADOWS = 4    # 0/1
+N_GATE_PARAMS = 5
+
+
+def gate_step(
+    state: GateState,
+    frames_bgr: jnp.ndarray,      # (B, h, w, 3) uint8
+    lanes: jnp.ndarray,           # (B,) int32 — stream lane per batch entry
+    params: jnp.ndarray,          # (N_GATE_PARAMS,) float32
+    blur_size: int = 21,
+    motion_blur_size: int = 21,
+):
+    """Run BOTH motion gates for a batch of frames against per-lane state.
+
+    Entries are applied IN ORDER (lax.scan), so a batch may carry several
+    sequential frames of the same lane — each diffs/updates against the
+    previous entry's state, exactly like the per-frame host gates.
+
+    Returns (new_state, aux) with aux:
+      motion_area  (B,) float32 — empty-gate changed-pixel count (mask px)
+      initialized  (B,) bool    — False for a lane's first-ever frame
+                                  (host treats it as motion, reference
+                                  empty_frame_filter.py:61-66)
+      masks        (B, h, w) bool — post-processed MOG2 foreground
+      mean_luma    (B,) float32 — for day/night adaptive thresholds
+    """
+    gray = bgr_to_gray(frames_bgr)                       # (B, h, w)
+    mean_luma = jnp.mean(gray, axis=(1, 2))
+    blurred = gaussian_blur(gray, blur_size)
+    x = frames_bgr.astype(jnp.float32)
+    empty_thr = params[GATE_PARAM_EMPTY_THRESHOLD]
+    var_thr = params[GATE_PARAM_VAR_THRESHOLD]
+    lr = params[GATE_PARAM_LEARNING_RATE]
+    tau = params[GATE_PARAM_SHADOW_TAU]
+    detect_shadows = params[GATE_PARAM_DETECT_SHADOWS] > 0.5
+
+    def step(st: GateState, inp):
+        lane, blur_f, frame_f = inp
+        # empty-frame diff gate (reference empty_frame_filter.py:51-98)
+        diff = jnp.abs(blur_f - st.prev_blurred[lane])
+        area = jnp.sum((diff > empty_thr).astype(jnp.float32))
+        inited = st.initialized[lane]
+        # MOG2 color mixture (reference motion_filter.py:56-127)
+        w_new, mu_new, var_new, fg, shadow = _mog2_color_core(
+            st.weights[lane], st.means[lane], st.variances[lane],
+            st.frame_count[lane], frame_f, var_thr, lr, tau)
+        fg = fg & ~(shadow & detect_shadows)
+        new_st = GateState(
+            prev_blurred=st.prev_blurred.at[lane].set(blur_f),
+            initialized=st.initialized.at[lane].set(True),
+            weights=st.weights.at[lane].set(w_new),
+            means=st.means.at[lane].set(mu_new),
+            variances=st.variances.at[lane].set(var_new),
+            frame_count=st.frame_count.at[lane].set(
+                st.frame_count[lane] + 1),
+        )
+        return new_st, (area, inited, fg)
+
+    new_state, (areas, initeds, fgs) = jax.lax.scan(
+        step, state, (lanes, blurred, x))
+    masks = motion_mask_postprocess(fgs, blur_size=motion_blur_size)
+    return new_state, {
+        "motion_area": areas,
+        "initialized": initeds,
+        "masks": masks,
+        "mean_luma": mean_luma,
+    }
+
+
+def batch_bbox_motion_stats(
+    masks: jnp.ndarray,   # (B, h, w) bool
+    boxes: jnp.ndarray,   # (B, D, 4) xyxy float, MASK coordinates
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Vectorized per-detection motion stats over a batch of masks.
+
+    Returns (ratios (B, D), pixels (B, D)) with the same floor/ceil/clip
+    semantics as `bbox_motion_ratios`; pixels = ratio * clipped box area
+    (mask-resolution pixel counts)."""
+    ratios = jax.vmap(bbox_motion_ratios)(masks, boxes)
+    h, w = masks.shape[1:]
+    x1 = jnp.clip(boxes[..., 0].astype(jnp.int32), 0, w)
+    y1 = jnp.clip(boxes[..., 1].astype(jnp.int32), 0, h)
+    x2 = jnp.clip(jnp.ceil(boxes[..., 2]).astype(jnp.int32), 0, w)
+    y2 = jnp.clip(jnp.ceil(boxes[..., 3]).astype(jnp.int32), 0, h)
+    areas = jnp.maximum((x2 - x1) * (y2 - y1), 1).astype(jnp.float32)
+    return ratios, ratios * areas

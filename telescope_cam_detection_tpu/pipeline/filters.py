@@ -128,6 +128,57 @@ class EmptyFrameFilter:
             }
 
 
+class DeviceEmptyFrameGate:
+    """Empty-frame gate consumer for ``ProgramSpec.gates='device'``: the
+    fused detector program computes the changed-pixel count on device
+    (per-lane state in HBM, ops/motion.py gate_step); this object only
+    applies the hot-reloadable area threshold to the returned scalar —
+    zero host pixel work. Same stats surface as EmptyFrameFilter."""
+
+    def __init__(self, min_motion_area: int = 200, enabled: bool = True):
+        self.enabled = enabled
+        self.min_motion_area = float(min_motion_area)
+        self._lock = threading.Lock()
+        self.frames_processed = 0
+        self.frames_skipped = 0
+
+    def decide(self, motion_area: float, initialized: bool) -> bool:
+        """True if the frame's detections should be kept (has motion).
+        motion_area arrives in capture-resolution pixel units (the program
+        scales it), so the config threshold applies unchanged; a lane's
+        first-ever frame always passes (reference empty_frame_filter.py:
+        61-66)."""
+        if not self.enabled:
+            return True
+        has = (not initialized) or motion_area >= self.min_motion_area
+        with self._lock:
+            self.frames_processed += 1
+            if not has:
+                self.frames_skipped += 1
+        return has
+
+    def update_params(self, config: Dict[str, Any]) -> List[str]:
+        updated = []
+        with self._lock:
+            for key, typ in (("enabled", bool), ("min_motion_area", float)):
+                if key in config and getattr(self, key) != typ(config[key]):
+                    setattr(self, key, typ(config[key]))
+                    updated.append(key)
+        return updated
+
+    def get_stats(self) -> Dict[str, Any]:
+        with self._lock:
+            n = max(self.frames_processed, 1)
+            return {
+                "enabled": self.enabled,
+                "backend": "device",
+                "frames_processed": self.frames_processed,
+                "frames_skipped": self.frames_skipped,
+                "skip_rate": self.frames_skipped / n,
+                "avg_gate_ms": 0.0,   # fused into the detector dispatch
+            }
+
+
 class MotionFilter:
     """Post-detection gate: reject detections whose bbox shows no foreground
     motion under a background-subtraction model (reference
@@ -145,7 +196,11 @@ class MotionFilter:
         # reference but does NOT gate per-bbox decisions there either.
         # backend: "cv2" (native MOG2 with shadow modeling, the reference's
         # exact path, ~5 ms/frame) | "xla" (first-party mixture,
-        # ops/motion.py) | "auto" (cv2 when importable).
+        # ops/motion.py) | "program" (gates='device': the fused detector
+        # program already computed per-detection motion_ratio/motion_pixels
+        # against its HBM-resident background model — this filter only
+        # applies the hot-reloadable thresholds, zero host pixel work)
+        # | "auto" (cv2 when importable).
         self._device = _gate_device(device)
         self.min_motion_pixels = int(min_motion_pixels)
         self.enabled = enabled
@@ -249,13 +304,40 @@ class MotionFilter:
             return np.asarray(
                 motion_ops.bbox_motion_ratios(jnp.asarray(mask), boxes))
 
+    def _filter_precomputed(
+        self, detections: List[Dict[str, Any]]
+    ) -> List[Dict[str, Any]]:
+        """gates='device' path: threshold the program-computed per-detection
+        motion stats (already capture-px units). Detections without the
+        fields (sparse-reused keyframes, failure callbacks) pass through —
+        the same fail-open the reference has when the mask is unavailable."""
+        out = []
+        with self._lock:
+            self.total_processed += len(detections)
+        for det in detections:
+            ratio = det.get("motion_ratio")
+            pixels = det.get("motion_pixels")
+            if ratio is None or pixels is None:
+                out.append(det)
+                continue
+            if pixels >= self.min_motion_pixels and ratio > self.min_motion_ratio:
+                out.append(det)
+            else:
+                with self._lock:
+                    self.total_filtered += 1
+        return out
+
     def filter_detections(
-        self, frame: np.ndarray, detections: List[Dict[str, Any]]
+        self, frame: np.ndarray, detections: List[Dict[str, Any]],
+        mean_luma: Optional[float] = None,
     ) -> List[Dict[str, Any]]:
         """Update the model with this frame, then keep only detections whose
-        bbox contains sufficient foreground motion."""
+        bbox contains sufficient foreground motion. mean_luma: optional
+        program-computed frame brightness (adaptive day/night subclass)."""
         if not self.enabled:
             return detections
+        if self.backend == "program":
+            return self._filter_precomputed(detections)
         mask = self.update_background(frame)
         if not detections:
             return detections
@@ -329,10 +411,12 @@ class AdaptiveMotionFilter(MotionFilter):
         self.night_min_motion_ratio = night_min_motion_ratio
         self.night_luma_threshold = night_luma_threshold
 
-    def filter_detections(self, frame, detections):
-        mean_luma = float(frame.mean())
+    def filter_detections(self, frame, detections, mean_luma=None):
+        if mean_luma is None:  # program-computed luma avoids a host reduce
+            mean_luma = float(frame.mean())
         self.min_motion_ratio = (
             self.night_min_motion_ratio
             if mean_luma < self.night_luma_threshold
             else self.day_min_motion_ratio)
-        return super().filter_detections(frame, detections)
+        return super().filter_detections(frame, detections,
+                                         mean_luma=mean_luma)

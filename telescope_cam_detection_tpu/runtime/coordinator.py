@@ -95,10 +95,13 @@ class SharedInferenceCoordinator:
             maxsize=max(self.pipeline_depth - 1, 1))
         self._drain_thread: Optional[threading.Thread] = None
 
-        # delta transfer: lanes come from the program's shared registry
-        # (program.lane_for_stream), so engines and coordinator agree
-        self._delta = getattr(getattr(program, "spec", None),
-                              "transfer", None) == "delta"
+        # delta transfer / device gates: lanes come from the program's
+        # shared registry (program.lane_for_stream), so engines and
+        # coordinator agree on per-stream device-state ownership
+        spec = getattr(program, "spec", None)
+        self._delta = getattr(spec, "transfer", None) == "delta"
+        self._gated = getattr(spec, "gates", "none") == "device"
+        self._lanes_needed = self._delta or self._gated
 
         self.total_requests = 0
         self.total_batches = 0
@@ -274,7 +277,7 @@ class SharedInferenceCoordinator:
         for i, req in enumerate(reqs):
             frames[i] = req.frame
         lanes = None
-        if self._delta:
+        if self._lanes_needed:
             pad_lane = self.program.lane_for_stream("__pad__")
             lanes = [self.program.lane_for_stream(r.camera_id)
                      for r in reqs] + [pad_lane] * (padded_n - n)
@@ -283,11 +286,18 @@ class SharedInferenceCoordinator:
             if (self._drain_thread is None
                     or not hasattr(self.program, "dispatch_batch")):
                 # serial mode: dispatch + blocking readback in one call
-                if lanes is None:  # duck-typed (lane-less) programs
-                    rows = self.program.detect_batch_rows(frames)
+                if hasattr(self.program, "detect_batch_gated"):
+                    if lanes is None:
+                        rows, aux = self.program.detect_batch_gated(frames)
+                    else:
+                        rows, aux = self.program.detect_batch_gated(
+                            frames, lanes=lanes)
+                elif lanes is None:  # duck-typed (lane-less) programs
+                    rows, aux = self.program.detect_batch_rows(frames), None
                 else:
-                    rows = self.program.detect_batch_rows(frames, lanes=lanes)
-                self._finish_group(reqs, rows, t0)
+                    rows, aux = self.program.detect_batch_rows(
+                        frames, lanes=lanes), None
+                self._finish_group(reqs, rows, t0, aux=aux)
                 return
             # pipelined mode: async dispatch here; the drainer thread forces
             # readbacks in dispatch order while this thread encodes and
@@ -311,7 +321,11 @@ class SharedInferenceCoordinator:
             reqs, handle, padded_n, t0 = item
             t_pick = time.perf_counter()
             try:
-                rows = np.asarray(handle)[:padded_n]
+                mat = getattr(self.program, "materialize", None)
+                if mat is not None:
+                    rows, aux = mat(handle, padded_n)
+                else:
+                    rows, aux = np.asarray(handle)[:padded_n], None
             except Exception:
                 logger.exception("batch readback failed (%d reqs)", len(reqs))
                 # device errors surface HERE in pipelined mode (dispatch is
@@ -325,7 +339,7 @@ class SharedInferenceCoordinator:
                         logger.exception("delta reset failed")
                 self._fail_group(reqs)
                 continue
-            self._finish_group(reqs, rows, t0, t_pick)
+            self._finish_group(reqs, rows, t0, t_pick, aux=aux)
 
     def _fail_group(self, reqs: List[PendingInference]) -> None:
         """Empty-result callbacks, routed through the same per-camera FIFO
@@ -343,11 +357,15 @@ class SharedInferenceCoordinator:
                 fail_one()
 
     def _finish_group(self, reqs: List[PendingInference], rows,
-                      t0: float, t_pick: Optional[float] = None) -> None:
+                      t0: float, t_pick: Optional[float] = None,
+                      aux=None) -> None:
         """Record stats + fire per-camera-ordered callbacks. The recorded
         batch time is dispatch->readback-complete (what a frame actually
         experiences); in pipelined mode part of that window overlaps the
-        previous batch's readback, tracked separately in _pipeline_waits."""
+        previous batch's readback, tracked separately in _pipeline_waits.
+
+        aux (gates='device'): dict of per-frame gate arrays; each callback
+        receives its frame's slice as a second ``gate`` argument."""
         n = len(reqs)
         now = time.perf_counter()
         self._infer_times.append((now - t0) * 1000.0)
@@ -357,9 +375,15 @@ class SharedInferenceCoordinator:
         self.total_frames += n
         self._batch_sizes.append(n)
         for i, req in enumerate(reqs):
-            def run_one(req=req, row=rows[i]):
+            gate = ({k: v[i] for k, v in aux.items()}
+                    if aux is not None else None)
+
+            def run_one(req=req, row=rows[i], gate=gate):
                 try:
-                    req.callback(row)
+                    if gate is not None:
+                        req.callback(row, gate)
+                    else:
+                        req.callback(row)
                 except Exception:
                     logger.exception("inference callback failed (camera %s)",
                                      req.camera_id)

@@ -58,6 +58,15 @@ class InferenceEngine:
         self.two_stage_pipeline = two_stage_pipeline
         self.empty_frame_filter = empty_frame_filter
         self.sparse_interval = max(int(sparse_interval), 1)
+        # device-gated program? (gates fused into the dispatch — results
+        # arrive as (rows, gate aux) and the host gate objects only apply
+        # thresholds; pipeline/filters.DeviceEmptyFrameGate)
+        prog = program if program is not None else getattr(
+            coordinator, "program", None)
+        spec = getattr(prog, "spec", None)
+        self._device_gates = getattr(spec, "gates", "none") == "device"
+        self._needs_lanes = self._device_gates or (
+            getattr(spec, "transfer", None) == "delta")
 
         cfg = detection_config or {}
         self._settings_lock = threading.Lock()
@@ -133,9 +142,13 @@ class InferenceEngine:
                                reused=True)
             return
 
-        # empty-frame motion gate (:589-593)
-        if self.empty_frame_filter is not None and \
-                not self.empty_frame_filter.has_motion(frame):
+        # empty-frame motion gate (:589-593). Host variant runs BEFORE
+        # dispatch (saves the forward); the device variant (gates='device',
+        # a DeviceEmptyFrameGate without has_motion) is evaluated in
+        # _on_rows from the fused program's output instead.
+        if self.empty_frame_filter is not None \
+                and hasattr(self.empty_frame_filter, "has_motion") \
+                and not self.empty_frame_filter.has_motion(frame):
             self.frames_skipped_empty += 1
             self._queue_result(item, [], 0.0, skipped_empty=True)
             return
@@ -144,27 +157,51 @@ class InferenceEngine:
         if self.coordinator is not None:
             # bind loop variables as defaults (the reference had a capture-by-
             # reference bug here; inference_engine_yolox.py:343-348)
-            def callback(rows, _item=item, _t0=t0):
-                self._on_rows(_item, rows, _t0)
+            def callback(rows, gate=None, _item=item, _t0=t0):
+                self._on_rows(_item, rows, _t0, gate=gate)
             self.coordinator.infer_async(frame, callback, self.camera_id)
         else:
             lanes = None
-            if getattr(self.program.spec, "transfer", None) == "delta":
+            if self._needs_lanes:
                 lanes = [self.program.lane_for_stream(self.camera_id)]
-            rows = self.program.detect_batch_rows(frame[None],
-                                                  lanes=lanes)[0]
-            self._on_rows(item, rows, t0)
+            rows, aux = self.program.detect_batch_gated(frame[None],
+                                                        lanes=lanes)
+            gate = ({k: v[0] for k, v in aux.items()}
+                    if aux is not None else None)
+            self._on_rows(item, rows[0], t0, gate=gate)
 
-    def _on_rows(self, item: Dict[str, Any], rows: np.ndarray, t0: float) -> None:
+    def _on_rows(self, item: Dict[str, Any], rows: np.ndarray, t0: float,
+                 gate: Optional[Dict[str, Any]] = None) -> None:
         try:
-            detections = rows_to_detections(rows)
+            # device empty-frame gate: same observable behavior as the host
+            # gate (reference inference_engine_yolox.py:589-593 returns no
+            # detections and skips Stage-2), evaluated from the fused
+            # program's changed-pixel count instead of a host cv2 pass
+            if gate is not None and self.empty_frame_filter is not None \
+                    and hasattr(self.empty_frame_filter, "decide"):
+                if not self.empty_frame_filter.decide(
+                        float(gate["motion_area"]),
+                        bool(gate["initialized"])):
+                    self.frames_skipped_empty += 1
+                    self._queue_result(item, [], 0.0, skipped_empty=True)
+                    return
+            if gate is not None:
+                detections = rows_to_detections(
+                    rows, motion_ratio=gate.get("motion_ratio"),
+                    motion_pixels=gate.get("motion_pixels"))
+            else:
+                detections = rows_to_detections(rows)
             detections = self._apply_camera_filters(detections)
             if self.two_stage_pipeline is not None and detections:
                 detections = self.two_stage_pipeline.process_detections(
                     item["frame"], detections)
             infer_ms = (time.perf_counter() - t0) * 1000.0
             self._last_detections = detections
-            self._queue_result(item, detections, infer_ms)
+            self._queue_result(
+                item, detections, infer_ms,
+                mean_luma=(float(gate["mean_luma"])
+                           if gate is not None and "mean_luma" in gate
+                           else None))
         except Exception:
             logger.exception("[%s] post-processing error", self.camera_id)
 
@@ -201,7 +238,8 @@ class InferenceEngine:
 
     def _queue_result(self, item: Dict[str, Any],
                       detections: List[Dict[str, Any]], infer_ms: float,
-                      reused: bool = False, skipped_empty: bool = False) -> None:
+                      reused: bool = False, skipped_empty: bool = False,
+                      mean_luma: Optional[float] = None) -> None:
         self.frames_processed += 1
         if infer_ms > 0:
             self._inference_time_ema = (0.9 * self._inference_time_ema +
@@ -224,6 +262,8 @@ class InferenceEngine:
             "detections_reused": reused,
             "skipped_empty_frame": skipped_empty,
         }
+        if mean_luma is not None:
+            result["mean_luma"] = mean_luma
         try:
             self.output_queue.put_nowait(result)
         except Full:

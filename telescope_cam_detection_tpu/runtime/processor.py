@@ -86,7 +86,8 @@ class DetectionProcessor:
         detections: List[Dict[str, Any]] = result.get("detections", [])
 
         if self.motion_filter is not None and frame is not None:
-            detections = self.motion_filter.filter_detections(frame, detections)
+            detections = self.motion_filter.filter_detections(
+                frame, detections, mean_luma=result.get("mean_luma"))
         if self.time_of_day_filter is not None:
             detections = self.time_of_day_filter.filter_detections(detections)
 

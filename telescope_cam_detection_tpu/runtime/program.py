@@ -87,6 +87,16 @@ class ProgramSpec:
     # elsewhere — gathers are ~24x slower on TPU at high res), "xla", or
     # "pallas" (ops/pallas_deform.py). Ignored for yolox.
     sampling_impl: str = "auto"
+    # Fused motion gates (SURVEY §7): "device" keeps per-lane empty-frame
+    # diff state AND the MOG2 color background model resident in HBM inside
+    # THIS program — one dispatch returns (rows, gate aux) and the host
+    # gates cost zero CPU ms and zero extra dispatches. The reference runs
+    # both as per-frame host cv2 calls (empty_frame_filter.py:51-98,
+    # motion_filter.py:56-127). "none" leaves gating to the host pipeline.
+    gates: str = "none"                   # "none" | "device"
+    gate_lanes: int = 8                   # per-stream state lanes (gates)
+    gate_blur_size: int = 21              # empty-gate Gaussian blur (static)
+    gate_motion_blur_size: int = 21       # MOG2 mask cleanup blur (static)
 
 
 @dataclasses.dataclass
@@ -188,6 +198,12 @@ class DetectorProgram:
                              "(valid: rgb, yuv420)")
         if spec.sampling_impl not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown sampling_impl {spec.sampling_impl!r}")
+        if spec.gates not in ("none", "device"):
+            raise ValueError(f"unknown gates mode {spec.gates!r} "
+                             "(valid: none, device)")
+        if spec.gates == "device" and mesh is not None:
+            raise ValueError("gates='device' is single-chip "
+                             "(stateful per-lane device gate state)")
         self.mesh = mesh
         self.spec = spec
         if spec.detector_type == "yolox":
@@ -217,8 +233,19 @@ class DetectorProgram:
         self.stats: Dict[str, Any] = {"compilations": 0, "batches": 0,
                                       "frames": 0, "last_infer_ms": 0.0,
                                       "delta_tiles_sent": 0}
+        # stream lanes: shared registry for delta transfer AND device gates
+        # (both key per-stream device state by the same lane index)
+        import threading
+        self._n_lanes = (spec.delta_lanes if spec.transfer == "delta"
+                         else spec.gate_lanes)
+        self._delta_lock = threading.RLock()   # guards lanes + device state
+        self._lane_registry: Dict[str, int] = {}
+        if spec.gates == "device":
+            # per-(frame resolution) gate state; resolutions share lanes
+            self._gate_states: Dict[Tuple[int, int], Any] = {}
+            self._gate_params = jnp.asarray(
+                [25.0, 16.0, 1.0 / 500.0, 0.5, 1.0], jnp.float32)
         if spec.transfer == "delta":
-            import threading
             if mesh is not None:
                 raise ValueError("transfer='delta' is single-chip "
                                  "(stateful device reference buffer)")
@@ -228,9 +255,7 @@ class DetectorProgram:
                 spec.delta_payload)
             self._delta_ref = None          # lazily placed on device
             self._delta_encoders: Dict[int, Any] = {}
-            self._delta_lock = threading.RLock()
             self._encode_pool_obj = None
-            self._lane_registry: Dict[str, int] = {}
 
     def reset_delta_state(self) -> None:
         """Drop all delta-transfer state (host mirrors + device reference):
@@ -242,21 +267,58 @@ class DetectorProgram:
             self._delta_ref = None
 
     def lane_for_stream(self, stream_id: str) -> int:
-        """Deterministic registration-order lane for a stream (delta mode).
-        Shared by the coordinator and standalone engines so every consumer of
-        this program agrees on lane ownership; wraps (with a warning) when
-        there are more streams than delta_lanes."""
+        """Deterministic registration-order lane for a stream (delta
+        transfer and/or device gates). Shared by the coordinator and
+        standalone engines so every consumer of this program agrees on lane
+        ownership; wraps (with a warning) when there are more streams than
+        lanes."""
         with self._delta_lock:
             lane = self._lane_registry.get(stream_id)
             if lane is None:
-                lane = len(self._lane_registry) % self.spec.delta_lanes
+                lane = len(self._lane_registry) % self._n_lanes
                 self._lane_registry[stream_id] = lane
-                if len(self._lane_registry) > self.spec.delta_lanes:
+                if len(self._lane_registry) > self._n_lanes:
                     logger.warning(
-                        "more streams (%d) than delta lanes (%d); lane %d is "
-                        "shared and will thrash its reference frame",
-                        len(self._lane_registry), self.spec.delta_lanes, lane)
+                        "more streams (%d) than state lanes (%d); lane %d is "
+                        "shared and will thrash its per-stream device state",
+                        len(self._lane_registry), self._n_lanes, lane)
             return lane
+
+    # -- device gate state ---------------------------------------------------
+    def _gate_state_for(self, frame_hw: Tuple[int, int]):
+        """Lazily-allocated per-resolution gate state ((L, h, w) lanes);
+        call under self._delta_lock."""
+        state = self._gate_states.get(frame_hw)
+        if state is None:
+            from telescope_cam_detection_tpu.ops.motion import init_gate_state
+            state = init_gate_state(frame_hw, self._n_lanes)
+            self._gate_states[frame_hw] = state
+            logger.info("allocated device gate state %s x %d lanes",
+                        frame_hw, self._n_lanes)
+        return state
+
+    def reset_gate_state(self) -> None:
+        """Drop all device gate state: every lane relearns its background
+        (used after camera swaps and by benches replaying traces)."""
+        with self._delta_lock:
+            self._gate_states.clear()
+
+    def update_gate_params(self, empty_threshold: Optional[float] = None,
+                           var_threshold: Optional[float] = None,
+                           learning_rate: Optional[float] = None,
+                           shadow_tau: Optional[float] = None,
+                           detect_shadows: Optional[bool] = None) -> None:
+        """Hot-reload gate thresholds — runtime arrays, never a recompile
+        (mirrors the reference's motion_filter.update_params:187-244 and
+        empty-filter settings)."""
+        vals = np.asarray(self._gate_params, np.float32).copy()
+        for idx, v in ((0, empty_threshold), (1, var_threshold),
+                       (2, learning_rate), (3, shadow_tau)):
+            if v is not None:
+                vals[idx] = float(v)
+        if detect_shadows is not None:
+            vals[4] = 1.0 if detect_shadows else 0.0
+        self._gate_params = jnp.asarray(vals)
 
     def _encode_pool(self):
         if self._encode_pool_obj is None:
@@ -287,19 +349,18 @@ class DetectorProgram:
                 self.spec.input_hw[0] * self.spec.input_hw[1])
 
     # -- program construction -------------------------------------------------
-    def _build(self, batch: int, capture_hw: Tuple[int, int]) -> Callable:
+    def _detect_core(self, capture_hw: Tuple[int, int]) -> Callable:
+        """The shared fused detect path: (variables, frames_bgr_u8, filter
+        arrays) -> (B, D, 7) rows in capture coords, filtered + compacted.
+        Closed over by every program variant (plain/delta x gated/ungated)."""
         spec = self.spec
         model = self.model
         sy = capture_hw[0] / spec.input_hw[0]
         sx = capture_hw[1] / spec.input_hw[1]
         back_scale = np.asarray([sx, sy, sx, sy], np.float32)
 
-        def program(variables, frames_u8, class_conf, min_area, max_area,
-                    class_allowed):
-            if spec.transfer == "yuv420":
-                from telescope_cam_detection_tpu.ops.preprocess import (
-                    yuv420_to_bgr)
-                frames_u8 = yuv420_to_bgr(frames_u8).astype(jnp.uint8)
+        def core(variables, frames_u8, class_conf, min_area, max_area,
+                 class_allowed):
             if spec.detector_type == "yolox":
                 x = preprocess_yolox(frames_u8, spec.input_hw)
                 outs = model.apply(variables, x, train=False)
@@ -332,6 +393,103 @@ class DetectorProgram:
                 rows = _compact_rows(rows, spec.readback_topk)
             return rows
 
+        return core
+
+    def _gate_aux(self, capture_hw: Tuple[int, int]) -> Callable:
+        """Fused-gate tail: run both motion gates against per-lane state and
+        score the final rows' boxes against the MOG2 mask, all in the same
+        XLA program. Outputs are scaled to CAPTURE-resolution pixel units so
+        host thresholds (min_motion_area, min_motion_pixels) apply
+        unchanged. The gate/mask resolution is the DISPATCHED frame
+        resolution (input_hw after host resize, or capture_hw in device
+        transfer), derived from the traced shape."""
+        spec = self.spec
+        from telescope_cam_detection_tpu.ops.motion import (
+            batch_bbox_motion_stats, gate_step)
+        ch, cw = capture_hw
+
+        def tail(gate_state, frames_bgr, lanes, gate_params, rows):
+            fh, fw = frames_bgr.shape[1:3]
+            to_mask = np.asarray([fw / cw, fh / ch, fw / cw, fh / ch],
+                                 np.float32)
+            px_scale = (ch * cw) / (fh * fw)
+            new_state, g = gate_step(
+                gate_state, frames_bgr, lanes, gate_params,
+                blur_size=spec.gate_blur_size,
+                motion_blur_size=spec.gate_motion_blur_size)
+            ratios, pixels = batch_bbox_motion_stats(
+                g["masks"], rows[..., :4] * to_mask)
+            # pack rows + gate aux into ONE (B, D*7 + 2D + 3) array: every
+            # device->host buffer pays a relay round trip, so the gated
+            # readback must stay a SINGLE transfer like the ungated one
+            # (6 separate buffers measured +600 ms/batch on this link)
+            b = rows.shape[0]
+            packed = jnp.concatenate([
+                rows.reshape(b, -1),
+                ratios,
+                pixels * px_scale,
+                (g["motion_area"] * px_scale)[:, None],
+                g["initialized"].astype(jnp.float32)[:, None],
+                g["mean_luma"][:, None],
+            ], axis=1)
+            return new_state, packed
+
+        return tail
+
+    _GATED_MARK = "gated-packed"
+
+    def _unpack_gated(self, packed: np.ndarray):
+        """(n, D*7 + 2D + 3) packed readback -> (rows, aux dict)."""
+        spec = self.spec
+        d = (spec.readback_topk
+             if spec.readback_topk and spec.readback_topk < spec.max_det
+             else spec.max_det)
+        n = packed.shape[0]
+        rows = packed[:, :d * 7].reshape(n, d, 7)
+        return rows, {
+            "motion_ratio": packed[:, d * 7:d * 8],
+            "motion_pixels": packed[:, d * 8:d * 9],
+            "motion_area": packed[:, d * 9],
+            "initialized": packed[:, d * 9 + 1] > 0.5,
+            "mean_luma": packed[:, d * 9 + 2],
+        }
+
+    def _build(self, batch: int, capture_hw: Tuple[int, int]) -> Callable:
+        spec = self.spec
+        core = self._detect_core(capture_hw)
+
+        def to_bgr(frames_u8):
+            if spec.transfer == "yuv420":
+                from telescope_cam_detection_tpu.ops.preprocess import (
+                    yuv420_to_bgr)
+                return yuv420_to_bgr(frames_u8).astype(jnp.uint8)
+            return frames_u8
+
+        def program(variables, frames_u8, class_conf, min_area, max_area,
+                    class_allowed):
+            return core(variables, to_bgr(frames_u8), class_conf, min_area,
+                        max_area, class_allowed)
+
+        if spec.gates == "device":
+            gate_tail = self._gate_aux(capture_hw)
+
+            def gated_program(variables, gate_state, frames_u8, lanes,
+                              gate_params, class_conf, min_area, max_area,
+                              class_allowed):
+                frames_bgr = to_bgr(frames_u8)
+                rows = core(variables, frames_bgr, class_conf, min_area,
+                            max_area, class_allowed)
+                new_state, packed = gate_tail(gate_state, frames_bgr, lanes,
+                                              gate_params, rows)
+                return new_state, packed
+
+            jitted = jax.jit(gated_program, donate_argnums=(1,))
+            self.stats["compilations"] += 1
+            logger.info("compiling gated detector program batch=%d "
+                        "capture=%s input=%s", batch, capture_hw,
+                        spec.input_hw)
+            return jitted
+
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from telescope_cam_detection_tpu.parallel.mesh import (
@@ -363,43 +521,43 @@ class DetectorProgram:
     def _build_delta(self, batch: int, capture_hw: Tuple[int, int],
                      k: int) -> Callable:
         """Delta-mode program: reconstruct frames from tile deltas against the
-        donated device reference buffer, then the standard fused detect."""
+        donated device reference buffer, then the standard fused detect (and,
+        with gates='device', the fused motion gates — the reconstructed
+        frames never leave the device)."""
         spec = self.spec
-        model = self.model
-        sy = capture_hw[0] / spec.input_hw[0]
-        sx = capture_hw[1] / spec.input_hw[1]
-        back_scale = np.asarray([sx, sy, sx, sy], np.float32)
+        core = self._detect_core(capture_hw)
         from telescope_cam_detection_tpu.ops.delta import apply_tile_deltas
+
+        def reconstruct(ref, lanes, tile_idx, tiles):
+            return apply_tile_deltas(
+                ref, lanes, tile_idx, tiles, spec.input_hw,
+                payload=spec.delta_payload, tile=spec.delta_tile)
+
+        if spec.gates == "device":
+            gate_tail = self._gate_aux(capture_hw)
+
+            def gated_program(variables, ref, gate_state, lanes, tile_idx,
+                              tiles, gate_params, class_conf, min_area,
+                              max_area, class_allowed):
+                new_ref, frames_u8 = reconstruct(ref, lanes, tile_idx, tiles)
+                rows = core(variables, frames_u8, class_conf, min_area,
+                            max_area, class_allowed)
+                new_state, packed = gate_tail(gate_state, frames_u8, lanes,
+                                              gate_params, rows)
+                return new_ref, new_state, packed
+
+            jitted = jax.jit(gated_program, donate_argnums=(1, 2))
+            self.stats["compilations"] += 1
+            logger.info("compiling gated delta detector program batch=%d "
+                        "capture=%s input=%s K=%d", batch, capture_hw,
+                        spec.input_hw, k)
+            return jitted
 
         def program(variables, ref, lanes, tile_idx, tiles, class_conf,
                     min_area, max_area, class_allowed):
-            new_ref, frames_u8 = apply_tile_deltas(
-                ref, lanes, tile_idx, tiles, spec.input_hw,
-                payload=spec.delta_payload, tile=spec.delta_tile)
-            if spec.detector_type == "yolox":
-                x = preprocess_yolox(frames_u8, spec.input_hw)
-                outs = model.apply(variables, x, train=False)
-                boxes, obj, cls_probs = yolox_lib.decode_outputs(outs)
-                rows = batched_nms(
-                    boxes, obj, cls_probs, conf_threshold=0.0,
-                    iou_threshold=spec.nms_threshold, max_det=spec.max_det,
-                    pre_nms_topk=spec.pre_nms_topk)
-            else:
-                x = preprocess_rtdetr(frames_u8, spec.input_hw)
-                rows = model.apply(variables, x, train=False,
-                                   method=model.predict)
-                rows = rows[:, :spec.max_det]
-                if rows.shape[1] < spec.max_det:
-                    pad = jnp.full((rows.shape[0],
-                                    spec.max_det - rows.shape[1], 7), -1.0,
-                                   rows.dtype)
-                    rows = jnp.concatenate([rows, pad], axis=1)
-            rows = rows.at[..., :4].multiply(back_scale)
-            rows = _filter_rows(rows, {
-                "class_conf": class_conf, "min_area": min_area,
-                "max_area": max_area, "class_allowed": class_allowed})
-            if spec.readback_topk and spec.readback_topk < spec.max_det:
-                rows = _compact_rows(rows, spec.readback_topk)
+            new_ref, frames_u8 = reconstruct(ref, lanes, tile_idx, tiles)
+            rows = core(variables, frames_u8, class_conf, min_area,
+                        max_area, class_allowed)
             return new_ref, rows
 
         jitted = jax.jit(program, donate_argnums=(1,))
@@ -475,19 +633,33 @@ class DetectorProgram:
                 self._delta_ref = jnp.zeros(self._delta_ref_shape, jnp.uint8)
             fn = self._get_delta_program(len(frames), capture_hw, k)
             f = self._filter_arrays
+            gated = spec.gates == "device"
             try:
-                new_ref, rows = fn(self.variables, self._delta_ref,
-                                   jnp.asarray(lanes_a), jnp.asarray(idx_a),
-                                   jnp.asarray(tiles_a), f["class_conf"],
-                                   f["min_area"], f["max_area"],
-                                   f["class_allowed"])
+                if gated:
+                    gs = self._gate_state_for(spec.input_hw)
+                    new_ref, new_gs, packed = fn(
+                        self.variables, self._delta_ref, gs,
+                        jnp.asarray(lanes_a), jnp.asarray(idx_a),
+                        jnp.asarray(tiles_a), self._gate_params,
+                        f["class_conf"], f["min_area"], f["max_area"],
+                        f["class_allowed"])
+                    self._gate_states[spec.input_hw] = new_gs
+                else:
+                    new_ref, rows = fn(self.variables, self._delta_ref,
+                                       jnp.asarray(lanes_a),
+                                       jnp.asarray(idx_a),
+                                       jnp.asarray(tiles_a), f["class_conf"],
+                                       f["min_area"], f["max_area"],
+                                       f["class_allowed"])
             except Exception:
                 self.reset_delta()
+                if gated:
+                    self.reset_gate_state()
                 raise
             self._delta_ref = new_ref
             self.stats["delta_tiles_sent"] += int(
                 sum(len(i) for i, _ in encoded))
-        return rows
+        return (self._GATED_MARK, packed) if gated else rows
 
     # -- inference ------------------------------------------------------------
     def dispatch_batch(self, frames: np.ndarray,
@@ -541,10 +713,34 @@ class DetectorProgram:
             self.stats["batches"] += 1
             self.stats["frames"] += batch
             return rows
+        gated = self.spec.gates == "device"
+        frame_hw = (frames.shape[1], frames.shape[2])
         if self.spec.transfer == "yuv420":
             frames = self._pack_yuv420(frames)
         fn = self._get_program(batch, capture_hw)
         f = self._filter_arrays
+        if gated:
+            lane_list = list(lanes) if lanes is not None else [0] * batch
+            if len(lane_list) != batch:
+                raise ValueError("lanes length != batch")
+            if any(l < 0 or l >= self._n_lanes for l in lane_list):
+                raise ValueError(
+                    f"lane out of range (gate_lanes={self._n_lanes})")
+            with self._delta_lock:   # serialize gate-state read/modify/write
+                gs = self._gate_state_for(frame_hw)
+                try:
+                    new_gs, packed = fn(
+                        self.variables, gs, jnp.asarray(frames),
+                        jnp.asarray(lane_list, jnp.int32),
+                        self._gate_params, f["class_conf"], f["min_area"],
+                        f["max_area"], f["class_allowed"])
+                except Exception:
+                    self.reset_gate_state()  # donated state may be invalid
+                    raise
+                self._gate_states[frame_hw] = new_gs
+            self.stats["batches"] += 1
+            self.stats["frames"] += batch
+            return (self._GATED_MARK, packed)
         rows = fn(self.variables, jnp.asarray(frames), f["class_conf"],
                   f["min_area"], f["max_area"], f["class_allowed"])
         self.stats["batches"] += 1
@@ -565,15 +761,36 @@ class DetectorProgram:
             packed.append(out)
         return np.stack(packed)
 
+    def materialize(self, handle, n: int):
+        """Force a dispatch_batch handle to host memory (ONE device->host
+        transfer either way).
+
+        Returns (rows (n, D, 7) numpy, aux dict-of-(n, ...) numpy or None).
+        aux is present only for gates='device' programs: motion_area /
+        initialized (empty-frame gate, capture-px units), motion_ratio /
+        motion_pixels per row (MOG2 gate), mean_luma."""
+        if isinstance(handle, tuple) and handle[0] == self._GATED_MARK:
+            return self._unpack_gated(np.asarray(handle[1])[:n])
+        return np.asarray(handle)[:n], None
+
     def detect_batch_rows(self, frames: np.ndarray,
                           lanes: Optional[Sequence[int]] = None) -> np.ndarray:
         """(B, H, W, 3) uint8 BGR -> (B, max_det, 7) numpy rows in capture
-        coords; invalid rows are all -1."""
+        coords; invalid rows are all -1. (Gate aux, if any, is dropped —
+        use detect_batch_gated to consume it.)"""
+        return self.detect_batch_gated(frames, lanes=lanes)[0]
+
+    def detect_batch_gated(
+        self, frames: np.ndarray,
+        lanes: Optional[Sequence[int]] = None,
+    ) -> Tuple[np.ndarray, Optional[Dict[str, np.ndarray]]]:
+        """Blocking dispatch returning (rows, gate aux or None)."""
         t0 = time.perf_counter()
         n = frames.shape[0]
-        rows = np.asarray(self.dispatch_batch(frames, lanes=lanes))[:n]
+        rows, aux = self.materialize(
+            self.dispatch_batch(frames, lanes=lanes), n)
         self.stats["last_infer_ms"] = (time.perf_counter() - t0) * 1000.0
-        return rows
+        return rows, aux
 
     def detect_batch(self, frames: np.ndarray,
                      lanes: Optional[Sequence[int]] = None,
@@ -609,17 +826,25 @@ def _pack_yuv420_numpy(frame: np.ndarray) -> np.ndarray:
     return out
 
 
-def rows_to_detections(rows: np.ndarray) -> List[Dict[str, Any]]:
+def rows_to_detections(
+    rows: np.ndarray,
+    motion_ratio: Optional[np.ndarray] = None,
+    motion_pixels: Optional[np.ndarray] = None,
+) -> List[Dict[str, Any]]:
     """(max_det, 7) device rows -> list of reference-format detection dicts:
-    {class_id, class_name, confidence, bbox{x1,y1,x2,y2,width,height,area}}."""
+    {class_id, class_name, confidence, bbox{x1,y1,x2,y2,width,height,area}}.
+
+    motion_ratio/motion_pixels: optional per-row arrays from a
+    gates='device' program; attached to each detection so the host
+    MotionFilter can threshold without recomputing masks."""
     dets: List[Dict[str, Any]] = []
-    for row in rows:
+    for i, row in enumerate(rows):
         if row[5] < 0:  # invalid marker
             continue
         x1, y1, x2, y2, obj_c, cls_c, cid = (float(v) for v in row)
         class_id = int(cid)
         w, h = x2 - x1, y2 - y1
-        dets.append({
+        det = {
             "class_id": class_id,
             "class_name": class_name(class_id),
             "confidence": obj_c * cls_c,
@@ -627,5 +852,10 @@ def rows_to_detections(rows: np.ndarray) -> List[Dict[str, Any]]:
             "class_confidence": cls_c,
             "bbox": {"x1": x1, "y1": y1, "x2": x2, "y2": y2,
                      "width": w, "height": h, "area": w * h},
-        })
+        }
+        if motion_ratio is not None:
+            det["motion_ratio"] = float(motion_ratio[i])
+        if motion_pixels is not None:
+            det["motion_pixels"] = float(motion_pixels[i])
+        dets.append(det)
     return dets

@@ -66,7 +66,14 @@ RESTART_REQUIRED_KEYS = (
     "detection.delta_refresh_tiles", "detection.delta_payload",
     "detection.readback_topk", "detection.precision",
     "detection.mesh_devices", "detection.nms_threshold",
-    "detection.batching",
+    "detection.batching", "detection.gates",
+)
+
+# compiled into the fused program ONLY when gates='device' (hot-reloadable
+# host-side otherwise)
+GATED_RESTART_KEYS = (
+    "performance.empty_frame_filter.blur_size",
+    "motion_filter.motion_blur_size",
 )
 
 
@@ -147,6 +154,11 @@ class TelescopeDetectionSystem:
         det_type = detection.get("detector_type", "yolox")
         model_cfg = detection.get(det_type) or detection.get("model") or {}
         input_size = detection.get("input_size", [640, 640])
+        eff_cfg = perf.get("empty_frame_filter", {}) or {}
+        mf_cfg_global = cfg.get("motion_filter", {}) or {}
+        gates_mode = detection.get("gates", "none")
+        n_lanes = len([c for c in cfg.get("cameras", [])
+                       if c.get("enabled", True)]) + 1
         spec = ProgramSpec(
             detector_type=det_type,
             variant=model_cfg.get("model_name",
@@ -162,10 +174,14 @@ class TelescopeDetectionSystem:
             delta_threshold=detection.get("delta_threshold", 14),
             delta_refresh_tiles=detection.get("delta_refresh_tiles", 16),
             delta_payload=detection.get("delta_payload", "rgb"),
-            # one device reference-frame lane per camera + one for the
-            # coordinator's batch-padding frames
-            delta_lanes=len([c for c in cfg.get("cameras", [])
-                             if c.get("enabled", True)]) + 1,
+            # one device state lane per camera + one for the coordinator's
+            # batch-padding frames (shared by delta transfer + device gates)
+            delta_lanes=n_lanes,
+            # fused motion gates (SURVEY §7): state in HBM inside the program
+            gates=gates_mode,
+            gate_lanes=n_lanes,
+            gate_blur_size=eff_cfg.get("blur_size", 21),
+            gate_motion_blur_size=mf_cfg_global.get("motion_blur_size", 21),
         )
         import jax.numpy as jnp
         precision = detection.get("precision", "fp32")
@@ -181,6 +197,8 @@ class TelescopeDetectionSystem:
                                        mesh=mesh)
         self.program.update_filters(
             self._compute_filter_floor(detection, cfg.get("cameras") or []))
+        if gates_mode == "device":
+            self._apply_gate_params(eff_cfg, mf_cfg_global)
         weights = model_cfg.get("weights")
         if self.load_weights and weights:
             from telescope_cam_detection_tpu.models.convert import (
@@ -310,6 +328,16 @@ class TelescopeDetectionSystem:
             queue_health=(perf.get("queue_health") or {}),
             trace_dir=web.get("trace_dir", "/tmp/tcd_traces"))
 
+    def _apply_gate_params(self, eff_cfg: Dict[str, Any],
+                           mf_cfg: Dict[str, Any]) -> None:
+        """Push hot-reloadable gate thresholds into the fused program
+        (runtime arrays, never a recompile)."""
+        self.program.update_gate_params(
+            empty_threshold=eff_cfg.get("threshold", 25),
+            var_threshold=mf_cfg.get("var_threshold", 16),
+            learning_rate=1.0 / max(int(mf_cfg.get("history", 500)), 1),
+            detect_shadows=mf_cfg.get("detect_shadows", True))
+
     @staticmethod
     def _compute_filter_floor(detection: Dict[str, Any],
                               cameras: List[Dict[str, Any]]) -> FilterSettings:
@@ -383,13 +411,23 @@ class TelescopeDetectionSystem:
 
         merged = merge_camera_detection_config(detection, cam)
 
+        device_gates = (getattr(self.program, "spec", None) is not None
+                        and self.program.spec.gates == "device")
         eff = perf.get("empty_frame_filter", {}) or {}
         empty_filter = None
         if eff.get("enabled"):
-            empty_filter = EmptyFrameFilter(
-                min_motion_area=eff.get("min_motion_area", 200),
-                blur_size=eff.get("blur_size", 21),
-                threshold=eff.get("threshold", 25))
+            if device_gates:
+                # fused gate: the program returns the changed-pixel count;
+                # this object only applies the (hot-reloadable) threshold
+                from telescope_cam_detection_tpu.pipeline.filters import (
+                    DeviceEmptyFrameGate)
+                empty_filter = DeviceEmptyFrameGate(
+                    min_motion_area=eff.get("min_motion_area", 200))
+            else:
+                empty_filter = EmptyFrameFilter(
+                    min_motion_area=eff.get("min_motion_area", 200),
+                    blur_size=eff.get("blur_size", 21),
+                    threshold=eff.get("threshold", 25))
 
         sparse = perf.get("sparse_detection", {}) or {}
         sparse_interval = (sparse.get("keyframe_interval", 1)
@@ -440,7 +478,11 @@ class TelescopeDetectionSystem:
                 min_motion_area=mf_cfg.get("min_motion_area", 100),
                 motion_blur_size=mf_cfg.get("motion_blur_size", 21),
                 min_motion_ratio=mf_cfg.get("min_motion_ratio", 0.05),
-                min_motion_pixels=mf_cfg.get("min_motion_pixels", 10))
+                min_motion_pixels=mf_cfg.get("min_motion_pixels", 10),
+                # gates='device': the fused program already scored each
+                # detection against its HBM background model — the filter
+                # only thresholds (backend "program")
+                backend="program" if device_gates else "auto")
             self.motion_filters[cam_id] = motion_filter
 
         tf_cfg = cfg.get("time_of_day_filter", {}) or {}
@@ -679,6 +721,20 @@ class TelescopeDetectionSystem:
             for cam_id, mf in self.motion_filters.items():
                 updated = mf.update_params(new_cfg.get("motion_filter", {}) or {})
                 result["reloaded"] += [f"{cam_id}.motion.{u}" for u in updated]
+            # device gates: push threshold changes into the fused program's
+            # runtime param array + the per-engine area-threshold consumers
+            if (self.program is not None
+                    and self.program.spec.gates == "device"):
+                new_eff = ((new_cfg.get("performance", {}) or {})
+                           .get("empty_frame_filter", {}) or {})
+                self._apply_gate_params(
+                    new_eff, new_cfg.get("motion_filter", {}) or {})
+                for cam_id, engine in self.engines.items():
+                    gate = engine.empty_frame_filter
+                    if gate is not None and hasattr(gate, "decide"):
+                        updated = gate.update_params(new_eff)
+                        result["reloaded"] += [f"{cam_id}.empty_gate.{u}"
+                                               for u in updated]
             for cam_id, tf in self.time_filters.items():
                 updated = tf.update_params(
                     new_cfg.get("time_of_day_filter", {}) or {})
@@ -692,7 +748,11 @@ class TelescopeDetectionSystem:
                 return [{k: v for k, v in (c or {}).items()
                          if k != "detection_overrides"} for c in (cams or [])]
 
-            for dotted in RESTART_REQUIRED_KEYS:
+            restart_keys = list(RESTART_REQUIRED_KEYS)
+            if (self.program is not None
+                    and self.program.spec.gates == "device"):
+                restart_keys += GATED_RESTART_KEYS
+            for dotted in restart_keys:
                 node_old, node_new = old_cfg, new_cfg
                 for key in dotted.split("."):
                     node_old = (node_old or {}).get(key) if isinstance(
