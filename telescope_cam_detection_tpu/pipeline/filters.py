@@ -412,11 +412,13 @@ class AdaptiveMotionFilter(MotionFilter):
         self.night_luma_threshold = night_luma_threshold
 
     def filter_detections(self, frame, detections, mean_luma=None):
-        if mean_luma is None:  # program-computed luma avoids a host reduce
+        if mean_luma is None and frame is not None:
+            # program-computed luma avoids this host reduce
             mean_luma = float(frame.mean())
-        self.min_motion_ratio = (
-            self.night_min_motion_ratio
-            if mean_luma < self.night_luma_threshold
-            else self.day_min_motion_ratio)
+        if mean_luma is not None:
+            self.min_motion_ratio = (
+                self.night_min_motion_ratio
+                if mean_luma < self.night_luma_threshold
+                else self.day_min_motion_ratio)
         return super().filter_detections(frame, detections,
                                          mean_luma=mean_luma)

@@ -388,16 +388,26 @@ class SyntheticStreamCapture(BaseStreamCapture):
 
     def __init__(self, frame_queue: Queue, width: int = 640, height: int = 640,
                  fps: float = 30.0, seed: int = 0, n_frames: Optional[int] = None,
-                 **kwargs):
+                 prerender: int = 0, **kwargs):
+        """prerender > 0: render that many frames ONCE at connect and serve
+        them cyclically with zero per-frame cost. A real camera's decode
+        runs in OpenCV/FFmpeg C++ threads; on a 1-core bench host the
+        numpy synthesis (~8 ms/frame at 1440p) otherwise dominates the
+        serving path being measured."""
         kwargs.setdefault("target_width", None)
         kwargs.setdefault("target_height", None)
         super().__init__(frame_queue, **kwargs)
         self._source = SyntheticFrameSource(width=width, height=height, seed=seed)
         self.fps = fps
         self.n_frames = n_frames
+        self.prerender = int(prerender)
+        self._cycle: Optional[list] = None
         self._idx = 0
 
     def _connect(self) -> bool:
+        if self.prerender > 0 and self._cycle is None:
+            self._cycle = [self._source.frame_at(i)
+                           for i in range(self.prerender)]
         self.connected = True
         return True
 
@@ -407,7 +417,10 @@ class SyntheticStreamCapture(BaseStreamCapture):
             return None
         if self.fps > 0:
             time.sleep(1.0 / self.fps)
-        frame = self._source.frame_at(self._idx)
+        if self._cycle is not None:
+            frame = self._cycle[self._idx % len(self._cycle)]
+        else:
+            frame = self._source.frame_at(self._idx)
         self._idx += 1
         return frame
 
@@ -433,6 +446,7 @@ def create_stream_capture(camera: Dict[str, Any], frame_queue: Queue,
             height=camera.get("target_height", 640),
             fps=camera.get("fps", 30.0),
             seed=camera.get("seed", 0),
+            prerender=camera.get("prerender", 0),
             camera_id=common["camera_id"], camera_name=common["camera_name"])
     if protocol == "file":
         return FileStreamCapture(camera["path"], frame_queue,

@@ -273,9 +273,32 @@ class SharedInferenceCoordinator:
     def _run_group(self, reqs: List[PendingInference], hw: Tuple[int, int],
                    padded_n: int) -> None:
         n = len(reqs)
-        frames = np.zeros((padded_n, *hw, 3), np.uint8)
-        for i, req in enumerate(reqs):
-            frames[i] = req.frame
+        capture_hw = None
+        resize = None
+        try:
+            # resize during batch assembly when the program would host-resize
+            # anyway: stacking 1440p frames first costs a ~11 MB memcpy per
+            # frame that is immediately thrown away (1-core host budget)
+            import cv2
+            spec = getattr(self.program, "spec", None)
+            if (spec is not None and hw != spec.input_hw
+                    and getattr(self.program, "_host_resize_active",
+                                lambda _hw: False)(hw)):
+                capture_hw = hw
+                ih, iw = spec.input_hw
+                resize = lambda f: cv2.resize(  # noqa: E731
+                    f, (iw, ih), interpolation=cv2.INTER_LINEAR)
+        except ImportError:
+            pass
+        if resize is not None:
+            ih, iw = self.program.spec.input_hw
+            frames = np.zeros((padded_n, ih, iw, 3), np.uint8)
+            for i, req in enumerate(reqs):
+                frames[i] = resize(req.frame)
+        else:
+            frames = np.zeros((padded_n, *hw, 3), np.uint8)
+            for i, req in enumerate(reqs):
+                frames[i] = req.frame
         lanes = None
         if self._lanes_needed:
             pad_lane = self.program.lane_for_stream("__pad__")
@@ -287,11 +310,8 @@ class SharedInferenceCoordinator:
                     or not hasattr(self.program, "dispatch_batch")):
                 # serial mode: dispatch + blocking readback in one call
                 if hasattr(self.program, "detect_batch_gated"):
-                    if lanes is None:
-                        rows, aux = self.program.detect_batch_gated(frames)
-                    else:
-                        rows, aux = self.program.detect_batch_gated(
-                            frames, lanes=lanes)
+                    rows, aux = self.program.detect_batch_gated(
+                        frames, lanes=lanes, capture_hw=capture_hw)
                 elif lanes is None:  # duck-typed (lane-less) programs
                     rows, aux = self.program.detect_batch_rows(frames), None
                 else:
@@ -302,10 +322,11 @@ class SharedInferenceCoordinator:
             # pipelined mode: async dispatch here; the drainer thread forces
             # readbacks in dispatch order while this thread encodes and
             # dispatches the NEXT batch. Bounded queue = backpressure.
-            if lanes is None:
+            if lanes is None and capture_hw is None:
                 handle = self.program.dispatch_batch(frames)
             else:
-                handle = self.program.dispatch_batch(frames, lanes=lanes)
+                handle = self.program.dispatch_batch(frames, lanes=lanes,
+                                                     capture_hw=capture_hw)
         except Exception:
             logger.exception("batch dispatch failed (%d reqs)", n)
             self._fail_group(reqs)

@@ -81,11 +81,25 @@ class DetectionProcessor:
                 logger.exception("[%s] processing error", self.camera_id)
                 time.sleep(C.ERROR_SLEEP_SECONDS)
 
+    def _needs_frame(self) -> bool:
+        """Grab-and-copy of the camera's latest frame costs ~1.2 ms at
+        1440p — skip it when nothing downstream consumes pixels (program-
+        backed motion filter thresholds device-computed stats; snapshots
+        may be disabled)."""
+        if self.snapshot_saver is not None:
+            return True
+        mf = self.motion_filter
+        return (mf is not None and getattr(mf, "enabled", True)
+                and getattr(mf, "backend", None) != "program")
+
     def _process(self, result: Dict[str, Any]) -> None:
-        frame = self.get_latest_frame() if self.get_latest_frame else None
+        frame = (self.get_latest_frame()
+                 if self.get_latest_frame and self._needs_frame() else None)
         detections: List[Dict[str, Any]] = result.get("detections", [])
 
-        if self.motion_filter is not None and frame is not None:
+        if self.motion_filter is not None and (
+                frame is not None
+                or getattr(self.motion_filter, "backend", None) == "program"):
             detections = self.motion_filter.filter_detections(
                 frame, detections, mean_luma=result.get("mean_luma"))
         if self.time_of_day_filter is not None:

@@ -783,12 +783,14 @@ class DetectorProgram:
     def detect_batch_gated(
         self, frames: np.ndarray,
         lanes: Optional[Sequence[int]] = None,
+        capture_hw: Optional[Tuple[int, int]] = None,
     ) -> Tuple[np.ndarray, Optional[Dict[str, np.ndarray]]]:
         """Blocking dispatch returning (rows, gate aux or None)."""
         t0 = time.perf_counter()
         n = frames.shape[0]
         rows, aux = self.materialize(
-            self.dispatch_batch(frames, lanes=lanes), n)
+            self.dispatch_batch(frames, lanes=lanes, capture_hw=capture_hw),
+            n)
         self.stats["last_infer_ms"] = (time.perf_counter() - t0) * 1000.0
         return rows, aux
 

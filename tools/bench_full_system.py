@@ -1,0 +1,168 @@
+"""BASELINE config 5: full system, 8 concurrent synthetic 1440p streams.
+
+Boots the REAL TelescopeDetectionSystem (capture threads -> coordinator ->
+engines -> processors -> web server with a live WS client), lets it reach
+steady state, then measures aggregate inferred fps over a sampling window.
+Prints one JSON line.
+
+Env knobs:
+  FS_CAMERAS=8       stream count
+  FS_SECONDS=30      measurement window after warmup
+  FS_WARMUP=45       warmup seconds (compiles + cache fill)
+  FS_GATES=device    detection.gates (device|none)
+  FS_PROFILE=1       cProfile the serving process during the window
+"""
+import cProfile
+import io
+import json
+import os
+import pstats
+import socket
+import sys
+import tempfile
+import textwrap
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def main():
+    n_cams = int(os.environ.get("FS_CAMERAS", "8"))
+    cam_fps = int(os.environ.get("FS_CAM_FPS", "40"))
+    seconds = float(os.environ.get("FS_SECONDS", "30"))
+    warmup = float(os.environ.get("FS_WARMUP", "45"))
+    gates = os.environ.get("FS_GATES", "device")
+    batch = int(os.environ.get("FS_BATCH", "16"))
+    depth = int(os.environ.get("FS_DEPTH", "2"))
+    port = _free_port()
+
+    cams = "\n".join(
+        f"  - {{id: cam{i}, name: Synth {i}, protocol: synthetic, "
+        f"target_width: 2560, target_height: 1440, fps: {cam_fps}, "
+        f"prerender: 24, enabled: true}}"
+        for i in range(n_cams))
+    cfg = "cameras:\n" + cams + "\n" + textwrap.dedent(f"""\
+        detection:
+          detector_type: yolox
+          yolox: {{model_name: yolox-s}}
+          input_size: [640, 640]
+          conf_threshold: 0.25
+          transfer: delta
+          readback_topk: 64
+          gates: {gates}
+          batching:
+            enabled: true
+            max_batch_size: {batch}
+            max_batch_wait_ms: 12
+            pipeline_depth: {depth}
+        performance:
+          frame_queue_size: 2
+          detection_queue_size: 10
+          empty_frame_filter:
+            enabled: true
+            min_motion_area: 200
+        motion_filter:
+          enabled: true
+        time_of_day_filter:
+          enabled: true
+        snapshots: {{enabled: false}}
+        camera_health: {{enabled: true}}
+        web: {{host: 127.0.0.1, port: {port}}}
+    """)
+    with tempfile.NamedTemporaryFile("w", suffix=".yaml", delete=False) as f:
+        f.write(cfg)
+        cfg_path = f.name
+
+    from telescope_cam_detection_tpu.system import TelescopeDetectionSystem
+    sys_obj = TelescopeDetectionSystem(cfg_path, load_weights=False)
+    sys_obj.load_config()
+    sys_obj.validate_config()
+    sys_obj.initialize_components()
+    sys_obj.start(block=False)
+
+    # live WS client draining detections (part of the serving load)
+    ws_messages = [0]
+
+    def ws_client():
+        import urllib.request
+        time.sleep(5)
+        try:
+            from examples.ws_client import connect_ws  # if provided
+        except Exception:
+            connect_ws = None
+        # minimal raw WS client: handshake + read frames, count messages
+        import base64
+        import hashlib
+        try:
+            s = socket.create_connection(("127.0.0.1", port), timeout=10)
+            key = base64.b64encode(os.urandom(16)).decode()
+            s.sendall((f"GET /ws/detections HTTP/1.1\r\nHost: x\r\n"
+                       f"Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                       f"Sec-WebSocket-Key: {key}\r\n"
+                       f"Sec-WebSocket-Version: 13\r\n\r\n").encode())
+            s.settimeout(5)
+            buf = b""
+            while b"\r\n\r\n" not in buf:
+                buf += s.recv(4096)
+            while True:
+                try:
+                    data = s.recv(65536)
+                except socket.timeout:
+                    continue
+                if not data:
+                    return
+                ws_messages[0] += data.count(b"\x81")
+        except Exception:
+            pass
+
+    threading.Thread(target=ws_client, daemon=True).start()
+
+    def engine_frames():
+        return sum(e.frames_processed for e in sys_obj.engines.values())
+
+    time.sleep(warmup)
+    prof = cProfile.Profile() if os.environ.get("FS_PROFILE") else None
+    if prof:
+        prof.enable()
+    f0, t0 = engine_frames(), time.time()
+    d0 = sum(p.results_processed for p in sys_obj.processors.values())
+    time.sleep(seconds)
+    f1, t1 = engine_frames(), time.time()
+    d1 = sum(p.results_processed for p in sys_obj.processors.values())
+    if prof:
+        prof.disable()
+        out = io.StringIO()
+        pstats.Stats(prof, stream=out).sort_stats("cumulative").print_stats(40)
+        sys.stderr.write(out.getvalue())
+
+    coord = sys_obj.coordinator.get_stats() if sys_obj.coordinator else {}
+    caps = sum(c.get_stats().get("frames_captured", 0)
+               for c in sys_obj.captures.values())
+    result = {
+        "config": 5, "name": f"full_system_{n_cams}cam_1440p",
+        "cam_fps": cam_fps,
+        "gates": gates, "max_batch": batch,
+        "fps_inferred": round((f1 - f0) / (t1 - t0), 1),
+        "fps_processed": round((d1 - d0) / (t1 - t0), 1),
+        "per_camera_fps": round((f1 - f0) / (t1 - t0) / n_cams, 2),
+        "coordinator_avg_batch": round(coord.get("avg_batch_size", 0), 2),
+        "coordinator_dropped": coord.get("total_dropped", 0),
+        "coordinator_avg_infer_ms": round(coord.get("avg_infer_ms", 0), 1),
+        "ws_messages": ws_messages[0],
+        "window_s": round(t1 - t0, 1),
+    }
+    sys_obj.stop()
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()
