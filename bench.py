@@ -42,6 +42,24 @@ def build_program(batch, transfer, n_cams):
                        readback_topk=int(os.environ.get("BENCH_READBACK",
                                                         "64")) or None)
     program = DetectorProgram(spec, seed=0)
+    weights = os.environ.get("BENCH_WEIGHTS")
+    if weights:
+        from telescope_cam_detection_tpu.models.convert import load_variables
+        loaded = load_variables(weights,
+                                reference_variables=program.variables)
+        if loaded is None:
+            raise RuntimeError(f"BENCH_WEIGHTS failed to load: {weights}")
+        program.variables = loaded
+        print(f"bench: loaded weights from {weights}", file=sys.stderr)
+    else:
+        # zero-egress: no real checkpoint reachable. Sharpen the random init
+        # so NMS/top-k/readback-compaction see trained-like score spreads
+        # (sparse confident positives) instead of a sea of ~0.25 scores
+        from telescope_cam_detection_tpu.models.convert import (
+            sharpen_random_variables)
+        program.variables = sharpen_random_variables(program.variables)
+        print("bench: sharpened random-init weights (no checkpoint; "
+              "realistic score distribution)", file=sys.stderr)
     program.update_filters(FilterSettings(conf_threshold=0.25,
                                           wildlife_only=True))
     return program
@@ -115,13 +133,16 @@ def main() -> None:
     inflight: "queue_mod.Queue" = queue_mod.Queue(maxsize=pipeline_depth)
     done = threading.Event()
 
+    valid_rows = [0]
+
     def drainer():
         while True:
             item = inflight.get()
             if item is None:
                 break
-            t0, rows = item
-            np.asarray(rows)  # force readback
+            t0, handle = item
+            rows, _aux = program.materialize(handle, batch)
+            valid_rows[0] += int((rows[..., 5] >= 0).sum())
             latencies.append((time.perf_counter() - t0) * 1000.0)
         done.set()
 
@@ -159,6 +180,11 @@ def main() -> None:
         "capture_hw": list(capture_hw),
         "input_hw": [640, 640],
         "capture_resize_ms": round(resize_ms, 2),
+        "weights": ("file" if os.environ.get("BENCH_WEIGHTS")
+                    else "sharpened-random"),
+        # mean surviving (valid) rows per frame after on-device NMS+filter —
+        # evidence the selection/compaction paths saw non-degenerate scores
+        "valid_rows_per_frame": round(valid_rows[0] / (batch * iters), 2),
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
     }

@@ -43,27 +43,11 @@ from tools.torch_yolox import TorchYOLOX, forward_numpy  # noqa: E402
 
 
 def _sharpen(variables, seed=0):
-    """Make random-init outputs look trained: spread pred logits so sigmoids
-    saturate (sparse confident positives instead of a sea of ~0.25)."""
-    import flax
-    rng = np.random.default_rng(seed)
-    flat = flax.traverse_util.flatten_dict(variables["params"])
-    for path, leaf in flat.items():
-        name = "/".join(path)
-        if "obj_pred" in name and path[-1] == "bias":
-            flat[path] = jnp.full_like(leaf, -1.0)
-        elif ("obj_pred" in name or "cls_pred" in name) and \
-                path[-1] == "kernel":
-            fan_in = int(np.prod(leaf.shape[:-1]))
-            flat[path] = jnp.asarray(
-                rng.normal(0.0, 60.0 / np.sqrt(fan_in),
-                           leaf.shape).astype(np.float32))
-        elif "reg_pred" in name and path[-1] == "kernel":
-            flat[path] = jnp.asarray(
-                rng.normal(0.0, 0.2, leaf.shape).astype(np.float32))
-    out = dict(variables)
-    out["params"] = flax.traverse_util.unflatten_dict(flat)
-    return out
+    """Shared bench/test weight sharpening (models/convert.py) — spreads
+    pred-head logits so random init yields trained-like score spreads."""
+    from telescope_cam_detection_tpu.models.convert import (
+        sharpen_random_variables)
+    return sharpen_random_variables(variables, seed)
 
 
 def _frames(n, hw, seed=0):
