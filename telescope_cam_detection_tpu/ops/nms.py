@@ -71,18 +71,10 @@ def _greedy_suppress(iou: jnp.ndarray, valid: jnp.ndarray,
     return keep
 
 
-def nms_single(
-    boxes: jnp.ndarray,          # (A, 4) xyxy in model-input coords
-    obj_conf: jnp.ndarray,       # (A,)
-    class_probs: jnp.ndarray,    # (A, C)
-    conf_threshold: float,
-    iou_threshold: float,
-    max_det: int,
-    pre_nms_topk: int = 1000,
-    class_agnostic: bool = False,
-) -> jnp.ndarray:
-    """Single-image class-aware NMS -> (max_det, 7) static output."""
-    num_anchors, num_classes = class_probs.shape
+def _prep_single(boxes, obj_conf, class_probs, conf_threshold, pre_nms_topk,
+                 class_agnostic):
+    """Confidence mask + top-K prefilter + class coordinate offsets."""
+    num_anchors, _ = class_probs.shape
     class_conf = jnp.max(class_probs, axis=-1)
     class_id = jnp.argmax(class_probs, axis=-1)
     score = obj_conf * class_conf
@@ -101,11 +93,13 @@ def nms_single(
         # coordinate region so cross-class pairs never overlap.
         span = jnp.max(jnp.abs(top_boxes)) + 1.0
         offset_boxes = top_boxes + (top_cls.astype(top_boxes.dtype) * span)[:, None]
+    return offset_boxes, top_valid, top_scores, top_idx, class_conf, class_id
 
-    keep = _greedy_suppress(iou_matrix(offset_boxes, offset_boxes),
-                            top_valid, iou_threshold)
 
-    # Compact kept rows to the front, preserving score order.
+def _compact_single(keep, top_scores, top_idx, boxes, obj_conf, class_conf,
+                    class_id, max_det):
+    """Kept rows -> front, score order preserved -> (max_det, 7)."""
+    k = top_scores.shape[0]
     kept_scores = jnp.where(keep, top_scores, -1.0)
     if max_det > k:  # pad candidate pool so top_k(max_det) is well-formed
         pad = max_det - k
@@ -124,10 +118,40 @@ def nms_single(
     return jnp.where((out_scores >= 0.0)[:, None], rows, invalid_row[None, :])
 
 
+def nms_single(
+    boxes: jnp.ndarray,          # (A, 4) xyxy in model-input coords
+    obj_conf: jnp.ndarray,       # (A,)
+    class_probs: jnp.ndarray,    # (A, C)
+    conf_threshold: float,
+    iou_threshold: float,
+    max_det: int,
+    pre_nms_topk: int = 1000,
+    class_agnostic: bool = False,
+) -> jnp.ndarray:
+    """Single-image class-aware NMS -> (max_det, 7) static output."""
+    offset_boxes, top_valid, top_scores, top_idx, class_conf, class_id = \
+        _prep_single(boxes, obj_conf, class_probs, conf_threshold,
+                     pre_nms_topk, class_agnostic)
+    keep = _greedy_suppress(iou_matrix(offset_boxes, offset_boxes),
+                            top_valid, iou_threshold)
+    return _compact_single(keep, top_scores, top_idx, boxes, obj_conf,
+                           class_conf, class_id, max_det)
+
+
+def _resolve_impl(impl: str) -> str:
+    if impl != "auto":
+        return impl
+    # measured on the v5e at B=8, pre_nms_topk=1000 (docs/PERFORMANCE.md
+    # NMS row): statistical parity (xla 1.2-1.5 ms vs pallas 1.2-1.4 ms
+    # per call) — at K=1000 the KxK matrix fits caches either way. Auto
+    # keeps the plain XLA fixpoint (no Pallas lowering dependency).
+    return "xla"
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("conf_threshold", "iou_threshold", "max_det",
-                     "pre_nms_topk", "class_agnostic"),
+                     "pre_nms_topk", "class_agnostic", "impl"),
 )
 def batched_nms(
     boxes: jnp.ndarray,        # (B, A, 4)
@@ -138,17 +162,31 @@ def batched_nms(
     max_det: int = 300,
     pre_nms_topk: int = 1000,
     class_agnostic: bool = False,
+    impl: str = "auto",        # "auto" | "xla" | "pallas"
 ) -> jnp.ndarray:
-    """Batch of images -> (B, max_det, 7)."""
-    fn = functools.partial(
-        nms_single,
-        conf_threshold=conf_threshold,
-        iou_threshold=iou_threshold,
-        max_det=max_det,
-        pre_nms_topk=pre_nms_topk,
-        class_agnostic=class_agnostic,
-    )
-    return jax.vmap(fn)(boxes, obj_conf, class_probs)
+    """Batch of images -> (B, max_det, 7).
+
+    impl selects the greedy-suppression backend: "xla" (fixpoint over the
+    HBM IoU matrix) or "pallas" (ops/pallas_nms.py: boxes + IoU matrix +
+    keep mask VMEM-resident for the whole suppression); identical keep
+    decisions (tests/test_pallas_nms.py cross-checks)."""
+    resolved = _resolve_impl(impl)
+    prep = jax.vmap(functools.partial(
+        _prep_single, conf_threshold=conf_threshold,
+        pre_nms_topk=pre_nms_topk, class_agnostic=class_agnostic))
+    offset_boxes, top_valid, top_scores, top_idx, class_conf, class_id = \
+        prep(boxes, obj_conf, class_probs)
+    if resolved == "pallas":
+        from telescope_cam_detection_tpu.ops.pallas_nms import pallas_suppress
+        keep = pallas_suppress(offset_boxes, top_valid,
+                               iou_threshold=iou_threshold)
+    else:
+        keep = jax.vmap(functools.partial(
+            _greedy_suppress, iou_threshold=iou_threshold))(
+                jax.vmap(iou_matrix)(offset_boxes, offset_boxes), top_valid)
+    compact = jax.vmap(functools.partial(_compact_single, max_det=max_det))
+    return compact(keep, top_scores, top_idx, boxes, obj_conf, class_conf,
+                   class_id)
 
 
 # ---------------------------------------------------------------------------

@@ -87,6 +87,11 @@ class ProgramSpec:
     # elsewhere — gathers are ~24x slower on TPU at high res), "xla", or
     # "pallas" (ops/pallas_deform.py). Ignored for yolox.
     sampling_impl: str = "auto"
+    # YOLOX NMS suppression backend (ops/nms.py batched_nms impl): "auto"
+    # resolves to the measured winner on this hardware (xla fixpoint;
+    # docs/PERFORMANCE.md NMS row). "pallas" keeps the IoU matrix
+    # VMEM-resident (ops/pallas_nms.py).
+    nms_impl: str = "auto"
     # Fused motion gates (SURVEY §7): "device" keeps per-lane empty-frame
     # diff state AND the MOG2 color background model resident in HBM inside
     # THIS program — one dispatch returns (rows, gate aux) and the host
@@ -198,6 +203,8 @@ class DetectorProgram:
                              "(valid: rgb, yuv420)")
         if spec.sampling_impl not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown sampling_impl {spec.sampling_impl!r}")
+        if spec.nms_impl not in ("auto", "xla", "pallas"):
+            raise ValueError(f"unknown nms_impl {spec.nms_impl!r}")
         if spec.gates not in ("none", "device"):
             raise ValueError(f"unknown gates mode {spec.gates!r} "
                              "(valid: none, device)")
@@ -371,6 +378,7 @@ class DetectorProgram:
                     iou_threshold=spec.nms_threshold,
                     max_det=spec.max_det,
                     pre_nms_topk=spec.pre_nms_topk,
+                    impl=spec.nms_impl,
                 )
             else:
                 # RT-DETR is NMS-free: the model's top-k postprocess already

@@ -170,6 +170,7 @@ class TelescopeDetectionSystem:
             transfer=detection.get("transfer", "auto"),
             readback_topk=detection.get("readback_topk"),
             sampling_impl=model_cfg.get("sampling_impl", "auto"),
+            nms_impl=detection.get("nms_impl", "auto"),
             delta_tile=detection.get("delta_tile", 16),
             delta_threshold=detection.get("delta_threshold", 14),
             delta_refresh_tiles=detection.get("delta_refresh_tiles", 16),

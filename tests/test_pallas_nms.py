@@ -53,3 +53,38 @@ def test_pallas_identical_boxes():
     valid = np.ones((1, 8), bool)
     keep = np.asarray(pallas_suppress(boxes, valid, interpret=True))[0]
     assert keep[0] and not keep[1:].any()  # highest-ranked survives
+
+
+def test_batched_nms_impl_selection():
+    """The batched_nms impl knob routes to identical results (rows
+    bit-equal between xla and pallas on the same inputs; interpret mode on
+    CPU)."""
+    import jax.numpy as jnp
+    from telescope_cam_detection_tpu.ops import nms as nms_mod
+    from telescope_cam_detection_tpu.ops import pallas_nms
+    rng = np.random.default_rng(5)
+    B, A, C = 2, 200, 10
+    boxes = jnp.asarray(rng.uniform(0, 100, (B, A, 4)).astype(np.float32))
+    obj = jnp.asarray(rng.uniform(0, 1, (B, A)).astype(np.float32))
+    cls = jnp.asarray(rng.dirichlet(np.ones(C), (B, A)).astype(np.float32))
+    ref = np.asarray(nms_mod.batched_nms(boxes, obj, cls, impl="xla",
+                                         pre_nms_topk=128, max_det=32))
+    # CPU lacks the TPU lowering: route pallas through interpret mode
+    orig = pallas_nms.pallas_suppress
+    try:
+        pallas_nms.pallas_suppress = lambda b, v, iou_threshold=0.45: \
+            orig(b, v, iou_threshold=iou_threshold, interpret=True)
+        got = np.asarray(nms_mod.batched_nms(boxes, obj, cls, impl="pallas",
+                                             pre_nms_topk=128, max_det=32))
+    finally:
+        pallas_nms.pallas_suppress = orig
+    np.testing.assert_array_equal(ref, got)
+
+
+def test_program_spec_nms_impl_validated():
+    from telescope_cam_detection_tpu.runtime.program import (
+        DetectorProgram, ProgramSpec)
+    with pytest.raises(ValueError, match="nms_impl"):
+        DetectorProgram(ProgramSpec(detector_type="yolox",
+                                    variant="yolox-nano",
+                                    input_hw=(64, 64), nms_impl="bogus"))
