@@ -43,8 +43,31 @@ class FaceMasker:
         unmasked faces."""
         if mask_style not in MASK_STYLES:
             raise ValueError(f"unknown mask style {mask_style!r}")
+        if detection_backend not in ("opencv_haar", "mediapipe"):
+            raise ValueError(
+                f"unknown detection_backend {detection_backend!r} "
+                "(valid: opencv_haar, mediapipe)")
         self.mask_style = mask_style
         self.detection_backend = detection_backend
+        self._mp_detector = None
+        if detection_backend == "mediapipe":
+            # reference face_masker.py:97-110 offers this backend; this
+            # image does not ship mediapipe, so use it when importable and
+            # otherwise FAIL LOUDLY under require_backend (a config that
+            # names a backend must not silently get a different one)
+            try:
+                import mediapipe as mp
+                self._mp_detector = mp.solutions.face_detection.FaceDetection(
+                    model_selection=1, min_detection_confidence=0.5)
+            except ImportError:
+                if require_backend:
+                    raise RuntimeError(
+                        "privacy.detection_backend is 'mediapipe' but the "
+                        "mediapipe package is not installed; install it or "
+                        "set detection_backend: opencv_haar")
+                logger.warning("mediapipe not installed; falling back to "
+                               "the Haar backend for face masking")
+                self.detection_backend = "opencv_haar"
         self.min_face_size = min_face_size
         self.blur_strength = blur_strength | 1  # odd
         self.pixelate_blocks = pixelate_blocks
@@ -91,11 +114,31 @@ class FaceMasker:
             self._warned_no_backend = True
         return None
 
+    def _detect_mediapipe(self, frame: np.ndarray
+                          ) -> List[Tuple[int, int, int, int]]:
+        """Relative-coordinate detections -> pixel (x, y, w, h), min-size
+        filtered (reference face_masker.py mediapipe path)."""
+        rgb = frame[..., ::-1] if frame.ndim == 3 else frame
+        results = self._mp_detector.process(np.ascontiguousarray(rgb))
+        out = []
+        h, w = frame.shape[:2]
+        for det in (getattr(results, "detections", None) or []):
+            box = det.location_data.relative_bounding_box
+            fw, fh = int(box.width * w), int(box.height * h)
+            if min(fw, fh) < self.min_face_size:
+                continue
+            out.append((int(box.xmin * w), int(box.ymin * h), fw, fh))
+        return out
+
     # -- detection -----------------------------------------------------------
     def detect_faces(self, frame: np.ndarray) -> List[Tuple[int, int, int, int]]:
         """Returns (x, y, w, h) tuples in frame coordinates."""
-        cascade = self._get_cascade()
         self.total_frames_processed += 1
+        if self._mp_detector is not None:
+            faces_mp = self._detect_mediapipe(frame)
+            self.total_faces_detected += len(faces_mp)
+            return faces_mp
+        cascade = self._get_cascade()
         if cascade is None:
             return []
         gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY) if frame.ndim == 3 \

@@ -281,11 +281,12 @@ class SharedInferenceCoordinator:
             # frame that is immediately thrown away (1-core host budget)
             import cv2
             spec = getattr(self.program, "spec", None)
-            if (spec is not None and hw != spec.input_hw
+            input_hw = getattr(spec, "input_hw", None)
+            if (input_hw is not None and hw != tuple(input_hw)
                     and getattr(self.program, "_host_resize_active",
                                 lambda _hw: False)(hw)):
                 capture_hw = hw
-                ih, iw = spec.input_hw
+                ih, iw = input_hw
                 resize = lambda f: cv2.resize(  # noqa: E731
                     f, (iw, ih), interpolation=cv2.INTER_LINEAR)
         except ImportError:

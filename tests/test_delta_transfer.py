@@ -129,6 +129,7 @@ def _mini_spec(**kw):
                        pre_nms_topk=32, **kw)
 
 
+@pytest.mark.slow
 def test_program_delta_matches_host_transfer():
     """threshold=0 sends every changed pixel's tile -> reconstruction is
     exact, so delta rows must match the plain host-resize transfer rows."""
@@ -156,6 +157,7 @@ def test_program_delta_matches_host_transfer():
     assert delta_prog.stats["delta_tiles_sent"] > 0
 
 
+@pytest.mark.slow
 def test_program_delta_multilane_independent_streams():
     """Two lanes with different content stay independent."""
     src_a = SyntheticFrameSource(width=128, height=128, seed=0, noise_sigma=0)
@@ -219,6 +221,7 @@ def test_native_encoder_bit_identical_to_numpy():
         nmod.delta_encode = orig
 
 
+@pytest.mark.slow
 def test_readback_compaction_keeps_all_valid_rows():
     """readback_topk compacts the device result to the K best rows: every
     valid detection survives when there are <= K, invalid padding is pushed
@@ -247,6 +250,7 @@ def test_readback_compaction_keeps_all_valid_rows():
         assert len(g_valid) == min(len(w_valid), 6)
 
 
+@pytest.mark.slow
 def test_yuv_payload_matches_yuv420_transfer_mode():
     """YUV delta payload (threshold=0: every changed tile ships) must match
     the full-frame yuv420 transfer mode — identical YUV bytes reach the

@@ -54,6 +54,7 @@ def test_boxes_with_padding():
     assert out[0, 1] == 0 and out[0, 2] == 0
 
 
+@pytest.mark.slow
 def test_two_stage_device_crops_path(tmp_path):
     from telescope_cam_detection_tpu.pipeline.species import SpeciesClassifier
     from telescope_cam_detection_tpu.pipeline.two_stage import (

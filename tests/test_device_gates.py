@@ -72,6 +72,7 @@ def test_empty_gate_decision_parity(gated_program):
     assert gate.frames_processed == len(_clip())
 
 
+@pytest.mark.slow
 def test_motion_filter_decision_parity():
     """Per-detection MOG2 pass/fail: the fused gate_step's per-box stats
     (the exact code the gated program embeds) vs the host XLA MotionFilter
@@ -114,6 +115,7 @@ def test_motion_filter_decision_parity():
     assert decisions_match == len(clip)
 
 
+@pytest.mark.slow
 def test_lane_chaining_matches_sequential(gated_program):
     """Two same-lane frames in ONE batch must produce the same areas as two
     single-frame dispatches (the in-batch scan chains state)."""

@@ -115,6 +115,7 @@ def test_face_masker_detects_and_masks():
 
 
 @needs_cascade
+@pytest.mark.slow
 def test_face_masker_downscaled_detection_scales_boxes_back():
     """Large frames are detected on a downscaled copy; boxes come back in
     full-frame coordinates."""
@@ -149,3 +150,22 @@ def test_require_backend_raises_when_unavailable(monkeypatch):
         pytest.skip("cv2 still ships CascadeClassifier")
     with pytest.raises(RuntimeError):
         FaceMasker(require_backend=True)
+
+
+def test_mediapipe_backend_handling():
+    """Reference face_masker.py:97-110 accepts detection_backend: mediapipe.
+    Without the package: require_backend fails loudly; otherwise falls back
+    to Haar with a warning (never silently a different behavior)."""
+    import importlib.util
+    from telescope_cam_detection_tpu.pipeline.face_mask import FaceMasker
+    has_mp = importlib.util.find_spec("mediapipe") is not None
+    if not has_mp:
+        with pytest.raises(RuntimeError, match="mediapipe"):
+            FaceMasker(detection_backend="mediapipe", require_backend=True)
+        fm = FaceMasker(detection_backend="mediapipe")
+        assert fm.detection_backend == "opencv_haar"   # loud fallback
+    else:  # pragma: no cover - image has no mediapipe
+        fm = FaceMasker(detection_backend="mediapipe")
+        assert fm._mp_detector is not None
+    with pytest.raises(ValueError, match="detection_backend"):
+        FaceMasker(detection_backend="bogus")

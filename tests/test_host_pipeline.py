@@ -88,7 +88,8 @@ def test_bucket_for():
     assert bucket_for(1) == 1
     assert bucket_for(3) == 4
     assert bucket_for(5) == 8
-    assert bucket_for(100) == 16
+    assert bucket_for(17) == 32
+    assert bucket_for(100) == 32
 
 
 def test_engine_standalone_end_to_end(program):

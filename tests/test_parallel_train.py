@@ -33,6 +33,7 @@ def test_param_sharding_rule():
     assert param_sharding_rule(mesh, (), odd).spec == jax.sharding.PartitionSpec()
 
 
+@pytest.mark.slow
 def test_yolox_loss_finite_and_learns_signal():
     model = build_yolox("yolox-nano", num_classes=8)
     imgs = jnp.asarray(
@@ -57,6 +58,7 @@ def test_yolox_loss_finite_and_learns_signal():
     assert float(m2["num_pos"]) == 1.0  # clamped
 
 
+@pytest.mark.slow
 def test_single_device_train_step_reduces_loss():
     model, state, step = build_training(
         variant="yolox-nano", num_classes=4, input_hw=(128, 128),
@@ -75,6 +77,7 @@ def test_single_device_train_step_reduces_loss():
     assert losses[-1] < losses[0], losses  # optimizer makes progress
 
 
+@pytest.mark.slow
 def test_sharded_train_step_over_mesh():
     mesh = create_mesh(8, model_parallel=2)
     model, state, step = build_training(
@@ -89,6 +92,7 @@ def test_sharded_train_step_over_mesh():
     assert int(jax.device_get(state.step)) == 1
 
 
+@pytest.mark.slow
 def test_graft_entry_contract():
     import __graft_entry__ as g
     fn, args = g.entry()

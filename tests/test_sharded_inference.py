@@ -26,6 +26,7 @@ def sharded_and_single():
     return sharded, single, mesh
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device(sharded_and_single):
     sharded, single, mesh = sharded_and_single
     frames = np.random.default_rng(0).integers(
@@ -45,6 +46,7 @@ def test_sharded_output_actually_sharded(sharded_and_single):
     assert len(shard_devices) == 8  # batch axis spread over all devices
 
 
+@pytest.mark.slow
 def test_sharded_with_host_resize(sharded_and_single):
     sharded, single, _ = sharded_and_single
     frames = np.random.default_rng(1).integers(

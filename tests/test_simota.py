@@ -109,6 +109,7 @@ def _tiny_outputs(seed=0, batch=2, num_classes=4):
 
 
 @pytest.mark.parametrize("assigner", ["simota", "center"])
+@pytest.mark.slow
 def test_loss_jits_finite_and_differentiable(assigner):
     outs = _tiny_outputs()
     targets = np.full((2, 5, 5), -1.0, np.float32)

@@ -47,6 +47,7 @@ def test_hierarchical_label_bands(tiny_classifier):
     assert c.get_hierarchical_label(3, 0.05) == (None, None)
 
 
+@pytest.mark.slow
 def test_classifier_batched(tiny_classifier):
     crops = np.random.default_rng(0).integers(
         0, 256, (3, 56, 56, 3), dtype=np.uint8)
@@ -153,6 +154,7 @@ def test_enhancer_none_passthrough():
     assert enh.enhance(crop) is crop
 
 
+@pytest.mark.slow
 def test_rrdbnet_shapes():
     import jax, jax.numpy as jnp
     from telescope_cam_detection_tpu.models.rrdbnet import RRDBNet

@@ -81,6 +81,7 @@ def system(tmp_path_factory):
     sys_obj.stop()
 
 
+@pytest.mark.slow
 def test_two_stage_species_flow(system):
     sys_obj, port = system
     deadline = time.time() + 120
@@ -107,6 +108,7 @@ def test_two_stage_species_flow(system):
     assert stats["total_frames"] > 0
 
 
+@pytest.mark.slow
 def test_two_stage_stats_surface(system):
     sys_obj, _ = system
     pipe = sys_obj.engines["cam1"].two_stage_pipeline
@@ -115,6 +117,7 @@ def test_two_stage_stats_surface(system):
     assert stats["classifier"]["total_classified"] > 0
 
 
+@pytest.mark.slow
 def test_bad_classifier_weights_fatal(tmp_path):
     """A configured Stage-2 weights path that fails to load must abort
     startup exactly like the detector path — not serve random-weight

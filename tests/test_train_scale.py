@@ -9,6 +9,8 @@ first-party and tested on the virtual 8-device mesh.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 

@@ -91,6 +91,7 @@ def test_evaluate_detections_penalizes_misses_and_fps():
     assert m["mAP50_95"] < 1.0
 
 
+@pytest.mark.slow
 def test_train_cli_synthetic_smoke(tmp_path):
     """End-to-end training CLI: 2 epochs on synthetic data, checkpoint +
     serving export."""

@@ -39,6 +39,7 @@ def test_native_pack_matches_numpy_pack():
     assert np.abs(a - b).max() <= 1  # rounding only
 
 
+@pytest.mark.slow
 def test_detector_program_yuv420_mode():
     spec = ProgramSpec(variant="yolox-nano", input_hw=(128, 128), max_det=5,
                        pre_nms_topk=20, transfer="yuv420")
