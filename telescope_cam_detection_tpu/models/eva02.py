@@ -73,10 +73,11 @@ class EVA02Block(nn.Module):
     heads: int
     mlp_hidden: int
     dtype: Any = jnp.float32
-    # "xla" | "pallas" (ops/pallas_attention.py) | "auto" (pallas for small
-    # crop batches where the fused kernel measured ~22% faster, XLA's
-    # attention above — docs/PERFORMANCE.md Stage-2 table; the batch size is
-    # static at trace time, so each batch bucket compiles its best choice)
+    # "xla" | "pallas" (ops/pallas_attention.py) | "auto". After the
+    # round-3 retune (input-dtype MXU matmuls + q_block 320) the fused
+    # kernel wins at batch 4 (-30%) and matches XLA at batch 16
+    # (docs/PERFORMANCE.md Stage-2 table), so auto picks pallas on TPU at
+    # every bucket.
     attn_impl: str = "xla"
 
     @nn.compact
@@ -95,15 +96,15 @@ class EVA02Block(nn.Module):
         k = _apply_rope(k, rope_angles)
         impl = self.attn_impl
         if impl == "auto":
-            # b is static under trace: batch<=8 picks the fused kernel
-            # (measured faster at small batches), larger batches pick XLA
-            impl = ("pallas" if b <= 8 and jax.default_backend() == "tpu"
-                    else "xla")
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
         if impl == "pallas":
             from telescope_cam_detection_tpu.ops.pallas_attention import (
                 flash_attention)
             interpret = jax.default_backend() != "tpu"
-            attn = flash_attention(q, k, v, interpret=interpret)
+            # q_block=320: the 577-token sequence pads to 640, so two query
+            # blocks per K/V fetch — measured best at both batch 4 and 16
+            # (docs/PERFORMANCE.md Stage-2 table)
+            attn = flash_attention(q, k, v, interpret=interpret, q_block=320)
         else:
             attn = jax.nn.dot_product_attention(q, k, v)
         attn = attn.reshape(b, t, self.dim)

@@ -32,14 +32,18 @@ Q_BLOCK = 128
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, valid_len: int):
     """One (bh, q_block) grid cell: softmax(q K^T * scale) V with padded
-    keys masked. Block shapes: q (1, BQ, D), k/v (1, T_pad, D)."""
-    q = q_ref[0].astype(jnp.float32)                     # (BQ, D)
-    k = k_ref[0].astype(jnp.float32)                     # (T, D)
-    v = v_ref[0].astype(jnp.float32)
+    keys masked. Block shapes: q (1, BQ, D), k/v (1, T_pad, D).
+
+    Matmuls run in the INPUT dtype with f32 accumulation: upcasting Q/K/V
+    to f32 first (the round-2 version) forfeits the MXU's bf16 rate — the
+    batch-16 Stage-2 case lost to XLA exactly because of it. The softmax
+    itself stays f32 for stability."""
+    q = q_ref[0]                                         # (BQ, D)
+    k = k_ref[0]                                         # (T, D)
+    v = v_ref[0]
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale      # (BQ, T)
-    t_pad = scores.shape[-1]
+        preferred_element_type=jnp.float32) * scale      # (BQ, T) f32
     key_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     scores = jnp.where(key_ids < valid_len, scores, -jnp.inf)
     # numerically-stable softmax in VMEM
@@ -47,20 +51,22 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, valid_len: int):
     p = jnp.exp(scores - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
     out = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) / denom      # (BQ, D)
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) / denom      # (BQ, D) f32
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "q_block"))
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                    interpret: bool = False) -> jnp.ndarray:
+                    interpret: bool = False,
+                    q_block: int = Q_BLOCK) -> jnp.ndarray:
     """(B, T, H, D) q/k/v -> (B, T, H, D), matching
     jax.nn.dot_product_attention semantics (scale 1/sqrt(D), no mask across
-    real tokens)."""
+    real tokens). q_block: query rows per grid cell (sweepable; at T=577 a
+    single 640-row block processes the whole sequence per K/V fetch)."""
     b, t, h, d = q.shape
     scale = 1.0 / math.sqrt(d)
-    t_pad = -(-t // Q_BLOCK) * Q_BLOCK
+    t_pad = -(-t // q_block) * q_block
     d_pad = max(-(-d // 128) * 128, 128)
 
     def to_bh(x):
@@ -69,20 +75,20 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     qb, kb, vb = to_bh(q), to_bh(k), to_bh(v)
 
-    grid = (b * h, t_pad // Q_BLOCK)
+    grid = (b * h, t_pad // q_block)
     out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale, valid_len=t),
         out_shape=jax.ShapeDtypeStruct((b * h, t_pad, d_pad), q.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, Q_BLOCK, d_pad), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, q_block, d_pad), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t_pad, d_pad), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t_pad, d_pad), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, Q_BLOCK, d_pad), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((1, q_block, d_pad), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * (b * h) * t_pad * t_pad * d_pad,
