@@ -392,6 +392,48 @@ GATE_PARAM_DETECT_SHADOWS = 4    # 0/1
 N_GATE_PARAMS = 5
 
 
+def chain_shape(lane_list) -> Tuple[int, int]:
+    """Host helper: (rounds, round_width) for a dispatch's lane list.
+
+    rounds = the longest same-lane chain in the batch; round_width = the
+    number of distinct lanes. Both are STATIC shape parameters of the gate
+    program (one compile per observed (rounds, width) pattern — serving
+    patterns are stable: coordinator batches are balanced rounds of
+    distinct lanes)."""
+    counts: dict = {}
+    for lane in lane_list:
+        counts[lane] = counts.get(lane, 0) + 1
+    if not counts:
+        return 1, 1
+    b = len(lane_list)
+
+    def q(v: int) -> int:  # next power of two, capped at the batch size:
+        return min(1 << (v - 1).bit_length(), b)
+    # quantized so ragged batches (drop-oldest, pad lanes) reuse a handful
+    # of compiled variants instead of one per exact chain pattern; the
+    # schedule pads unused slots with -1 (dropped scatters)
+    return q(max(counts.values())), q(len(counts))
+
+
+def _round_schedule(lanes: jnp.ndarray, rounds: int,
+                    width: int) -> jnp.ndarray:
+    """(B,) lane ids -> (rounds, width) batch-entry indices, padded -1.
+
+    Entry i belongs to round occ(i) = number of earlier same-lane entries;
+    within a round, entries keep batch order. Each lane appears at most
+    once per round, so round updates never conflict."""
+    b = lanes.shape[0]
+    earlier_same = (lanes[None, :] == lanes[:, None]) & (
+        jnp.arange(b)[None, :] < jnp.arange(b)[:, None])
+    occ = jnp.sum(earlier_same, axis=1)                     # (B,) round id
+    same_round_earlier = (occ[None, :] == occ[:, None]) & (
+        jnp.arange(b)[None, :] < jnp.arange(b)[:, None])
+    slot = jnp.sum(same_round_earlier, axis=1)              # (B,) round slot
+    sched = jnp.full((rounds, width), -1, jnp.int32)
+    return sched.at[occ, slot].set(jnp.arange(b, dtype=jnp.int32),
+                                   mode="drop")
+
+
 def gate_step(
     state: GateState,
     frames_bgr: jnp.ndarray,      # (B, h, w, 3) uint8
@@ -399,12 +441,20 @@ def gate_step(
     params: jnp.ndarray,          # (N_GATE_PARAMS,) float32
     blur_size: int = 21,
     motion_blur_size: int = 21,
+    rounds: int = 0,              # static; 0 = worst case (B rounds)
+    round_width: int = 0,         # static; 0 = worst case (B lanes)
 ):
     """Run BOTH motion gates for a batch of frames against per-lane state.
 
-    Entries are applied IN ORDER (lax.scan), so a batch may carry several
-    sequential frames of the same lane — each diffs/updates against the
-    previous entry's state, exactly like the per-frame host gates.
+    Entries are applied IN BATCH ORDER per lane, so a batch may carry
+    several sequential frames of the same stream — each diffs/updates
+    against the previous entry's result, exactly like the per-frame host
+    gates. Processing is organised as `rounds` sequential rounds of up to
+    `round_width` DISTINCT-lane entries updated in one vectorized step
+    (`chain_shape` computes the tight static pair on the host; a
+    per-camera coordinator batch is a few balanced rounds instead of B
+    sequential scan steps — measured 8x fewer sequential MOG2 passes at
+    batch 32 over 8 cameras).
 
     Returns (new_state, aux) with aux:
       motion_area  (B,) float32 — empty-gate changed-pixel count (mask px)
@@ -414,6 +464,10 @@ def gate_step(
       masks        (B, h, w) bool — post-processed MOG2 foreground
       mean_luma    (B,) float32 — for day/night adaptive thresholds
     """
+    b, h, w3 = frames_bgr.shape[0], frames_bgr.shape[1], frames_bgr.shape[2]
+    n_lanes = state.prev_blurred.shape[0]
+    rounds = rounds or b
+    round_width = round_width or b
     gray = bgr_to_gray(frames_bgr)                       # (B, h, w)
     mean_luma = jnp.mean(gray, axis=(1, 2))
     blurred = gaussian_blur(gray, blur_size)
@@ -424,30 +478,47 @@ def gate_step(
     tau = params[GATE_PARAM_SHADOW_TAU]
     detect_shadows = params[GATE_PARAM_DETECT_SHADOWS] > 0.5
 
-    def step(st: GateState, inp):
-        lane, blur_f, frame_f = inp
+    sched = _round_schedule(lanes, rounds, round_width)   # (R, W)
+
+    def round_step(carry, idx_row):
+        st, areas, initeds, fgs = carry
+        valid = idx_row >= 0                              # (W,)
+        entry = jnp.maximum(idx_row, 0)
+        lane = lanes[entry]                               # (W,) distinct
+        # scatter target: invalid slots drop (index out of range)
+        tgt = jnp.where(valid, lane, n_lanes)
+        out_pos = jnp.where(valid, idx_row, b)
+        blur_r = blurred[entry]                           # (W, h, w)
+        frame_r = x[entry]                                # (W, h, w, 3)
         # empty-frame diff gate (reference empty_frame_filter.py:51-98)
-        diff = jnp.abs(blur_f - st.prev_blurred[lane])
-        area = jnp.sum((diff > empty_thr).astype(jnp.float32))
+        diff = jnp.abs(blur_r - st.prev_blurred[lane])
+        area = jnp.sum((diff > empty_thr).astype(jnp.float32), axis=(1, 2))
         inited = st.initialized[lane]
-        # MOG2 color mixture (reference motion_filter.py:56-127)
+        # MOG2 color mixture, vectorized over the round's distinct lanes
+        # (reference motion_filter.py:56-127); the core is written over
+        # (..., K) so the gathered (W, h, w, K) slices batch directly
         w_new, mu_new, var_new, fg, shadow = _mog2_color_core(
             st.weights[lane], st.means[lane], st.variances[lane],
-            st.frame_count[lane], frame_f, var_thr, lr, tau)
+            st.frame_count[lane][:, None, None], frame_r, var_thr, lr, tau)
         fg = fg & ~(shadow & detect_shadows)
         new_st = GateState(
-            prev_blurred=st.prev_blurred.at[lane].set(blur_f),
-            initialized=st.initialized.at[lane].set(True),
-            weights=st.weights.at[lane].set(w_new),
-            means=st.means.at[lane].set(mu_new),
-            variances=st.variances.at[lane].set(var_new),
-            frame_count=st.frame_count.at[lane].set(
-                st.frame_count[lane] + 1),
+            prev_blurred=st.prev_blurred.at[tgt].set(blur_r, mode="drop"),
+            initialized=st.initialized.at[tgt].set(True, mode="drop"),
+            weights=st.weights.at[tgt].set(w_new, mode="drop"),
+            means=st.means.at[tgt].set(mu_new, mode="drop"),
+            variances=st.variances.at[tgt].set(var_new, mode="drop"),
+            frame_count=st.frame_count.at[tgt].add(1, mode="drop"),
         )
-        return new_st, (area, inited, fg)
+        areas = areas.at[out_pos].set(area, mode="drop")
+        initeds = initeds.at[out_pos].set(inited, mode="drop")
+        fgs = fgs.at[out_pos].set(fg, mode="drop")
+        return (new_st, areas, initeds, fgs), None
 
-    new_state, (areas, initeds, fgs) = jax.lax.scan(
-        step, state, (lanes, blurred, x))
+    areas0 = jnp.zeros((b,), jnp.float32)
+    initeds0 = jnp.zeros((b,), bool)
+    fgs0 = jnp.zeros((b, h, w3), bool)
+    (new_state, areas, initeds, fgs), _ = jax.lax.scan(
+        round_step, (state, areas0, initeds0, fgs0), sched)
     masks = motion_mask_postprocess(fgs, blur_size=motion_blur_size)
     return new_state, {
         "motion_area": areas,

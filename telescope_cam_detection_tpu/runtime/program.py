@@ -403,7 +403,8 @@ class DetectorProgram:
 
         return core
 
-    def _gate_aux(self, capture_hw: Tuple[int, int]) -> Callable:
+    def _gate_aux(self, capture_hw: Tuple[int, int],
+                  chain: Tuple[int, int] = (0, 0)) -> Callable:
         """Fused-gate tail: run both motion gates against per-lane state and
         score the final rows' boxes against the MOG2 mask, all in the same
         XLA program. Outputs are scaled to CAPTURE-resolution pixel units so
@@ -424,7 +425,8 @@ class DetectorProgram:
             new_state, g = gate_step(
                 gate_state, frames_bgr, lanes, gate_params,
                 blur_size=spec.gate_blur_size,
-                motion_blur_size=spec.gate_motion_blur_size)
+                motion_blur_size=spec.gate_motion_blur_size,
+                rounds=chain[0], round_width=chain[1])
             ratios, pixels = batch_bbox_motion_stats(
                 g["masks"], rows[..., :4] * to_mask)
             # pack rows + gate aux into ONE (B, D*7 + 2D + 3) array: every
@@ -462,7 +464,8 @@ class DetectorProgram:
             "mean_luma": packed[:, d * 9 + 2],
         }
 
-    def _build(self, batch: int, capture_hw: Tuple[int, int]) -> Callable:
+    def _build(self, batch: int, capture_hw: Tuple[int, int],
+               chain: Tuple[int, int] = (0, 0)) -> Callable:
         spec = self.spec
         core = self._detect_core(capture_hw)
 
@@ -479,7 +482,7 @@ class DetectorProgram:
                         max_area, class_allowed)
 
         if spec.gates == "device":
-            gate_tail = self._gate_aux(capture_hw)
+            gate_tail = self._gate_aux(capture_hw, chain)
 
             def gated_program(variables, gate_state, frames_u8, lanes,
                               gate_params, class_conf, min_area, max_area,
@@ -518,16 +521,17 @@ class DetectorProgram:
                     batch, capture_hw, spec.input_hw)
         return jitted
 
-    def _get_program(self, batch: int, capture_hw: Tuple[int, int]) -> Callable:
-        key = (batch, capture_hw)
+    def _get_program(self, batch: int, capture_hw: Tuple[int, int],
+                     chain: Tuple[int, int] = (0, 0)) -> Callable:
+        key = (batch, capture_hw, chain)
         fn = self._compiled.get(key)
         if fn is None:
-            fn = self._build(batch, capture_hw)
+            fn = self._build(batch, capture_hw, chain)
             self._compiled[key] = fn
         return fn
 
     def _build_delta(self, batch: int, capture_hw: Tuple[int, int],
-                     k: int) -> Callable:
+                     k: int, chain: Tuple[int, int] = (0, 0)) -> Callable:
         """Delta-mode program: reconstruct frames from tile deltas against the
         donated device reference buffer, then the standard fused detect (and,
         with gates='device', the fused motion gates — the reconstructed
@@ -542,7 +546,7 @@ class DetectorProgram:
                 payload=spec.delta_payload, tile=spec.delta_tile)
 
         if spec.gates == "device":
-            gate_tail = self._gate_aux(capture_hw)
+            gate_tail = self._gate_aux(capture_hw, chain)
 
             def gated_program(variables, ref, gate_state, lanes, tile_idx,
                               tiles, gate_params, class_conf, min_area,
@@ -575,11 +579,12 @@ class DetectorProgram:
         return jitted
 
     def _get_delta_program(self, batch: int, capture_hw: Tuple[int, int],
-                           k: int) -> Callable:
-        key = ("delta", batch, capture_hw, k)
+                           k: int, chain: Tuple[int, int] = (0, 0)
+                           ) -> Callable:
+        key = ("delta", batch, capture_hw, k, chain)
         fn = self._compiled.get(key)
         if fn is None:
-            fn = self._build_delta(batch, capture_hw, k)
+            fn = self._build_delta(batch, capture_hw, k, chain)
             self._compiled[key] = fn
         return fn
 
@@ -639,9 +644,14 @@ class DetectorProgram:
                 payload=spec.delta_payload)
             if self._delta_ref is None:
                 self._delta_ref = jnp.zeros(self._delta_ref_shape, jnp.uint8)
-            fn = self._get_delta_program(len(frames), capture_hw, k)
             f = self._filter_arrays
             gated = spec.gates == "device"
+            if gated:
+                from telescope_cam_detection_tpu.ops.motion import chain_shape
+                fn = self._get_delta_program(len(frames), capture_hw, k,
+                                             chain_shape(lane_list))
+            else:
+                fn = self._get_delta_program(len(frames), capture_hw, k)
             try:
                 if gated:
                     gs = self._gate_state_for(spec.input_hw)
@@ -725,7 +735,6 @@ class DetectorProgram:
         frame_hw = (frames.shape[1], frames.shape[2])
         if self.spec.transfer == "yuv420":
             frames = self._pack_yuv420(frames)
-        fn = self._get_program(batch, capture_hw)
         f = self._filter_arrays
         if gated:
             lane_list = list(lanes) if lanes is not None else [0] * batch
@@ -734,6 +743,9 @@ class DetectorProgram:
             if any(l < 0 or l >= self._n_lanes for l in lane_list):
                 raise ValueError(
                     f"lane out of range (gate_lanes={self._n_lanes})")
+            from telescope_cam_detection_tpu.ops.motion import chain_shape
+            fn = self._get_program(batch, capture_hw,
+                                   chain_shape(lane_list))
             with self._delta_lock:   # serialize gate-state read/modify/write
                 gs = self._gate_state_for(frame_hw)
                 try:
@@ -749,6 +761,7 @@ class DetectorProgram:
             self.stats["batches"] += 1
             self.stats["frames"] += batch
             return (self._GATED_MARK, packed)
+        fn = self._get_program(batch, capture_hw)
         rows = fn(self.variables, jnp.asarray(frames), f["class_conf"],
                   f["min_area"], f["max_area"], f["class_allowed"])
         self.stats["batches"] += 1

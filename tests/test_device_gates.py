@@ -284,3 +284,45 @@ def test_system_wiring_device_gates(tmp_path):
         assert eng.empty_frame_filter.min_motion_area == 99
     finally:
         sys_obj.stop()
+
+
+def test_coordinator_resize_at_assembly_capture_coords(gated_program):
+    """When capture resolution exceeds model input, the coordinator resizes
+    during batch assembly and passes capture_hw through — detections must
+    come back in CAPTURE coordinates and gate areas in capture px units."""
+    from telescope_cam_detection_tpu.runtime.coordinator import (
+        SharedInferenceCoordinator)
+    prog = gated_program
+    prog.reset_gate_state()
+    prog._lane_registry.clear()
+    coord = SharedInferenceCoordinator(prog, max_batch_size=2,
+                                       max_batch_wait_ms=5,
+                                       pipeline_depth=2)
+    results = []
+    done = []
+
+    def cb(rows, gate=None):
+        results.append((rows, gate))
+        done.append(1)
+
+    big = np.zeros((2 * HW[0], 2 * HW[1], 3), np.uint8)  # 2x capture
+    big[40:120, 40:120] = 200
+    coord.start()
+    try:
+        coord.infer_async(big, cb, camera_id="camZ")
+        deadline = time.time() + 60
+        while not done and time.time() < deadline:
+            time.sleep(0.05)
+    finally:
+        coord.stop()
+    assert done, "no callback"
+    rows, gate = results[0]
+    assert gate is not None
+    # first frame: uninitialized lane
+    assert not bool(gate["initialized"])
+    valid = rows[rows[:, 5] >= 0]
+    # any valid boxes must lie within CAPTURE bounds (2*HW), and at least
+    # plausibly exceed the model-input range proving the scale-back
+    if len(valid):
+        assert valid[:, [0, 2]].max() <= 2 * HW[1] + 1
+        assert valid[:, [1, 3]].max() <= 2 * HW[0] + 1

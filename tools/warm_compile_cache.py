@@ -45,6 +45,8 @@ def main() -> int:
     parser.add_argument("--k-buckets", nargs="+", type=int, default=None,
                         help="delta K buckets to warm (default: every "
                              "bucket up to the full-refresh size)")
+    parser.add_argument("--gates", default="none", choices=["none", "device"],
+                        help="warm the fused-gate program variants")
     parser.add_argument("--benchmark", action="store_true")
     args = parser.parse_args()
 
@@ -55,7 +57,8 @@ def main() -> int:
 
     spec = ProgramSpec(detector_type=args.detector, variant=args.variant,
                        input_hw=tuple(args.input), transfer=args.transfer,
-                       delta_lanes=args.lanes)
+                       delta_lanes=args.lanes, gates=args.gates,
+                       gate_lanes=args.lanes)
     program = DetectorProgram(spec)
     if args.weights:
         from telescope_cam_detection_tpu.models.convert import load_variables
@@ -90,17 +93,43 @@ def main() -> int:
                     if program._delta_ref is None:
                         program._delta_ref = jnp.zeros(
                             program._delta_ref_shape, jnp.uint8)
-                    fn = program._get_delta_program(batch, (h, w), k)
                     f = program._filter_arrays
-                    new_ref, rows = fn(
-                        program.variables, program._delta_ref,
-                        jnp.asarray(lanes), jnp.asarray(idx),
-                        jnp.asarray(tiles), f["class_conf"], f["min_area"],
-                        f["max_area"], f["class_allowed"])
+                    if args.gates == "device":
+                        # warm the round-robin serving chain (coordinator
+                        # batches spread across cameras) for this batch
+                        from telescope_cam_detection_tpu.ops.motion import (
+                            chain_shape)
+                        n_cams = max(args.lanes - 1, 1)
+                        lane_list = [i % n_cams for i in range(batch)]
+                        lanes = np.asarray(lane_list, np.int32)
+                        chain = chain_shape(lane_list)
+                        fn = program._get_delta_program(batch, (h, w), k,
+                                                        chain)
+                        gs = program._gate_state_for(spec.input_hw)
+                        new_ref, new_gs, packed = fn(
+                            program.variables, program._delta_ref, gs,
+                            jnp.asarray(lanes), jnp.asarray(idx),
+                            jnp.asarray(tiles), program._gate_params,
+                            f["class_conf"], f["min_area"],
+                            f["max_area"], f["class_allowed"])
+                        program._gate_states[spec.input_hw] = new_gs
+                        np.asarray(packed)
+                        print(f"compiled gated delta batch={batch} "
+                              f"capture={h}x{w} K={k} chain={chain} "
+                              f"in {time.time() - t0:.1f}s", flush=True)
+                    else:
+                        fn = program._get_delta_program(batch, (h, w), k)
+                        new_ref, rows = fn(
+                            program.variables, program._delta_ref,
+                            jnp.asarray(lanes), jnp.asarray(idx),
+                            jnp.asarray(tiles), f["class_conf"],
+                            f["min_area"], f["max_area"],
+                            f["class_allowed"])
+                        np.asarray(rows)
+                        print(f"compiled delta batch={batch} "
+                              f"capture={h}x{w} K={k} "
+                              f"in {time.time() - t0:.1f}s", flush=True)
                     program._delta_ref = new_ref
-                    np.asarray(rows)
-                    print(f"compiled delta batch={batch} capture={h}x{w} "
-                          f"K={k} in {time.time() - t0:.1f}s", flush=True)
         return 0
 
     for cap in args.captures:
