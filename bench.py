@@ -128,35 +128,52 @@ def main() -> None:
     warm_frames = program.stats.get("frames", 0)
 
     # Pipelined measurement: a drainer thread reads back batch k while the
-    # main thread encodes/transfers/dispatches batch k+1.
+    # main thread encodes/transfers/dispatches batch k+1. Queue capacity
+    # pipeline_depth-1 bounds the batches in flight BEYOND the one being
+    # dispatched; depth 1 therefore degenerates to a strictly serial
+    # dispatch->readback loop (the round-2 harness kept one extra batch in
+    # flight at depth 1, overstating its p50).
     latencies = []
-    inflight: "queue_mod.Queue" = queue_mod.Queue(maxsize=pipeline_depth)
+    inflight: "queue_mod.Queue" = queue_mod.Queue(
+        maxsize=max(pipeline_depth - 1, 1))
     done = threading.Event()
-
     valid_rows = [0]
 
-    def drainer():
-        while True:
-            item = inflight.get()
-            if item is None:
-                break
-            t0, handle = item
+    if pipeline_depth == 1:
+        # strictly serial: dispatch -> blocking readback, nothing in flight
+        t_start = time.perf_counter()
+        for i in range(iters):
+            frames, lanes = batch_at(warmup + i)
+            t0 = time.perf_counter()
+            handle = program.dispatch_batch(frames, lanes=lanes,
+                                            capture_hw=capture_hw)
             rows, _aux = program.materialize(handle, batch)
             valid_rows[0] += int((rows[..., 5] >= 0).sum())
             latencies.append((time.perf_counter() - t0) * 1000.0)
-        done.set()
+        elapsed = time.perf_counter() - t_start
+    else:
+        def drainer():
+            while True:
+                item = inflight.get()
+                if item is None:
+                    break
+                t0, handle = item
+                rows, _aux = program.materialize(handle, batch)
+                valid_rows[0] += int((rows[..., 5] >= 0).sum())
+                latencies.append((time.perf_counter() - t0) * 1000.0)
+            done.set()
 
-    threading.Thread(target=drainer, daemon=True).start()
-    t_start = time.perf_counter()
-    for i in range(iters):
-        frames, lanes = batch_at(warmup + i)
-        t0 = time.perf_counter()
-        rows = program.dispatch_batch(frames, lanes=lanes,
-                                      capture_hw=capture_hw)
-        inflight.put((t0, rows))
-    inflight.put(None)
-    done.wait()
-    elapsed = time.perf_counter() - t_start
+        threading.Thread(target=drainer, daemon=True).start()
+        t_start = time.perf_counter()
+        for i in range(iters):
+            frames, lanes = batch_at(warmup + i)
+            t0 = time.perf_counter()
+            rows = program.dispatch_batch(frames, lanes=lanes,
+                                          capture_hw=capture_hw)
+            inflight.put((t0, rows))
+        inflight.put(None)
+        done.wait()
+        elapsed = time.perf_counter() - t_start
 
     fps = batch * iters / elapsed
     lat_sorted = sorted(latencies)
