@@ -117,6 +117,7 @@ _VALID_MASK_STYLES = ("gaussian_blur", "pixelate", "black_box", "adaptive_blur")
 _VALID_TRANSFERS = ("auto", "device", "host", "yuv420", "delta")
 _VALID_DELTA_PAYLOADS = ("rgb", "yuv420")
 _VALID_GATES = ("none", "device")
+_VALID_IMPLS = ("auto", "xla", "pallas")
 
 
 def _check_size_constraints(errors: List[str], prefix: str, constraints: Any) -> None:
@@ -241,6 +242,10 @@ def validate_config(config: Dict[str, Any]) -> List[str]:
     if gates is not None and gates not in _VALID_GATES:
         errors.append(f"detection.gates must be one of {_VALID_GATES}, "
                       f"got {gates!r}")
+    nms_impl = detection.get("nms_impl")
+    if nms_impl is not None and nms_impl not in _VALID_IMPLS:
+        errors.append(f"detection.nms_impl must be one of {_VALID_IMPLS}, "
+                      f"got {nms_impl!r}")
 
     for path, typ, lo, hi in _RANGE_SPECS:
         val = _lookup(config, path)

@@ -326,3 +326,30 @@ def test_coordinator_resize_at_assembly_capture_coords(gated_program):
     if len(valid):
         assert valid[:, [0, 2]].max() <= 2 * HW[1] + 1
         assert valid[:, [1, 3]].max() <= 2 * HW[0] + 1
+
+
+@pytest.mark.slow
+def test_rtdetr_gated_program():
+    """Device gates compose with the RT-DETR (NMS-free) detect core too:
+    one dispatch returns rows + gate aux, lanes chain, parity of the
+    empty-gate decision with the host XLA gate."""
+    spec = ProgramSpec(detector_type="rtdetr", variant="rtdetrv2-r18vd",
+                       input_hw=(96, 96), gates="device", gate_lanes=2,
+                       gate_blur_size=5, gate_motion_blur_size=5,
+                       max_det=16)
+    prog = DetectorProgram(spec, seed=0)
+    prog.update_filters(FilterSettings(conf_threshold=0.0,
+                                       wildlife_only=False))
+    prog.update_gate_params(empty_threshold=25, var_threshold=16,
+                            learning_rate=1.0 / 50)
+    host = EmptyFrameFilter(min_motion_area=200, blur_size=5, threshold=25,
+                            backend="xla")
+    gate = DeviceEmptyFrameGate(min_motion_area=200)
+    for f in _clip(n=5):
+        rows, aux = prog.detect_batch_gated(f[None], lanes=[0])
+        assert rows.shape == (1, 16, 7)
+        assert set(aux) >= {"motion_area", "initialized", "motion_ratio",
+                            "motion_pixels", "mean_luma"}
+        dev = gate.decide(float(aux["motion_area"][0]),
+                          bool(aux["initialized"][0]))
+        assert dev == host.has_motion(f)
