@@ -248,6 +248,12 @@ class TelescopeDetectionSystem:
         if detection.get("use_two_stage") and sc.get("enabled"):
             inat = sc.get("inat_classifier", {}) or {}
             geo = sc.get("geographic_filter", {}) or {}
+            # visible phase marker: the first-ever init on a remote-compile
+            # backend can take minutes (cached persistently afterwards)
+            logger.info("initializing species classifier (%s, %d classes)"
+                        " — first compile on this backend may take minutes",
+                        inat.get("model_name", "eva02-large"),
+                        inat.get("num_classes", 10000))
             self.species_classifier = SpeciesClassifier(
                 model_name=self._classifier_variant(inat.get("model_name", "")),
                 num_classes=inat.get("num_classes", 10000),
