@@ -352,13 +352,17 @@ class SharedInferenceCoordinator:
                 logger.exception("batch readback failed (%d reqs)", len(reqs))
                 # device errors surface HERE in pipelined mode (dispatch is
                 # async) — the host delta mirrors may now be ahead of the
-                # device reference; force a clean full refresh
-                reset = getattr(self.program, "reset_delta", None)
-                if callable(reset):
-                    try:
-                        reset()
-                    except Exception:
-                        logger.exception("delta reset failed")
+                # device reference; force a clean full refresh. Same for the
+                # fused gate state: its buffers come from the failed
+                # execution, so drop them rather than donate poison next
+                # dispatch.
+                for name in ("reset_delta", "reset_gate_state"):
+                    reset = getattr(self.program, name, None)
+                    if callable(reset):
+                        try:
+                            reset()
+                        except Exception:
+                            logger.exception("%s failed", name)
                 self._fail_group(reqs)
                 continue
             self._finish_group(reqs, rows, t0, t_pick, aux=aux)
