@@ -226,3 +226,45 @@ def test_motion_filter_xla_shadow_gate():
 
     assert run(True) == []       # shadow pixels are not motion
     assert len(run(False)) == 1  # without shadow modeling they count
+
+
+def test_chain_shape_quantized():
+    from telescope_cam_detection_tpu.ops.motion import chain_shape
+    assert chain_shape([]) == (1, 1)
+    assert chain_shape([0]) == (1, 1)
+    assert chain_shape([0, 1, 2, 3]) == (1, 4)
+    assert chain_shape([0, 0, 0, 0]) == (4, 1)
+    # balanced 8 cams x 4 frames
+    assert chain_shape([c for _ in range(4) for c in range(8)]) == (4, 8)
+    # quantization: 3 distinct lanes -> width 4; chains of 3 -> rounds 4
+    assert chain_shape([0, 1, 2, 0, 0]) == (4, 4)
+    # caps at batch size
+    assert chain_shape([0, 0, 0]) == (3, 1)
+
+
+def test_round_schedule_covers_all_entries():
+    import jax.numpy as jnp
+    from telescope_cam_detection_tpu.ops.motion import (
+        _round_schedule, chain_shape)
+    cases = [
+        [0, 1, 2, 3],
+        [0, 0, 0, 0],
+        [0, 1, 0, 1, 0],
+        [2, 2, 5, 1, 2, 5],
+    ]
+    for lanes in cases:
+        r, w = chain_shape(lanes)
+        sched = np.asarray(_round_schedule(
+            jnp.asarray(lanes, jnp.int32), r, w))
+        flat = sched[sched >= 0]
+        # every entry scheduled exactly once
+        assert sorted(flat.tolist()) == list(range(len(lanes)))
+        # within a round, lanes are distinct
+        for row in sched:
+            row_lanes = [lanes[i] for i in row if i >= 0]
+            assert len(row_lanes) == len(set(row_lanes))
+        # same-lane entries appear in increasing round order of batch order
+        for lane in set(lanes):
+            entries = [i for i in range(len(lanes)) if lanes[i] == lane]
+            rounds_of = [int(np.argwhere(sched == i)[0][0]) for i in entries]
+            assert rounds_of == sorted(rounds_of)
