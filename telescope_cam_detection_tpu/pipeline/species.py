@@ -206,6 +206,16 @@ class SpeciesClassifier:
             self._classify_times = self._classify_times[-200:]
         return results
 
+    def format_topk(self, probs, ids, top_k: int = 5
+                    ) -> List[Dict[str, Any]]:
+        """Raw device top-k (probs, ids) -> prediction dicts with the same
+        taxonomy/hierarchy/geo treatment as classify(). Used by the fused
+        Stage-2 path (DetectorProgram.attach_classifier), where the
+        classifier forward already ran inside the detector dispatch."""
+        self.total_classified += 1
+        return self._format_predictions(np.asarray(probs)[:top_k],
+                                        np.asarray(ids)[:top_k])
+
     # -- label logic ------------------------------------------------------------
     def _format_predictions(self, probs: np.ndarray,
                             ids: np.ndarray) -> List[Dict[str, Any]]:

@@ -180,7 +180,32 @@ class TwoStageDetectionPipeline:
         with self._lock:
             self.total_detections += len(detections)
 
-        if self.device_crops and self.enhancer is None:
+        if any("species_raw" in d for d in detections) \
+                and self.enhancer is None:
+            # fused Stage-2 (DetectorProgram.attach_classifier): the
+            # classifier forward already ran INSIDE the detector dispatch;
+            # here we only apply host eligibility rules + taxonomy
+            # formatting + re-ranking. species_raw is transport, not
+            # output — pop it so the wire format stays reference-shaped.
+            eligible = []
+            results = []
+            for idx, det in enumerate(detections):
+                raw = det.pop("species_raw", None)
+                if raw is None or det.get("class_id") not in \
+                        self.classify_classes:
+                    continue
+                bb = det["bbox"]
+                if min(bb["x2"] - bb["x1"], bb["y2"] - bb["y1"]) \
+                        < self.min_crop_size:
+                    with self._lock:
+                        self.total_skipped_small += 1
+                    continue
+                eligible.append((idx, None))
+                results.append(
+                    self.species_classifier.format_topk(raw[1], raw[0]))
+            if not eligible:
+                return detections
+        elif self.device_crops and self.enhancer is None:
             import jax
             from telescope_cam_detection_tpu.ops.crops import (
                 boxes_with_padding)

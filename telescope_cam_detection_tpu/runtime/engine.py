@@ -188,7 +188,9 @@ class InferenceEngine:
             if gate is not None:
                 detections = rows_to_detections(
                     rows, motion_ratio=gate.get("motion_ratio"),
-                    motion_pixels=gate.get("motion_pixels"))
+                    motion_pixels=gate.get("motion_pixels"),
+                    species_prob=gate.get("species_prob"),
+                    species_id=gate.get("species_id"))
             else:
                 detections = rows_to_detections(rows)
             detections = self._apply_camera_filters(detections)

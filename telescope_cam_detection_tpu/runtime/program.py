@@ -240,6 +240,9 @@ class DetectorProgram:
         self.stats: Dict[str, Any] = {"compilations": 0, "batches": 0,
                                       "frames": 0, "last_infer_ms": 0.0,
                                       "delta_tiles_sent": 0}
+        # optional fused Stage-2 (attach_classifier): classifier model +
+        # params classified INSIDE the gated program
+        self._stage2: Optional[Dict[str, Any]] = None
         # stream lanes: shared registry for delta transfer AND device gates
         # (both key per-stream device state by the same lane index)
         import threading
@@ -290,6 +293,86 @@ class DetectorProgram:
                         "shared and will thrash its per-stream device state",
                         len(self._lane_registry), self._n_lanes, lane)
             return lane
+
+    # -- fused Stage-2 -------------------------------------------------------
+    def attach_classifier(self, model, variables, input_size: int,
+                          max_crops: int = 4, top_k: int = 10,
+                          crop_padding_percent: float = 20.0) -> None:
+        """Fuse the Stage-2 species classifier INTO the gated program: the
+        top `max_crops` rows are ROI-sampled from the dispatched frames and
+        classified in the SAME dispatch, under ``lax.cond`` so empty frames
+        skip the classifier compute entirely. One dispatch, one packed
+        readback carries rows + gate aux + per-crop top-k species — the
+        reference pays a second full host->device round trip per
+        detection-bearing frame (two_stage_pipeline_yolox.py:475-481).
+
+        Requires gates='device' (the packed-readback path). Classifier
+        weights are a dispatch argument, so swapping them never recompiles.
+        """
+        if self.spec.gates != "device":
+            raise ValueError("attach_classifier requires gates='device'")
+        self._stage2 = {
+            "model": model, "variables": variables, "size": int(input_size),
+            "max_crops": int(max_crops), "top_k": int(top_k),
+            "pad_pct": float(crop_padding_percent),
+        }
+        self._compiled.clear()   # programs rebuild with the stage-2 tail
+
+    def _stage2_tail(self, capture_hw: Tuple[int, int]) -> Callable:
+        """(s2_vars, frames_bgr, rows) -> (top_p (B,C,K), top_i (B,C,K)).
+        Same crop/preprocess math as SpeciesClassifier.classify_boxes_device
+        (boxes_with_padding percentage padding + frame clamp; sample_crops
+        half-pixel ROI bilinear; CLIP normalize)."""
+        s2 = self._stage2
+        model, size = s2["model"], s2["size"]
+        n_crops, top_k = s2["max_crops"], s2["top_k"]
+        pad = s2["pad_pct"] / 100.0
+        ch, cw = capture_hw
+        from telescope_cam_detection_tpu.ops.crops import sample_crops
+        from telescope_cam_detection_tpu.ops.preprocess import (
+            CLIP_MEAN, CLIP_STD)
+        mean = np.asarray(CLIP_MEAN, np.float32)
+        inv_std = 1.0 / np.asarray(CLIP_STD, np.float32)
+
+        def tail(s2_vars, frames_bgr, rows):
+            b = rows.shape[0]
+            fh, fw = frames_bgr.shape[1:3]
+            to_mask = np.asarray([fw / cw, fh / ch, fw / cw, fh / ch],
+                                 np.float32)
+            sel = rows[:, :n_crops]                      # (B, C, 7)
+            valid = sel[..., 5] >= 0
+            boxes = sel[..., :4] * to_mask               # frame coords
+            x1, y1, x2, y2 = (boxes[..., i] for i in range(4))
+            bw = jnp.maximum(x2 - x1, 1.0)
+            bh = jnp.maximum(y2 - y1, 1.0)
+            px1 = jnp.maximum(x1 - bw * pad / 2, 0.0)
+            py1 = jnp.maximum(y1 - bh * pad / 2, 0.0)
+            px2 = jnp.minimum(x2 + bw * pad / 2, float(fw))
+            py2 = jnp.minimum(y2 + bh * pad / 2, float(fh))
+            bidx = jnp.broadcast_to(
+                jnp.arange(b, dtype=jnp.float32)[:, None], (b, n_crops))
+            flat = jnp.stack([bidx, px1, py1, px2, py2],
+                             axis=-1).reshape(b * n_crops, 5)
+
+            def classify(_):
+                crops = sample_crops(frames_bgr, flat, (size, size))
+                x = crops[..., ::-1] * (1.0 / 255.0)
+                x = (x - mean) * inv_std
+                logits = model.apply(s2_vars, x, train=False)
+                probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+                p, i = jax.lax.top_k(probs, top_k)
+                return p, i
+
+            def skip(_):
+                return (jnp.zeros((b * n_crops, top_k), jnp.float32),
+                        jnp.zeros((b * n_crops, top_k), jnp.int32))
+
+            # empty frames skip the classifier compute entirely
+            top_p, top_i = jax.lax.cond(jnp.any(valid), classify, skip, None)
+            return (top_p.reshape(b, n_crops, top_k),
+                    top_i.reshape(b, n_crops, top_k))
+
+        return tail
 
     # -- device gate state ---------------------------------------------------
     def _gate_state_for(self, frame_hw: Tuple[int, int]):
@@ -417,7 +500,11 @@ class DetectorProgram:
             batch_bbox_motion_stats, gate_step)
         ch, cw = capture_hw
 
-        def tail(gate_state, frames_bgr, lanes, gate_params, rows):
+        s2_tail = (self._stage2_tail(capture_hw)
+                   if self._stage2 is not None else None)
+
+        def tail(gate_state, frames_bgr, lanes, gate_params, rows,
+                 s2_vars=None):
             fh, fw = frames_bgr.shape[1:3]
             to_mask = np.asarray([fw / cw, fh / ch, fw / cw, fh / ch],
                                  np.float32)
@@ -429,19 +516,24 @@ class DetectorProgram:
                 rounds=chain[0], round_width=chain[1])
             ratios, pixels = batch_bbox_motion_stats(
                 g["masks"], rows[..., :4] * to_mask)
-            # pack rows + gate aux into ONE (B, D*7 + 2D + 3) array: every
-            # device->host buffer pays a relay round trip, so the gated
-            # readback must stay a SINGLE transfer like the ungated one
-            # (6 separate buffers measured +600 ms/batch on this link)
+            # pack rows + gate aux (+ fused Stage-2 results) into ONE
+            # array: every device->host buffer pays a relay round trip, so
+            # the gated readback must stay a SINGLE transfer like the
+            # ungated one (6 separate buffers measured +600 ms/batch)
             b = rows.shape[0]
-            packed = jnp.concatenate([
+            parts = [
                 rows.reshape(b, -1),
                 ratios,
                 pixels * px_scale,
                 (g["motion_area"] * px_scale)[:, None],
                 g["initialized"].astype(jnp.float32)[:, None],
                 g["mean_luma"][:, None],
-            ], axis=1)
+            ]
+            if s2_tail is not None:
+                top_p, top_i = s2_tail(s2_vars, frames_bgr, rows)
+                parts += [top_p.reshape(b, -1),
+                          top_i.astype(jnp.float32).reshape(b, -1)]
+            packed = jnp.concatenate(parts, axis=1)
             return new_state, packed
 
         return tail
@@ -449,20 +541,28 @@ class DetectorProgram:
     _GATED_MARK = "gated-packed"
 
     def _unpack_gated(self, packed: np.ndarray):
-        """(n, D*7 + 2D + 3) packed readback -> (rows, aux dict)."""
+        """(n, D*7 + 2D + 3 [+ 2*C*K]) packed readback -> (rows, aux)."""
         spec = self.spec
         d = (spec.readback_topk
              if spec.readback_topk and spec.readback_topk < spec.max_det
              else spec.max_det)
         n = packed.shape[0]
         rows = packed[:, :d * 7].reshape(n, d, 7)
-        return rows, {
+        aux = {
             "motion_ratio": packed[:, d * 7:d * 8],
             "motion_pixels": packed[:, d * 8:d * 9],
             "motion_area": packed[:, d * 9],
             "initialized": packed[:, d * 9 + 1] > 0.5,
             "mean_luma": packed[:, d * 9 + 2],
         }
+        if self._stage2 is not None:
+            c, k = self._stage2["max_crops"], self._stage2["top_k"]
+            off = d * 9 + 3
+            aux["species_prob"] = packed[:, off:off + c * k].reshape(n, c, k)
+            aux["species_id"] = packed[
+                :, off + c * k:off + 2 * c * k].reshape(n, c, k).astype(
+                    np.int32)
+        return rows, aux
 
     def _build(self, batch: int, capture_hw: Tuple[int, int],
                chain: Tuple[int, int] = (0, 0)) -> Callable:
@@ -484,15 +584,24 @@ class DetectorProgram:
         if spec.gates == "device":
             gate_tail = self._gate_aux(capture_hw, chain)
 
-            def gated_program(variables, gate_state, frames_u8, lanes,
-                              gate_params, class_conf, min_area, max_area,
-                              class_allowed):
-                frames_bgr = to_bgr(frames_u8)
-                rows = core(variables, frames_bgr, class_conf, min_area,
-                            max_area, class_allowed)
-                new_state, packed = gate_tail(gate_state, frames_bgr, lanes,
-                                              gate_params, rows)
-                return new_state, packed
+            if self._stage2 is not None:
+                def gated_program(variables, gate_state, frames_u8, lanes,
+                                  gate_params, class_conf, min_area,
+                                  max_area, class_allowed, s2_vars):
+                    frames_bgr = to_bgr(frames_u8)
+                    rows = core(variables, frames_bgr, class_conf, min_area,
+                                max_area, class_allowed)
+                    return gate_tail(gate_state, frames_bgr, lanes,
+                                     gate_params, rows, s2_vars)
+            else:
+                def gated_program(variables, gate_state, frames_u8, lanes,
+                                  gate_params, class_conf, min_area,
+                                  max_area, class_allowed):
+                    frames_bgr = to_bgr(frames_u8)
+                    rows = core(variables, frames_bgr, class_conf, min_area,
+                                max_area, class_allowed)
+                    return gate_tail(gate_state, frames_bgr, lanes,
+                                     gate_params, rows)
 
             jitted = jax.jit(gated_program, donate_argnums=(1,))
             self.stats["compilations"] += 1
@@ -548,15 +657,30 @@ class DetectorProgram:
         if spec.gates == "device":
             gate_tail = self._gate_aux(capture_hw, chain)
 
-            def gated_program(variables, ref, gate_state, lanes, tile_idx,
-                              tiles, gate_params, class_conf, min_area,
-                              max_area, class_allowed):
-                new_ref, frames_u8 = reconstruct(ref, lanes, tile_idx, tiles)
-                rows = core(variables, frames_u8, class_conf, min_area,
-                            max_area, class_allowed)
-                new_state, packed = gate_tail(gate_state, frames_u8, lanes,
-                                              gate_params, rows)
-                return new_ref, new_state, packed
+            if self._stage2 is not None:
+                def gated_program(variables, ref, gate_state, lanes,
+                                  tile_idx, tiles, gate_params, class_conf,
+                                  min_area, max_area, class_allowed,
+                                  s2_vars):
+                    new_ref, frames_u8 = reconstruct(ref, lanes, tile_idx,
+                                                     tiles)
+                    rows = core(variables, frames_u8, class_conf, min_area,
+                                max_area, class_allowed)
+                    new_state, packed = gate_tail(gate_state, frames_u8,
+                                                  lanes, gate_params, rows,
+                                                  s2_vars)
+                    return new_ref, new_state, packed
+            else:
+                def gated_program(variables, ref, gate_state, lanes,
+                                  tile_idx, tiles, gate_params, class_conf,
+                                  min_area, max_area, class_allowed):
+                    new_ref, frames_u8 = reconstruct(ref, lanes, tile_idx,
+                                                     tiles)
+                    rows = core(variables, frames_u8, class_conf, min_area,
+                                max_area, class_allowed)
+                    new_state, packed = gate_tail(gate_state, frames_u8,
+                                                  lanes, gate_params, rows)
+                    return new_ref, new_state, packed
 
             jitted = jax.jit(gated_program, donate_argnums=(1, 2))
             self.stats["compilations"] += 1
@@ -655,12 +779,14 @@ class DetectorProgram:
             try:
                 if gated:
                     gs = self._gate_state_for(spec.input_hw)
-                    new_ref, new_gs, packed = fn(
-                        self.variables, self._delta_ref, gs,
-                        jnp.asarray(lanes_a), jnp.asarray(idx_a),
-                        jnp.asarray(tiles_a), self._gate_params,
-                        f["class_conf"], f["min_area"], f["max_area"],
-                        f["class_allowed"])
+                    args = [self.variables, self._delta_ref, gs,
+                            jnp.asarray(lanes_a), jnp.asarray(idx_a),
+                            jnp.asarray(tiles_a), self._gate_params,
+                            f["class_conf"], f["min_area"], f["max_area"],
+                            f["class_allowed"]]
+                    if self._stage2 is not None:
+                        args.append(self._stage2["variables"])
+                    new_ref, new_gs, packed = fn(*args)
                     self._gate_states[spec.input_hw] = new_gs
                 else:
                     new_ref, rows = fn(self.variables, self._delta_ref,
@@ -748,12 +874,14 @@ class DetectorProgram:
                                    chain_shape(lane_list))
             with self._delta_lock:   # serialize gate-state read/modify/write
                 gs = self._gate_state_for(frame_hw)
-                try:
-                    new_gs, packed = fn(
-                        self.variables, gs, jnp.asarray(frames),
+                args = [self.variables, gs, jnp.asarray(frames),
                         jnp.asarray(lane_list, jnp.int32),
                         self._gate_params, f["class_conf"], f["min_area"],
-                        f["max_area"], f["class_allowed"])
+                        f["max_area"], f["class_allowed"]]
+                if self._stage2 is not None:
+                    args.append(self._stage2["variables"])
+                try:
+                    new_gs, packed = fn(*args)
                 except Exception:
                     self.reset_gate_state()  # donated state may be invalid
                     raise
@@ -853,13 +981,18 @@ def rows_to_detections(
     rows: np.ndarray,
     motion_ratio: Optional[np.ndarray] = None,
     motion_pixels: Optional[np.ndarray] = None,
+    species_prob: Optional[np.ndarray] = None,
+    species_id: Optional[np.ndarray] = None,
 ) -> List[Dict[str, Any]]:
     """(max_det, 7) device rows -> list of reference-format detection dicts:
     {class_id, class_name, confidence, bbox{x1,y1,x2,y2,width,height,area}}.
 
     motion_ratio/motion_pixels: optional per-row arrays from a
     gates='device' program; attached to each detection so the host
-    MotionFilter can threshold without recomputing masks."""
+    MotionFilter can threshold without recomputing masks.
+    species_prob/species_id: optional (C, K) fused-Stage-2 top-k results
+    for the first C rows (attach_classifier); attached raw as
+    ``species_raw`` for TwoStageDetectionPipeline to format/re-rank."""
     dets: List[Dict[str, Any]] = []
     for i, row in enumerate(rows):
         if row[5] < 0:  # invalid marker
@@ -880,5 +1013,8 @@ def rows_to_detections(
             det["motion_ratio"] = float(motion_ratio[i])
         if motion_pixels is not None:
             det["motion_pixels"] = float(motion_pixels[i])
+        if species_prob is not None and i < species_prob.shape[0]:
+            det["species_raw"] = (species_id[i].tolist(),
+                                  species_prob[i].tolist())
         dets.append(det)
     return dets

@@ -67,6 +67,8 @@ RESTART_REQUIRED_KEYS = (
     "detection.readback_topk", "detection.precision",
     "detection.mesh_devices", "detection.nms_threshold",
     "detection.batching", "detection.gates",
+    "species_classification.fused",
+    "species_classification.fused_max_crops",
 )
 
 # compiled into the fused program ONLY when gates='device' (hot-reloadable
@@ -281,6 +283,24 @@ class TelescopeDetectionSystem:
                         f"{weights}")
                 self.species_classifier.variables = loaded
                 logger.info("loaded classifier weights from %s", weights)
+        if (self.species_classifier is not None and sc.get("fused")
+                and gates_mode == "device"):
+            # fuse Stage-2 into the gated detector program: one dispatch,
+            # one packed readback carries rows + gate aux + species top-k
+            pre_global = sc.get("preprocessing") or {}
+            self.program.attach_classifier(
+                self.species_classifier.model,
+                self.species_classifier.variables,
+                input_size=self.species_classifier.input_size,
+                max_crops=sc.get("fused_max_crops", 4),
+                crop_padding_percent=pre_global.get(
+                    "crop_padding_percent", 20))
+            logger.info("fused Stage-2 classifier into the detector program "
+                        "(max %d crops/frame)", sc.get("fused_max_crops", 4))
+        elif sc.get("fused"):
+            logger.warning("species_classification.fused requires "
+                           "detection.gates: device and an enabled "
+                           "classifier; running unfused")
 
         # per-camera pipelines (fault-tolerant: a broken camera config skips)
         for cam in cfg.get("cameras", []) or []:

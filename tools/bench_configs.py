@@ -237,7 +237,58 @@ def bench_config4():
     }), flush=True)
 
 
+def bench_config4_fused():
+    """Fused Stage-2 (attach_classifier): YOLOX-S + EVA02-L bf16 classified
+    INSIDE the gated detector dispatch — ONE device round trip per frame
+    instead of one per stage. Sharpened weights produce real detections;
+    conf_threshold sweeps contrast detection-bearing vs empty frames (the
+    lax.cond skips the classifier on empty)."""
+    import jax.numpy as jnp
+    from telescope_cam_detection_tpu.models.convert import (
+        sharpen_random_variables)
+    from telescope_cam_detection_tpu.models.eva02 import init_eva02
+    from telescope_cam_detection_tpu.runtime.program import (
+        DetectorProgram, FilterSettings, ProgramSpec)
+    from telescope_cam_detection_tpu.utils.frames import SyntheticFrameSource
+
+    hw = (1440, 2560)
+    spec = ProgramSpec(detector_type="yolox", variant="yolox-s",
+                       input_hw=(640, 640), transfer="delta", delta_lanes=2,
+                       gates="device", gate_lanes=2, readback_topk=64)
+    prog = DetectorProgram(spec, seed=0)
+    prog.variables = sharpen_random_variables(prog.variables)
+    _, s2_vars = init_eva02("eva02-large", 10000, 336, seed=1,
+                            dtype=jnp.bfloat16)
+    from telescope_cam_detection_tpu.models.eva02 import build_eva02
+    s2_model = build_eva02("eva02-large", 10000, 336, dtype=jnp.bfloat16)
+    prog.attach_classifier(s2_model, s2_vars, input_size=336, max_crops=4)
+
+    src = SyntheticFrameSource(width=hw[1], height=hw[0], seed=0)
+    clip = [src.frame_at(i) for i in range(8)]
+    out = {"config": "4-fused", "name": "fused_two_stage_eva02L_bf16",
+           "reference_bar": "15/40/65/90 ms at 0/1/2/3 dets on A30; "
+                            "unfused round-3: 46.5/123.7 ms at 0/1 dets"}
+    for label, conf in (("detecting", 0.05), ("empty", 0.999)):
+        prog.update_filters(FilterSettings(conf_threshold=conf))
+        for f in clip:
+            prog.detect_batch_gated(f[None], lanes=[0])   # warm
+        prog.reset_delta_state()
+        prog.reset_gate_state()
+        prog.detect_batch_gated(clip[0][None], lanes=[0])
+        n_rows = 0
+        t0 = time.perf_counter()
+        for f in clip[1:]:
+            rows, aux = prog.detect_batch_gated(f[None], lanes=[0])
+            n_rows += int((rows[..., 5] >= 0).sum())
+        el = (time.perf_counter() - t0) * 1000 / (len(clip) - 1)
+        out[label] = {"ms_per_frame": round(el, 1),
+                      "rows_per_frame": round(n_rows / (len(clip) - 1), 2)}
+        print(f"fused {label}: {out[label]}", flush=True)
+    print(json.dumps(out), flush=True)
+
+
 if __name__ == "__main__":
     wanted = os.environ.get("BENCH_CONFIGS", "2,3,4").split(",")
     for c in wanted:
-        {"2": bench_config2, "3": bench_config3, "4": bench_config4}[c.strip()]()
+        {"2": bench_config2, "3": bench_config3, "4": bench_config4,
+         "4f": bench_config4_fused}[c.strip()]()
