@@ -110,8 +110,8 @@ def system(tmp_path_factory):
     sys_obj.stop()
 
 
-def _get(port, path, headers=None):
-    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+def _get(port, path, headers=None, timeout=30):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=timeout)
     conn.request("GET", path, headers=headers or {})
     resp = conn.getresponse()
     body = resp.read()
@@ -318,8 +318,11 @@ def test_profiler_trace_endpoint(system, tmp_path):
     sys_obj, port = system
     # client-supplied dir is IGNORED: traces land in the server-side path
     sys_obj.web_server.trace_dir = tmp_path / "server_traces"
+    # The trace round-trips the relay-backed device; under full-suite load
+    # on this 1-core host it can exceed the default client timeout.
     status, body = _get(port,
-                        f"/api/profiler/trace?seconds=0.2&dir={tmp_path}/evil")
+                        f"/api/profiler/trace?seconds=0.2&dir={tmp_path}/evil",
+                        timeout=180)
     assert status == 200
     data = json.loads(body)
     assert data["success"] is True
@@ -335,7 +338,8 @@ def test_profiler_trace_requires_token_when_set(system, monkeypatch):
     status, _ = _get(port, "/api/profiler/trace?seconds=0.1")
     assert status == 401
     status, _ = _get(port, "/api/profiler/trace?seconds=0.1",
-                     headers={"Authorization": "Bearer sekrit"})
+                     headers={"Authorization": "Bearer sekrit"},
+                     timeout=180)
     assert status == 200
 
 
