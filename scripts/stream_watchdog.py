@@ -139,11 +139,14 @@ def main() -> int:
                 if args.cameras else None)
     restart_times = []
     consecutive_http_failures = 0
-    # journald mode without --cameras: remember every camera id EVER seen so
-    # a camera that has been dead longer than the query window (watchdog
+    # journald mode without --cameras: remember camera ids past the query
+    # window so a camera that has been dead longer than the window (watchdog
     # started after the failure, or silent past the window) stays monitored
-    # instead of vanishing from the activity map
-    seen_cameras: set = set()
+    # instead of vanishing from the activity map. Entries age out after
+    # FORGET_AFTER of absence: by then the freeze->restart cycle has had
+    # several attempts, so a camera still missing was removed/renamed in
+    # config — without the horizon it would trip restarts forever.
+    seen_cameras: dict = {}  # camera id -> last journal timestamp
 
     while True:
         frozen = False
@@ -159,7 +162,15 @@ def main() -> int:
                     reason = "journal unreadable"
             else:
                 consecutive_http_failures = 0
-                seen_cameras.update(activity)
+                for cid, ts in activity.items():
+                    seen_cameras[cid] = max(seen_cameras.get(cid, 0.0), ts)
+                forget_after = max(4 * args.freeze_threshold, 2 * window)
+                for cid in [c for c, ts in seen_cameras.items()
+                            if now - ts > forget_after]:
+                    logger.warning("camera %s absent for %ds — dropping it "
+                                   "from monitoring (removed from config?)",
+                                   cid, int(now - seen_cameras[cid]))
+                    del seen_cameras[cid]
                 cams = (required if required is not None
                         else sorted(seen_cameras))
                 if not cams:

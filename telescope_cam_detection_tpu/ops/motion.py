@@ -399,9 +399,16 @@ def chain_shape(lane_list) -> Tuple[int, int]:
     number of distinct lanes. Both are STATIC shape parameters of the gate
     program (one compile per observed (rounds, width) pattern — serving
     patterns are stable: coordinator batches are balanced rounds of
-    distinct lanes)."""
+    distinct lanes).
+
+    Entries with lane < 0 (the coordinator's batch-padding frames) are
+    excluded: they carry no gate state, so chaining them would only
+    inflate `rounds` (a bucket-16 batch with 9 real frames would pay 8
+    sequential rounds for its 7 pads instead of the 2 its cameras need)."""
     counts: dict = {}
     for lane in lane_list:
+        if lane < 0:
+            continue
         counts[lane] = counts.get(lane, 0) + 1
     if not counts:
         return 1, 1
@@ -421,11 +428,15 @@ def _round_schedule(lanes: jnp.ndarray, rounds: int,
 
     Entry i belongs to round occ(i) = number of earlier same-lane entries;
     within a round, entries keep batch order. Each lane appears at most
-    once per round, so round updates never conflict."""
+    once per round, so round updates never conflict. Entries with
+    lane < 0 (batch padding) are excluded from the schedule entirely:
+    their state updates and gate outputs are dropped."""
     b = lanes.shape[0]
     earlier_same = (lanes[None, :] == lanes[:, None]) & (
         jnp.arange(b)[None, :] < jnp.arange(b)[:, None])
     occ = jnp.sum(earlier_same, axis=1)                     # (B,) round id
+    # padding entries: push out of the (rounds, width) range -> mode="drop"
+    occ = jnp.where(lanes < 0, b, occ)
     same_round_earlier = (occ[None, :] == occ[:, None]) & (
         jnp.arange(b)[None, :] < jnp.arange(b)[:, None])
     slot = jnp.sum(same_round_earlier, axis=1)              # (B,) round slot

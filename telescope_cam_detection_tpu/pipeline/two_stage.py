@@ -92,6 +92,7 @@ class TwoStageDetectionPipeline:
         crop_batch_size_hw: int = 336,
         enhancement_cache_size: int = 100,
         device_crops: bool = False,
+        use_fused_raw: bool = True,
     ):
         # device_crops: sample crops ON DEVICE from an already-uploaded frame
         # (ops/crops.py) instead of host crop+resize+re-upload. Wins when the
@@ -108,6 +109,11 @@ class TwoStageDetectionPipeline:
                                  else dict(CLASS_ID_TO_CATEGORY))
         self.crop_hw = crop_batch_size_hw
         self.device_crops = device_crops
+        # use_fused_raw=False: this camera's Stage-2 settings diverge from
+        # the globals baked into the fused device classifier (per-camera
+        # stage2_preprocessing overrides), so device results are discarded
+        # and crops classify host-side with the camera's own settings
+        self.use_fused_raw = use_fused_raw
         self.cache = EnhancementCache(enhancement_cache_size)
 
         self.total_detections = 0
@@ -180,19 +186,27 @@ class TwoStageDetectionPipeline:
         with self._lock:
             self.total_detections += len(detections)
 
-        if any("species_raw" in d for d in detections) \
-                and self.enhancer is None:
+        # species_raw is fused-Stage-2 transport, not output — pop it from
+        # EVERY detection up front so the wire format stays reference-shaped
+        # on every branch (including cameras that ignore fused results)
+        raws = [d.pop("species_raw", None) for d in detections]
+        if (self.use_fused_raw and self.enhancer is None
+                and any(r is not None for r in raws)):
             # fused Stage-2 (DetectorProgram.attach_classifier): the
             # classifier forward already ran INSIDE the detector dispatch;
             # here we only apply host eligibility rules + taxonomy
-            # formatting + re-ranking. species_raw is transport, not
-            # output — pop it so the wire format stays reference-shaped.
+            # formatting + re-ranking.
             eligible = []
             results = []
+            leftovers = []
             for idx, det in enumerate(detections):
-                raw = det.pop("species_raw", None)
-                if raw is None or det.get("class_id") not in \
-                        self.classify_classes:
+                if det.get("class_id") not in self.classify_classes:
+                    continue
+                if raws[idx] is None:
+                    # eligible here but not classified on device (beyond
+                    # the fused max_crops window, or outside the device's
+                    # global eligibility mask): classify host-side below
+                    leftovers.append(idx)
                     continue
                 bb = det["bbox"]
                 if min(bb["x2"] - bb["x1"], bb["y2"] - bb["y1"]) \
@@ -202,7 +216,26 @@ class TwoStageDetectionPipeline:
                     continue
                 eligible.append((idx, None))
                 results.append(
-                    self.species_classifier.format_topk(raw[1], raw[0]))
+                    self.species_classifier.format_topk(
+                        raws[idx][1], raws[idx][0]))
+            if leftovers:
+                crops, kept = [], []
+                for idx in leftovers:
+                    crop = self.extract_crop(frame, detections[idx]["bbox"])
+                    if crop is None or min(crop.shape[:2]) < self.min_crop_size:
+                        with self._lock:
+                            self.total_skipped_small += 1
+                        continue
+                    kept.append(idx)
+                    crops.append(crop)
+                if kept:
+                    import cv2
+                    size = self.crop_hw
+                    batch = np.stack([cv2.resize(c, (size, size))
+                                      for c in crops])
+                    results += self.species_classifier.classify_batch_uniform(
+                        batch, top_k=5)
+                    eligible += [(i, None) for i in kept]
             if not eligible:
                 return detections
         elif self.device_crops and self.enhancer is None:

@@ -302,9 +302,11 @@ class SharedInferenceCoordinator:
                 frames[i] = req.frame
         lanes = None
         if self._lanes_needed:
-            pad_lane = self.program.lane_for_stream("__pad__")
+            # -1 = padding entry: the program excludes it from the gate
+            # round schedule (no state, no chain inflation) and, in delta
+            # mode, maps it to a dedicated encoder lane internally
             lanes = [self.program.lane_for_stream(r.camera_id)
-                     for r in reqs] + [pad_lane] * (padded_n - n)
+                     for r in reqs] + [-1] * (padded_n - n)
         t0 = time.perf_counter()
         try:
             if (self._drain_thread is None

@@ -190,7 +190,9 @@ class InferenceEngine:
                     rows, motion_ratio=gate.get("motion_ratio"),
                     motion_pixels=gate.get("motion_pixels"),
                     species_prob=gate.get("species_prob"),
-                    species_id=gate.get("species_id"))
+                    species_id=gate.get("species_id"),
+                    species_row=gate.get("species_row"),
+                    species_valid=gate.get("species_valid"))
             else:
                 detections = rows_to_detections(rows)
             detections = self._apply_camera_filters(detections)

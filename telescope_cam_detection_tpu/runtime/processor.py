@@ -102,6 +102,15 @@ class DetectionProcessor:
                 or getattr(self.motion_filter, "backend", None) == "program"):
             detections = self.motion_filter.filter_detections(
                 frame, detections, mean_luma=result.get("mean_luma"))
+        # motion_ratio/motion_pixels are gated-program transport for the
+        # filter above, not part of the reference detection format — strip
+        # before the result reaches the wire. species_raw is popped by
+        # two_stage; strip here too for cameras running without a Stage-2
+        # pipeline against a fused program.
+        for d in detections:
+            d.pop("motion_ratio", None)
+            d.pop("motion_pixels", None)
+            d.pop("species_raw", None)
         if self.time_of_day_filter is not None:
             detections = self.time_of_day_filter.filter_detections(detections)
 

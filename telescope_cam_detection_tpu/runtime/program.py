@@ -297,7 +297,9 @@ class DetectorProgram:
     # -- fused Stage-2 -------------------------------------------------------
     def attach_classifier(self, model, variables, input_size: int,
                           max_crops: int = 4, top_k: int = 10,
-                          crop_padding_percent: float = 20.0) -> None:
+                          crop_padding_percent: float = 20.0,
+                          classify_class_ids=None,
+                          min_crop_size: float = 0.0) -> None:
         """Fuse the Stage-2 species classifier INTO the gated program: the
         top `max_crops` rows are ROI-sampled from the dispatched frames and
         classified in the SAME dispatch, under ``lax.cond`` so empty frames
@@ -308,13 +310,30 @@ class DetectorProgram:
 
         Requires gates='device' (the packed-readback path). Classifier
         weights are a dispatch argument, so swapping them never recompiles.
+
+        classify_class_ids / min_crop_size: host Stage-2 eligibility rules
+        (CLASS_ID_TO_CATEGORY routing + minimum crop side) applied ON
+        DEVICE when selecting which rows take the max_crops classification
+        slots, so ineligible or invalidated rows never displace an eligible
+        detection from the classified window. The selected row indices ride
+        the packed readback (species_row/species_valid aux) so the host can
+        map each crop's top-k back to its detection regardless of ordering.
         """
         if self.spec.gates != "device":
             raise ValueError("attach_classifier requires gates='device'")
+        class_mask = None
+        if classify_class_ids is not None:
+            ids = [int(i) for i in classify_class_ids]
+            n = max(NUM_COCO_CLASSES, (max(ids) + 1) if ids else 0)
+            class_mask = np.zeros((n,), bool)
+            for i in ids:
+                class_mask[i] = True
         self._stage2 = {
             "model": model, "variables": variables, "size": int(input_size),
             "max_crops": int(max_crops), "top_k": int(top_k),
             "pad_pct": float(crop_padding_percent),
+            "class_mask": class_mask,
+            "min_crop": float(min_crop_size),
         }
         self._compiled.clear()   # programs rebuild with the stage-2 tail
 
@@ -334,13 +353,33 @@ class DetectorProgram:
         mean = np.asarray(CLIP_MEAN, np.float32)
         inv_std = 1.0 / np.asarray(CLIP_STD, np.float32)
 
+        class_mask = s2["class_mask"]
+        min_crop = s2["min_crop"]
+
         def tail(s2_vars, frames_bgr, rows):
             b = rows.shape[0]
             fh, fw = frames_bgr.shape[1:3]
             to_mask = np.asarray([fw / cw, fh / ch, fw / cw, fh / ch],
                                  np.float32)
-            sel = rows[:, :n_crops]                      # (B, C, 7)
-            valid = sel[..., 5] >= 0
+            # eligibility-aware slot selection: the host filter invalidates
+            # rows IN PLACE (score order, not valid-first), so taking the
+            # first C slots would let invalidated or non-classifiable rows
+            # displace an eligible detection from the classified window
+            elig = rows[..., 5] >= 0
+            if class_mask is not None:
+                cls = jnp.clip(rows[..., 6].astype(jnp.int32), 0,
+                               class_mask.shape[0] - 1)
+                elig &= jnp.asarray(class_mask)[cls]
+            if min_crop > 0:
+                # capture-coord box sides, same units as the host's
+                # min_crop_size gate (two_stage extract_crop operates on
+                # capture-resolution frames)
+                elig &= jnp.minimum(rows[..., 2] - rows[..., 0],
+                                    rows[..., 3] - rows[..., 1]) >= min_crop
+            sel_score = jnp.where(elig, rows[..., 4] * rows[..., 5], -1.0)
+            _, order = jax.lax.top_k(sel_score, n_crops)   # (B, C)
+            sel = jnp.take_along_axis(rows, order[..., None], axis=1)
+            valid = jnp.take_along_axis(elig, order, axis=1)
             boxes = sel[..., :4] * to_mask               # frame coords
             x1, y1, x2, y2 = (boxes[..., i] for i in range(4))
             bw = jnp.maximum(x2 - x1, 1.0)
@@ -370,7 +409,8 @@ class DetectorProgram:
             # empty frames skip the classifier compute entirely
             top_p, top_i = jax.lax.cond(jnp.any(valid), classify, skip, None)
             return (top_p.reshape(b, n_crops, top_k),
-                    top_i.reshape(b, n_crops, top_k))
+                    top_i.reshape(b, n_crops, top_k),
+                    order, valid)
 
         return tail
 
@@ -530,9 +570,12 @@ class DetectorProgram:
                 g["mean_luma"][:, None],
             ]
             if s2_tail is not None:
-                top_p, top_i = s2_tail(s2_vars, frames_bgr, rows)
+                top_p, top_i, s2_row, s2_valid = s2_tail(
+                    s2_vars, frames_bgr, rows)
                 parts += [top_p.reshape(b, -1),
-                          top_i.astype(jnp.float32).reshape(b, -1)]
+                          top_i.astype(jnp.float32).reshape(b, -1),
+                          s2_row.astype(jnp.float32),
+                          s2_valid.astype(jnp.float32)]
             packed = jnp.concatenate(parts, axis=1)
             return new_state, packed
 
@@ -541,7 +584,8 @@ class DetectorProgram:
     _GATED_MARK = "gated-packed"
 
     def _unpack_gated(self, packed: np.ndarray):
-        """(n, D*7 + 2D + 3 [+ 2*C*K]) packed readback -> (rows, aux)."""
+        """(n, D*7 + 2D + 3 [+ 2*C*K + 2*C]) packed readback ->
+        (rows, aux)."""
         spec = self.spec
         d = (spec.readback_topk
              if spec.readback_topk and spec.readback_topk < spec.max_det
@@ -562,6 +606,9 @@ class DetectorProgram:
             aux["species_id"] = packed[
                 :, off + c * k:off + 2 * c * k].reshape(n, c, k).astype(
                     np.int32)
+            off2 = off + 2 * c * k
+            aux["species_row"] = packed[:, off2:off2 + c].astype(np.int32)
+            aux["species_valid"] = packed[:, off2 + c:off2 + 2 * c] > 0.5
         return rows, aux
 
     def _build(self, batch: int, capture_hw: Tuple[int, int],
@@ -657,29 +704,35 @@ class DetectorProgram:
         if spec.gates == "device":
             gate_tail = self._gate_aux(capture_hw, chain)
 
+            # lanes: per-frame delta-encoder lanes (pads share a real lane —
+            # tiles must scatter into the reference buffer); gate_lanes: the
+            # same list with padding entries as -1 so the gate schedule
+            # drops them instead of chaining them into sequential rounds
             if self._stage2 is not None:
                 def gated_program(variables, ref, gate_state, lanes,
-                                  tile_idx, tiles, gate_params, class_conf,
-                                  min_area, max_area, class_allowed,
-                                  s2_vars):
+                                  gate_lanes, tile_idx, tiles, gate_params,
+                                  class_conf, min_area, max_area,
+                                  class_allowed, s2_vars):
                     new_ref, frames_u8 = reconstruct(ref, lanes, tile_idx,
                                                      tiles)
                     rows = core(variables, frames_u8, class_conf, min_area,
                                 max_area, class_allowed)
                     new_state, packed = gate_tail(gate_state, frames_u8,
-                                                  lanes, gate_params, rows,
-                                                  s2_vars)
+                                                  gate_lanes, gate_params,
+                                                  rows, s2_vars)
                     return new_ref, new_state, packed
             else:
                 def gated_program(variables, ref, gate_state, lanes,
-                                  tile_idx, tiles, gate_params, class_conf,
-                                  min_area, max_area, class_allowed):
+                                  gate_lanes, tile_idx, tiles, gate_params,
+                                  class_conf, min_area, max_area,
+                                  class_allowed):
                     new_ref, frames_u8 = reconstruct(ref, lanes, tile_idx,
                                                      tiles)
                     rows = core(variables, frames_u8, class_conf, min_area,
                                 max_area, class_allowed)
                     new_state, packed = gate_tail(gate_state, frames_u8,
-                                                  lanes, gate_params, rows)
+                                                  gate_lanes, gate_params,
+                                                  rows)
                     return new_ref, new_state, packed
 
             jitted = jax.jit(gated_program, donate_argnums=(1, 2))
@@ -732,11 +785,20 @@ class DetectorProgram:
         from telescope_cam_detection_tpu.runtime.delta import (
             DeltaEncoder, pack_batch)
         spec = self.spec
-        lane_list = list(lanes) if lanes is not None else [0] * len(frames)
-        if len(lane_list) != len(frames):
+        gate_lanes = list(lanes) if lanes is not None else [0] * len(frames)
+        if len(gate_lanes) != len(frames):
             raise ValueError("lanes length != batch")
-        if any(l < 0 or l >= spec.delta_lanes for l in lane_list):
+        if any(l < -1 or l >= spec.delta_lanes for l in gate_lanes):
             raise ValueError(f"lane out of range (delta_lanes={spec.delta_lanes})")
+        # -1 marks batch padding: the delta encoder still needs a real lane
+        # (tiles must scatter somewhere), so pads share one dedicated
+        # encoder lane — but the GATE schedule sees -1 and drops them, so
+        # pads never chain into sequential gate rounds or touch gate state
+        if any(l < 0 for l in gate_lanes):
+            pad_lane = self.lane_for_stream("__pad__")
+            lane_list = [l if l >= 0 else pad_lane for l in gate_lanes]
+        else:
+            lane_list = gate_lanes
         with self._delta_lock:
             for lane in set(lane_list):
                 if lane not in self._delta_encoders:
@@ -773,14 +835,16 @@ class DetectorProgram:
             if gated:
                 from telescope_cam_detection_tpu.ops.motion import chain_shape
                 fn = self._get_delta_program(len(frames), capture_hw, k,
-                                             chain_shape(lane_list))
+                                             chain_shape(gate_lanes))
             else:
                 fn = self._get_delta_program(len(frames), capture_hw, k)
             try:
                 if gated:
                     gs = self._gate_state_for(spec.input_hw)
                     args = [self.variables, self._delta_ref, gs,
-                            jnp.asarray(lanes_a), jnp.asarray(idx_a),
+                            jnp.asarray(lanes_a),
+                            jnp.asarray(gate_lanes, jnp.int32),
+                            jnp.asarray(idx_a),
                             jnp.asarray(tiles_a), self._gate_params,
                             f["class_conf"], f["min_area"], f["max_area"],
                             f["class_allowed"]]
@@ -866,7 +930,9 @@ class DetectorProgram:
             lane_list = list(lanes) if lanes is not None else [0] * batch
             if len(lane_list) != batch:
                 raise ValueError("lanes length != batch")
-            if any(l < 0 or l >= self._n_lanes for l in lane_list):
+            # -1 marks a batch-padding entry: no gate state, excluded from
+            # the round schedule (chain_shape/_round_schedule drop it)
+            if any(l < -1 or l >= self._n_lanes for l in lane_list):
                 raise ValueError(
                     f"lane out of range (gate_lanes={self._n_lanes})")
             from telescope_cam_detection_tpu.ops.motion import chain_shape
@@ -983,6 +1049,8 @@ def rows_to_detections(
     motion_pixels: Optional[np.ndarray] = None,
     species_prob: Optional[np.ndarray] = None,
     species_id: Optional[np.ndarray] = None,
+    species_row: Optional[np.ndarray] = None,
+    species_valid: Optional[np.ndarray] = None,
 ) -> List[Dict[str, Any]]:
     """(max_det, 7) device rows -> list of reference-format detection dicts:
     {class_id, class_name, confidence, bbox{x1,y1,x2,y2,width,height,area}}.
@@ -991,8 +1059,19 @@ def rows_to_detections(
     gates='device' program; attached to each detection so the host
     MotionFilter can threshold without recomputing masks.
     species_prob/species_id: optional (C, K) fused-Stage-2 top-k results
-    for the first C rows (attach_classifier); attached raw as
-    ``species_raw`` for TwoStageDetectionPipeline to format/re-rank."""
+    (attach_classifier); attached raw as ``species_raw`` for
+    TwoStageDetectionPipeline to format/re-rank. species_row (C,) maps
+    crop slot c to its row index (the device selects eligible rows by
+    score, not slot order) and species_valid (C,) marks slots that held a
+    real eligible row; without them crop c maps positionally to row c."""
+    species_map: Dict[int, Any] = {}
+    if species_prob is not None:
+        for c in range(species_prob.shape[0]):
+            if species_valid is not None and not species_valid[c]:
+                continue
+            r = int(species_row[c]) if species_row is not None else c
+            species_map[r] = (species_id[c].tolist(),
+                              species_prob[c].tolist())
     dets: List[Dict[str, Any]] = []
     for i, row in enumerate(rows):
         if row[5] < 0:  # invalid marker
@@ -1013,8 +1092,7 @@ def rows_to_detections(
             det["motion_ratio"] = float(motion_ratio[i])
         if motion_pixels is not None:
             det["motion_pixels"] = float(motion_pixels[i])
-        if species_prob is not None and i < species_prob.shape[0]:
-            det["species_raw"] = (species_id[i].tolist(),
-                                  species_prob[i].tolist())
+        if i in species_map:
+            det["species_raw"] = species_map[i]
         dets.append(det)
     return dets

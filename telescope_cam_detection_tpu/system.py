@@ -283,24 +283,40 @@ class TelescopeDetectionSystem:
                         f"{weights}")
                 self.species_classifier.variables = loaded
                 logger.info("loaded classifier weights from %s", weights)
+        enh_global = sc.get("enhancement", {}) or {}
+        enhancement_on = (enh_global.get("enabled")
+                          and enh_global.get("method", "none") != "none")
         if (self.species_classifier is not None and sc.get("fused")
-                and gates_mode == "device"):
+                and gates_mode == "device" and not enhancement_on):
             # fuse Stage-2 into the gated detector program: one dispatch,
             # one packed readback carries rows + gate aux + species top-k
             pre_global = sc.get("preprocessing") or {}
+            from telescope_cam_detection_tpu.coco_constants import (
+                CLASS_ID_TO_CATEGORY)
             self.program.attach_classifier(
                 self.species_classifier.model,
                 self.species_classifier.variables,
                 input_size=self.species_classifier.input_size,
                 max_crops=sc.get("fused_max_crops", 4),
                 crop_padding_percent=pre_global.get(
-                    "crop_padding_percent", 20))
+                    "crop_padding_percent", 20),
+                # device-side slot eligibility mirrors the host Stage-2
+                # rules so ineligible rows never take classification slots
+                classify_class_ids=list(CLASS_ID_TO_CATEGORY),
+                min_crop_size=pre_global.get("min_crop_size", 64))
             logger.info("fused Stage-2 classifier into the detector program "
                         "(max %d crops/frame)", sc.get("fused_max_crops", 4))
         elif sc.get("fused"):
-            logger.warning("species_classification.fused requires "
-                           "detection.gates: device and an enabled "
-                           "classifier; running unfused")
+            if enhancement_on:
+                # classifying enhanced crops requires host-side pixel work;
+                # fused device results would be superseded (and paid twice)
+                logger.warning("species_classification.fused is incompatible "
+                               "with crop enhancement (%s); running unfused",
+                               enh_global.get("method"))
+            else:
+                logger.warning("species_classification.fused requires "
+                               "detection.gates: device and an enabled "
+                               "classifier; running unfused")
 
         # per-camera pipelines (fault-tolerant: a broken camera config skips)
         for cam in cfg.get("cameras", []) or []:
@@ -476,6 +492,21 @@ class TelescopeDetectionSystem:
                     bilateral_d=bila.get("d", 9),
                     bilateral_sigma_color=bila.get("sigma_color", 75),
                     bilateral_sigma_space=bila.get("sigma_space", 75))
+            # fused Stage-2 bakes the GLOBAL preprocessing into the device
+            # program; a camera whose merged stage2_preprocessing diverges
+            # must classify host-side with its own settings instead of
+            # silently using global-padded device crops
+            pre_global = sc.get("preprocessing") or {}
+            fused_matches_camera = all(
+                pre.get(key, default) == pre_global.get(key, default)
+                for key, default in (("crop_padding_percent", 20),
+                                     ("min_crop_size", 64)))
+            if (self.program is not None
+                    and getattr(self.program, "_stage2", None) is not None
+                    and not fused_matches_camera):
+                logger.info("[%s] stage2_preprocessing overrides differ from "
+                            "the fused globals; this camera classifies "
+                            "host-side", cam_id)
             two_stage = TwoStageDetectionPipeline(
                 species_classifier=self.species_classifier,
                 enhancer=enhancer,
@@ -483,7 +514,8 @@ class TelescopeDetectionSystem:
                 min_crop_size=pre.get("min_crop_size", 64),
                 confidence_threshold=(cfg.get("species_classification", {})
                                       or {}).get("confidence_threshold", 0.3),
-                device_crops=sc.get("device_crops", False))
+                device_crops=sc.get("device_crops", False),
+                use_fused_raw=fused_matches_camera)
 
         engine = InferenceEngine(
             frame_q, infer_q, camera_id=cam_id,

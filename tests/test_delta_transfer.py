@@ -325,3 +325,28 @@ def test_native_yuv_tiles_and_rows_match_numpy():
     np.testing.assert_array_equal(idx_n, idx_p)
     np.testing.assert_array_equal(rows_n, rows_p)
     np.testing.assert_array_equal(ref_native, ref_numpy)
+
+
+@pytest.mark.slow
+def test_program_delta_pad_lane_entries():
+    """lane -1 = batch padding: the program encodes the pad through a
+    dedicated internal encoder lane (tiles must scatter somewhere) while
+    the gate schedule never sees it; reconstruction stays exact for real
+    entries across dispatches."""
+    src = SyntheticFrameSource(width=256, height=192, seed=0)
+    filt = FilterSettings(conf_threshold=0.0, wildlife_only=False)
+    ref_prog = DetectorProgram(_mini_spec(transfer="host"), seed=0)
+    ref_prog.update_filters(filt)
+    prog = DetectorProgram(
+        _mini_spec(transfer="delta", delta_threshold=0, delta_refresh_tiles=0,
+                   delta_lanes=3, delta_payload="rgb"), seed=0)
+    prog.update_filters(filt)
+    for i in range(3):
+        f = src.frame_at(i)
+        frames = np.stack([f, np.zeros_like(f)])
+        want = ref_prog.detect_batch_rows(frames)
+        got = prog.detect_batch_rows(frames, lanes=[0, -1])
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+    with pytest.raises(ValueError, match="lane out of range"):
+        prog.detect_batch_rows(np.zeros((1, 192, 256, 3), np.uint8),
+                               lanes=[-2])

@@ -353,3 +353,45 @@ def test_rtdetr_gated_program():
         dev = gate.decide(float(aux["motion_area"][0]),
                           bool(aux["initialized"][0]))
         assert dev == host.has_motion(f)
+
+
+def test_chain_shape_excludes_padding():
+    """Padding entries (lane -1) must not inflate the round schedule: a
+    bucket-8 batch with 3 real cameras and 5 pads needs ONE round, not
+    eight."""
+    assert motion_ops.chain_shape([0, 1, 2, -1, -1, -1, -1, -1]) == (1, 4)
+    assert motion_ops.chain_shape([-1, -1]) == (1, 1)   # all-pad batch
+    assert motion_ops.chain_shape([0, 0, 1, -1]) == (2, 2)
+
+
+def test_round_schedule_drops_padding():
+    import jax.numpy as jnp
+    sched = np.asarray(motion_ops._round_schedule(
+        jnp.asarray([0, 1, -1, -1], jnp.int32), rounds=1, width=2))
+    assert sorted(sched[0].tolist()) == [0, 1]          # pads absent
+
+
+def test_padded_batch_matches_unpadded(gated_program):
+    """A batch padded with -1 lanes yields identical gate results for the
+    real entry and leaves that lane's state exactly as a pad-free dispatch
+    sequence would (pads carry no gate state)."""
+    prog = gated_program
+    clip = _clip(n=4)
+    prog.reset_gate_state()
+    areas_padded = []
+    for f in clip:
+        frames = np.stack([f] + [np.zeros_like(f)] * 3)
+        _, aux = prog.detect_batch_gated(frames, lanes=[0, -1, -1, -1])
+        areas_padded.append(float(np.asarray(aux["motion_area"])[0]))
+    prog.reset_gate_state()
+    areas_serial = []
+    for f in clip:
+        _, aux = prog.detect_batch_gated(f[None], lanes=[0])
+        areas_serial.append(float(np.asarray(aux["motion_area"])[0]))
+    np.testing.assert_allclose(areas_padded, areas_serial, rtol=1e-5)
+
+
+def test_gate_lane_validation_allows_pad_marker(gated_program):
+    with pytest.raises(ValueError, match="lane out of range"):
+        gated_program.detect_batch_gated(
+            np.zeros((1, *HW, 3), np.uint8), lanes=[-2])

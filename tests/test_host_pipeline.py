@@ -238,6 +238,33 @@ def test_processor_end_to_end_latency_and_counts():
     assert len(proc.history) == 1
 
 
+def test_processor_strips_gated_transport_fields():
+    """motion_ratio/motion_pixels/species_raw are gated-program transport,
+    not reference output — the processor must strip them before the result
+    reaches the wire (even with no motion filter / Stage-2 configured)."""
+    in_q, out_q = queue.Queue(4), queue.Queue(4)
+    frame = np.zeros((32, 32, 3), np.uint8)
+    proc = DetectionProcessor(in_q, out_q, camera_id="p2",
+                              get_latest_frame=lambda: frame.copy())
+    proc.start()
+    in_q.put({"frame_id": 1, "timestamp": time.time(), "camera_id": "p2",
+              "camera_name": "P", "inference_time": 0.01,
+              "detections": [
+                  {"class_name": "cat", "confidence": 0.9,
+                   "bbox": {"x1": 1, "y1": 1, "x2": 10, "y2": 10},
+                   "motion_ratio": 0.5, "motion_pixels": 12.0,
+                   "species_raw": ([3], [0.9])},
+              ],
+              "frame_shape": (32, 32, 3)})
+    result = out_q.get(timeout=5)
+    proc.stop()
+    det = result["detections"][0]
+    assert "motion_ratio" not in det
+    assert "motion_pixels" not in det
+    assert "species_raw" not in det
+    assert det["class_name"] == "cat"
+
+
 def test_full_pipeline_capture_to_detection(program):
     """Synthetic camera -> engine (standalone) -> processor -> detection queue."""
     frame_q, infer_q, det_q = (queue.Queue(2), queue.Queue(10), queue.Queue(10))
