@@ -45,7 +45,7 @@ MIN_TIME_DELTA = 0.001
 # Static batch-size buckets for the shared coordinator. Frames are padded up
 # to the nearest bucket so every device program has a static shape (one XLA
 # compilation per (bucket, resolution) pair, cached persistently).
-BATCH_BUCKETS = (1, 2, 4, 8, 16, 32)
+BATCH_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
 
 # Resolution buckets (height, width) the device programs are compiled for.
 RESOLUTION_BUCKETS = ((640, 640), (1280, 1280), (1440, 2560), (1920, 1920))

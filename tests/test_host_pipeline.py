@@ -89,7 +89,8 @@ def test_bucket_for():
     assert bucket_for(3) == 4
     assert bucket_for(5) == 8
     assert bucket_for(17) == 32
-    assert bucket_for(100) == 32
+    assert bucket_for(33) == 64
+    assert bucket_for(100) == 64
 
 
 def test_engine_standalone_end_to_end(program):
