@@ -33,7 +33,19 @@ def main() -> int:
     system = TelescopeDetectionSystem(args.config,
                                       load_weights=not args.no_weights)
 
+    shutting_down = False
+
     def handle_signal(signum, frame):
+        # a second signal while stop() is tearing down must not re-enter
+        # the handler: SystemExit raised mid-stop aborts device-client
+        # teardown uncleanly (observed: repeat SIGTERM during shutdown
+        # crashed the TPU relay client with a C++ terminate)
+        nonlocal shutting_down
+        if shutting_down:
+            logging.getLogger("main").info(
+                "signal %d during shutdown; already stopping", signum)
+            return
+        shutting_down = True
         logging.getLogger("main").info("signal %d; shutting down", signum)
         system.stop()
         sys.exit(0)
