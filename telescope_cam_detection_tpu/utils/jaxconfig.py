@@ -22,7 +22,15 @@ def configure_jax(cache_dir: str | None = None) -> None:
     global _configured
     if _configured:
         return
+    # Some environments register the TPU backend in sitecustomize and pin
+    # jax_platforms there, ignoring the JAX_PLATFORMS env var. TCD_PLATFORM
+    # re-overrides via jax.config (must happen before backend init) so the
+    # app can be forced onto e.g. CPU for hermetic tests and smoke runs.
+    platform = os.environ.get("TCD_PLATFORM")
     import jax
+
+    if platform:
+        jax.config.update("jax_platforms", platform)
 
     if jax.default_backend() == "cpu":
         # CPU compiles are fast and cached CPU executables are machine-
