@@ -115,6 +115,10 @@ class SharedInferenceCoordinator:
         # avg_infer_ms for pure device+transfer time)
         self._pipeline_waits: deque = deque(maxlen=200)
         self._per_camera: Dict[str, int] = defaultdict(int)
+        # padded-bucket utilization: bucket -> batches served at that shape
+        # (which compiled programs actually carry traffic; surfaces
+        # mis-sized max_batch_size / wait_ms in /stats)
+        self._bucket_counts: Dict[int, int] = defaultdict(int)
 
     # -- lifecycle -----------------------------------------------------------
     def start(self) -> None:
@@ -402,6 +406,7 @@ class SharedInferenceCoordinator:
         self.total_batches += 1
         self.total_frames += n
         self._batch_sizes.append(n)
+        self._bucket_counts[bucket_for(n)] += 1
         for i, req in enumerate(reqs):
             gate = ({k: v[i] for k, v in aux.items()}
                     if aux is not None else None)
@@ -441,6 +446,7 @@ class SharedInferenceCoordinator:
             "avg_pipeline_wait_ms": (float(np.mean(self._pipeline_waits))
                                      if self._pipeline_waits else 0.0),
             "per_camera_requests": dict(self._per_camera),
+            "bucket_counts": dict(sorted(self._bucket_counts.items())),
             "max_batch_size": self.max_batch_size,
             "current_batch_limit": self._current_batch_limit(),
         }

@@ -160,6 +160,7 @@ def test_coordinator_batches_across_cameras(program):
     assert stats["total_frames"] == 3
     assert stats["total_batches"] == 1  # one fused forward for all three
     assert stats["avg_batch_size"] == 3.0
+    assert stats["bucket_counts"] == {4: 1}  # 3 frames pad to the 4 bucket
     assert results["a"].shape == (10, 7)
 
 
