@@ -962,6 +962,71 @@ class DetectorProgram:
         self.stats["frames"] += batch
         return rows
 
+    def warm(self, batch: int, capture_hw: Tuple[int, int],
+             k: Optional[int] = None) -> None:
+        """Compile AND execute the program variant for (batch, capture_hw
+        [, delta K bucket]) on dummy inputs, so serving never pays
+        first-dispatch compilation (the TPU analog of the reference's
+        TensorRT engine pre-build, tools/convert_yolox_to_tensorrt.py).
+
+        Owns its argument construction so cache-warming tools never track
+        the jitted programs' signatures (which change as features fuse in
+        — a stale hand-built call is exactly what this replaces). Gated
+        variants warm the round-robin serving chain (coordinator batches
+        spread across cameras). k is delta-mode only; None warms the
+        full-refresh bucket.
+        """
+        spec = self.spec
+        gated = spec.gates == "device"
+        n_streams = max((spec.delta_lanes if spec.transfer == "delta"
+                         else self._n_lanes) - 1, 1)
+        lane_list = [i % n_streams for i in range(batch)]
+        if spec.transfer != "delta":
+            if k is not None:
+                raise ValueError("k is only meaningful for transfer='delta'")
+            frames = np.zeros((batch, *capture_hw, 3), np.uint8)
+            handle = self.dispatch_batch(
+                frames, lanes=lane_list if gated else None)
+            self.materialize(handle, batch)
+            return
+        num_tiles = self._delta_ref_shape[1]
+        if k is None:
+            k = num_tiles
+        # index num_tiles = the scatter's out-of-range drop slot: executes
+        # the full reconstruct+detect graph without touching the mirrors
+        idx = jnp.full((batch, k), num_tiles, jnp.int32)
+        tile_shape = ((k, spec.delta_tile * spec.delta_tile * 3 // 2)
+                      if spec.delta_payload == "yuv420"
+                      else (k, spec.delta_tile, spec.delta_tile, 3))
+        tiles = jnp.zeros((batch, *tile_shape), jnp.uint8)
+        lanes_a = jnp.asarray(lane_list, jnp.int32)
+        f = self._filter_arrays
+        with self._delta_lock:
+            if self._delta_ref is None:
+                self._delta_ref = jnp.zeros(self._delta_ref_shape, jnp.uint8)
+            if gated:
+                from telescope_cam_detection_tpu.ops.motion import chain_shape
+                fn = self._get_delta_program(batch, capture_hw, k,
+                                             chain_shape(lane_list))
+                gs = self._gate_state_for(spec.input_hw)
+                args = [self.variables, self._delta_ref, gs, lanes_a,
+                        lanes_a, idx, tiles, self._gate_params,
+                        f["class_conf"], f["min_area"], f["max_area"],
+                        f["class_allowed"]]
+                if self._stage2 is not None:
+                    args.append(self._stage2["variables"])
+                new_ref, new_gs, packed = fn(*args)
+                self._gate_states[spec.input_hw] = new_gs
+                np.asarray(packed)
+            else:
+                fn = self._get_delta_program(batch, capture_hw, k)
+                new_ref, rows = fn(self.variables, self._delta_ref, lanes_a,
+                                   idx, tiles, f["class_conf"],
+                                   f["min_area"], f["max_area"],
+                                   f["class_allowed"])
+                np.asarray(rows)
+            self._delta_ref = new_ref
+
     @staticmethod
     def _pack_yuv420(frames: np.ndarray) -> np.ndarray:
         """(B, H, W, 3) BGR -> (B, H*3//2, W) planar I420, FULL-range BT.601

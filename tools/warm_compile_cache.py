@@ -47,6 +47,10 @@ def main() -> int:
                              "bucket up to the full-refresh size)")
     parser.add_argument("--gates", default="none", choices=["none", "device"],
                         help="warm the fused-gate program variants")
+    parser.add_argument("--readback", type=int, default=None,
+                        help="readback_topk compaction K (must match the "
+                             "serving config's detection.readback_topk — it "
+                             "changes the compiled program)")
     parser.add_argument("--benchmark", action="store_true")
     args = parser.parse_args()
 
@@ -58,7 +62,7 @@ def main() -> int:
     spec = ProgramSpec(detector_type=args.detector, variant=args.variant,
                        input_hw=tuple(args.input), transfer=args.transfer,
                        delta_lanes=args.lanes, gates=args.gates,
-                       gate_lanes=args.lanes)
+                       gate_lanes=args.lanes, readback_topk=args.readback)
     program = DetectorProgram(spec)
     if args.weights:
         from telescope_cam_detection_tpu.models.convert import load_variables
@@ -68,8 +72,9 @@ def main() -> int:
             program.variables = loaded
 
     if args.transfer == "delta":
-        # compile each (batch, K-bucket) reconstruct+detect variant directly
-        from telescope_cam_detection_tpu.runtime.delta import pack_batch
+        # warm each (batch, K-bucket) reconstruct+detect variant; warm()
+        # owns the jitted-program signatures (a hand-built call here went
+        # stale when the fused gates grew a gate_lanes argument)
         ih, iw = spec.input_hw
         num_tiles = (ih // spec.delta_tile) * (iw // spec.delta_tile)
         default_buckets = [k for k in (16, 32, 48, 64, 96, 128, 192, 256,
@@ -80,67 +85,23 @@ def main() -> int:
             for batch in args.batches:
                 for k in buckets:
                     t0 = time.time()
-                    program._get_delta_program(batch, (h, w), k)
-                    # force the compile by tracing+executing a tiny call
-                    import jax.numpy as jnp
-                    lanes = np.zeros((batch,), np.int32)
-                    idx = np.full((batch, k), num_tiles, np.int32)
-                    tile_shape = (
-                        (k, spec.delta_tile * spec.delta_tile * 3 // 2)
-                        if spec.delta_payload == "yuv420"
-                        else (k, spec.delta_tile, spec.delta_tile, 3))
-                    tiles = np.zeros((batch, *tile_shape), np.uint8)
-                    if program._delta_ref is None:
-                        program._delta_ref = jnp.zeros(
-                            program._delta_ref_shape, jnp.uint8)
-                    f = program._filter_arrays
-                    if args.gates == "device":
-                        # warm the round-robin serving chain (coordinator
-                        # batches spread across cameras) for this batch
-                        from telescope_cam_detection_tpu.ops.motion import (
-                            chain_shape)
-                        n_cams = max(args.lanes - 1, 1)
-                        lane_list = [i % n_cams for i in range(batch)]
-                        lanes = np.asarray(lane_list, np.int32)
-                        chain = chain_shape(lane_list)
-                        fn = program._get_delta_program(batch, (h, w), k,
-                                                        chain)
-                        gs = program._gate_state_for(spec.input_hw)
-                        new_ref, new_gs, packed = fn(
-                            program.variables, program._delta_ref, gs,
-                            jnp.asarray(lanes), jnp.asarray(idx),
-                            jnp.asarray(tiles), program._gate_params,
-                            f["class_conf"], f["min_area"],
-                            f["max_area"], f["class_allowed"])
-                        program._gate_states[spec.input_hw] = new_gs
-                        np.asarray(packed)
-                        print(f"compiled gated delta batch={batch} "
-                              f"capture={h}x{w} K={k} chain={chain} "
-                              f"in {time.time() - t0:.1f}s", flush=True)
-                    else:
-                        fn = program._get_delta_program(batch, (h, w), k)
-                        new_ref, rows = fn(
-                            program.variables, program._delta_ref,
-                            jnp.asarray(lanes), jnp.asarray(idx),
-                            jnp.asarray(tiles), f["class_conf"],
-                            f["min_area"], f["max_area"],
-                            f["class_allowed"])
-                        np.asarray(rows)
-                        print(f"compiled delta batch={batch} "
-                              f"capture={h}x{w} K={k} "
-                              f"in {time.time() - t0:.1f}s", flush=True)
-                    program._delta_ref = new_ref
+                    program.warm(batch, (h, w), k=k)
+                    kind = ("gated delta" if args.gates == "device"
+                            else "delta")
+                    print(f"compiled {kind} batch={batch} "
+                          f"capture={h}x{w} K={k} "
+                          f"in {time.time() - t0:.1f}s", flush=True)
         return 0
 
     for cap in args.captures:
         h, w = (int(v) for v in cap.split("x"))
         for batch in args.batches:
-            frames = np.zeros((batch, h, w, 3), np.uint8)
             t0 = time.time()
-            program.detect_batch_rows(frames)
+            program.warm(batch, (h, w))
             print(f"compiled batch={batch} capture={h}x{w} "
                   f"in {time.time() - t0:.1f}s")
             if args.benchmark:
+                frames = np.zeros((batch, h, w, 3), np.uint8)
                 t0 = time.time()
                 n = 10
                 for _ in range(n):
