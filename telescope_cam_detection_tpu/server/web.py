@@ -602,6 +602,8 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._json(self.web.config_payload())
             if path == "/api/profiler/trace":
                 return self._profiler_trace()
+            if path == "/api/profiler/cpu":
+                return self._profiler_cpu()
             if path == "/api/clips":
                 return self._clips_list()
             if path.startswith("/api/clips/"):
@@ -712,6 +714,37 @@ class _Handler(BaseHTTPRequestHandler):
                                "hint": "tensorboard --logdir " + trace_dir})
         except Exception as e:
             logger.exception("profiler trace failed")
+            return self._json({"success": False, "error": str(e)}, 500)
+        finally:
+            self.web._trace_lock.release()
+
+    def _profiler_cpu(self) -> None:
+        """Sample every serving thread's stack for N seconds and return the
+        hottest functions (own = where the CPU/blocking call sits, total =
+        inclusive). The host-side complement of /api/profiler/trace: the
+        device timeline says what the chip does, this says where the host
+        core goes (capture/coordinator/processor/web threads — invisible
+        to cProfile, which instruments a single thread)."""
+        if not self.web.verify_clips_token(self.headers.get("Authorization")):
+            return self._error(401, "unauthorized")
+        from urllib.parse import parse_qs, urlparse
+        query = parse_qs(urlparse(self.path).query)
+        seconds = min(float(query.get("seconds", ["5"])[0]), 60.0)
+        top = min(int(query.get("top", ["25"])[0]), 100)
+        if not self.web._trace_lock.acquire(blocking=False):
+            return self._error(409, "a profile is already running")
+        try:
+            from telescope_cam_detection_tpu.utils.profiling import (
+                StackSampler)
+            sampler = StackSampler(interval=0.005)
+            sampler.start()
+            time.sleep(seconds)
+            sampler.stop()
+            rep = sampler.report(top)
+            rep["success"] = True
+            return self._json(rep)
+        except Exception as e:
+            logger.exception("cpu profile failed")
             return self._json({"success": False, "error": str(e)}, 500)
         finally:
             self.web._trace_lock.release()

@@ -314,6 +314,18 @@ def test_index_and_static(system):
     assert status == 404
 
 
+def test_profiler_cpu_endpoint(system):
+    _, port = system
+    status, body = _get(port, "/api/profiler/cpu?seconds=0.3&top=5",
+                        timeout=60)
+    assert status == 200
+    data = json.loads(body)
+    assert data["success"] is True
+    assert data["samples"] > 10
+    assert isinstance(data["own"], list) and isinstance(data["total"], list)
+    assert len(data["own"]) <= 5
+
+
 def test_profiler_trace_endpoint(system, tmp_path):
     sys_obj, port = system
     # client-supplied dir is IGNORED: traces land in the server-side path

@@ -10,13 +10,10 @@ Env knobs:
   FS_SECONDS=30      measurement window after warmup
   FS_WARMUP=45       warmup seconds (compiles + cache fill)
   FS_GATES=device    detection.gates (device|none)
-  FS_PROFILE=1       cProfile the serving process during the window
+  FS_PROFILE=1       sample all serving threads' stacks during the window
 """
-import cProfile
-import io
 import json
 import os
-import pstats
 import socket
 import sys
 import tempfile
@@ -130,19 +127,23 @@ def main():
         return sum(e.frames_processed for e in sys_obj.engines.values())
 
     time.sleep(warmup)
-    prof = cProfile.Profile() if os.environ.get("FS_PROFILE") else None
-    if prof:
-        prof.enable()
+    # cProfile only instruments the calling thread (this one, which just
+    # sleeps through the window) — the serving pipeline lives in capture/
+    # coordinator/processor/web threads. StackSampler samples EVERY
+    # thread's stack instead.
+    prof = None
+    if os.environ.get("FS_PROFILE"):
+        from telescope_cam_detection_tpu.utils.profiling import StackSampler
+        prof = StackSampler(interval=0.005)
+        prof.start()
     f0, t0 = engine_frames(), time.time()
     d0 = sum(p.results_processed for p in sys_obj.processors.values())
     time.sleep(seconds)
     f1, t1 = engine_frames(), time.time()
     d1 = sum(p.results_processed for p in sys_obj.processors.values())
     if prof:
-        prof.disable()
-        out = io.StringIO()
-        pstats.Stats(prof, stream=out).sort_stats("cumulative").print_stats(40)
-        sys.stderr.write(out.getvalue())
+        prof.stop()
+        sys.stderr.write(prof.format_report(30) + "\n")
 
     coord = sys_obj.coordinator.get_stats() if sys_obj.coordinator else {}
     caps = sum(c.get_stats().get("frames_captured", 0)
