@@ -107,6 +107,8 @@ _RANGE_SPECS: Tuple[Tuple[Tuple[str, ...], type, Optional[float], Optional[float
     (("camera_health", "check_interval_seconds"), float, 0.1, None),
     (("camera_health", "min_fps"), float, 0.0, None),
     (("camera_health", "max_restart_attempts"), int, 0, 10000),
+    (("camera_health", "alerts", "min_interval_seconds"), float, 0.0, None),
+    (("camera_health", "alerts", "timeout_seconds"), float, 0.1, 300.0),
 )
 
 _VALID_DETECTORS = ("yolox", "rtdetr")

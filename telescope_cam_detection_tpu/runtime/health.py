@@ -33,6 +33,8 @@ class CameraHealthMetrics:
     status: str = STATUS_HEALTHY
     health_score: float = 100.0
     issues: List[str] = field(default_factory=list)
+    # one restart_exhausted alert per failure episode (reset on recovery)
+    restart_exhausted_alerted: bool = False
 
 
 class CameraHealthMonitor:
@@ -50,6 +52,7 @@ class CameraHealthMonitor:
         backoff_multiplier: float = 2.0,
         initial_backoff_seconds: float = 5.0,
         enabled: bool = True,
+        alert_callback: Optional[Callable[[Dict[str, Any]], None]] = None,
     ):
         self.captures = captures
         self.restart_callback = restart_callback
@@ -63,6 +66,11 @@ class CameraHealthMonitor:
         self.backoff_multiplier = backoff_multiplier
         self.initial_backoff = initial_backoff_seconds
         self.enabled = enabled
+        # alert hooks — the reference declares these but ships TODO stubs
+        # (camera_health_monitor.py alert-hook block); here they are real:
+        # called with a structured event dict on every status TRANSITION
+        # and restart outcome. Must be non-blocking (WebhookAlerter queues).
+        self.alert_callback = alert_callback
 
         self._metrics: Dict[str, CameraHealthMetrics] = {
             cid: CameraHealthMetrics(cid) for cid in captures}
@@ -127,6 +135,7 @@ class CameraHealthMonitor:
                 m.issues.append(f"{m.consecutive_errors} consecutive errors")
                 score -= 10
             m.health_score = max(score, 0.0)
+            prev_status = m.status
             if m.status != STATUS_RESTARTING:
                 if m.health_score >= 80 and not m.issues:
                     m.status = STATUS_HEALTHY
@@ -139,11 +148,47 @@ class CameraHealthMonitor:
             should_restart = (self.auto_restart
                               and m.status == STATUS_FAILED
                               and m.restart_attempts < self.max_restart_attempts)
+            exhausted = (m.status == STATUS_FAILED
+                         and m.restart_attempts >= self.max_restart_attempts)
+            event = None
+            if m.status != prev_status:
+                event = self._event("status_change", m,
+                                    prev_status=prev_status)
+            elif exhausted and not m.restart_exhausted_alerted:
+                m.restart_exhausted_alerted = True
+                event = self._event("restart_exhausted", m)
+            if m.status == STATUS_HEALTHY:
+                m.restart_exhausted_alerted = False
+        if event is not None:
+            self._alert(event)
         if should_restart:
             self._attempt_restart(cam_id)
 
     def _backoff_delay(self, attempts: int) -> float:
         return self.initial_backoff * (self.backoff_multiplier ** attempts)
+
+    # -- alert hooks ------------------------------------------------------------
+    @staticmethod
+    def _event(kind: str, m: CameraHealthMetrics, **extra) -> Dict[str, Any]:
+        ev = {
+            "event": kind,
+            "camera_id": m.camera_id,
+            "status": m.status,
+            "health_score": m.health_score,
+            "issues": list(m.issues),
+            "restart_attempts": m.restart_attempts,
+            "timestamp": time.time(),
+        }
+        ev.update(extra)
+        return ev
+
+    def _alert(self, event: Dict[str, Any]) -> None:
+        if self.alert_callback is None:
+            return
+        try:
+            self.alert_callback(event)
+        except Exception:
+            logger.exception("alert callback failed (%s)", event.get("event"))
 
     def _attempt_restart(self, cam_id: str) -> None:
         with self._metrics_lock:
@@ -167,6 +212,9 @@ class CameraHealthMonitor:
         with self._metrics_lock:
             m = self._metrics[cam_id]
             m.status = STATUS_HEALTHY if ok else STATUS_FAILED
+            event = self._event(
+                "restart_success" if ok else "restart_failed", m)
+        self._alert(event)
         if ok:
             self.total_restarts += 1
             logger.info("[%s] restart successful", cam_id)

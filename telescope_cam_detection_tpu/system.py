@@ -95,6 +95,7 @@ class TelescopeDetectionSystem:
         self.face_masker: Optional[FaceMasker] = None
         self.face_mask_cache: Optional[FaceMaskingCache] = None
         self.health_monitor: Optional[CameraHealthMonitor] = None
+        self.alerter = None  # WebhookAlerter when camera_health.alerts set
         self.web_server: Optional[WebServer] = None
 
         self.captures: Dict[str, Any] = {}
@@ -328,9 +329,13 @@ class TelescopeDetectionSystem:
                 logger.exception("camera %s init failed; skipping",
                                  cam.get("id"))
 
-        # health monitor
+        # health monitor (+ alert hooks: the reference declares these but
+        # ships TODO stubs — here camera_health.alerts.webhook_url enables
+        # real JSON-POST delivery of status transitions / restart outcomes)
         ch = cfg.get("camera_health", {}) or {}
         if ch.get("enabled", True):
+            from telescope_cam_detection_tpu.utils.alerts import build_alerter
+            self.alerter = build_alerter(ch.get("alerts"))
             self.health_monitor = CameraHealthMonitor(
                 self.captures,
                 restart_callback=self.restart_camera,
@@ -342,7 +347,8 @@ class TelescopeDetectionSystem:
                 max_restart_attempts=ch.get("max_restart_attempts", 10),
                 restart_cooldown_seconds=ch.get("restart_cooldown_seconds", 300),
                 backoff_multiplier=ch.get("backoff_multiplier", 2),
-                initial_backoff_seconds=ch.get("initial_backoff_seconds", 5))
+                initial_backoff_seconds=ch.get("initial_backoff_seconds", 5),
+                alert_callback=self.alerter)
 
         # web server
         web = cfg.get("web", {}) or {}
@@ -690,6 +696,8 @@ class TelescopeDetectionSystem:
                 self.web_server.stop()
             if self.health_monitor is not None:
                 self.health_monitor.stop()
+            if self.alerter is not None:
+                self.alerter.stop()
             for processor in self.processors.values():
                 processor.stop()
             for engine in self.engines.values():
