@@ -4,8 +4,17 @@ cProfile instruments only the thread that calls enable(), which makes it
 blind to a threaded serving pipeline (capture/coordinator/processor/web
 threads do the work while the profiled thread sleeps). This sampler walks
 ``sys._current_frames()`` on a timer instead — every live thread's stack,
-no per-call overhead on the profiled code, same idea as py-spy but
-in-process and dependency-free.
+no per-call overhead on the profiled code.
+
+Pure stack *counting* has a blind spot of its own: a thread blocked in a
+C call (``SimpleQueue.get``, ``time.sleep``, a socket recv) shows the
+same Python leaf frame as a thread burning CPU under that frame, so idle
+pools read as busy. So each sample is **weighted by the thread's CPU-time
+delta** read from ``/proc/self/task/<native_id>/stat`` (utime+stime):
+stacks only accumulate weight when their thread actually spent CPU since
+the previous sample. Wall-clock presence is tracked separately as
+``waiting`` (which framework code sits blocked) — useful for spotting
+stalls, but never conflated with CPU.
 
 No reference analog (the reference ships no profiler; its `--profile`
 flag wraps cProfile around the single-threaded main, main.py). The TPU
@@ -14,36 +23,56 @@ tool that answers "where does the host core go".
 """
 from __future__ import annotations
 
+import logging
+import os
 import sys
 import threading
 import time
 from collections import defaultdict
 from typing import Any, Dict, List, Optional
 
+logger = logging.getLogger(__name__)
+
+_TICKS_PER_SEC = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+
+
+def _thread_cpu_ticks(native_id: int) -> Optional[int]:
+    """utime+stime clock ticks for one OS thread of this process."""
+    try:
+        with open(f"/proc/self/task/{native_id}/stat", "rb") as f:
+            data = f.read()
+        # fields after the parenthesised comm (which may contain spaces)
+        rest = data.rsplit(b")", 1)[1].split()
+        return int(rest[11]) + int(rest[12])  # utime, stime
+    except (OSError, IndexError, ValueError):
+        return None
+
 
 class StackSampler:
-    """Periodically sample every thread's Python stack.
+    """Periodically sample every thread's stack, weighted by CPU time.
 
-    Aggregates two counters per function (module:qualname:lineno of the
-    function's def):
+    Per function (module:qualname:lineno of the def), in CPU milliseconds:
 
-    * ``own``: samples where the function was the innermost frame — where
-      the CPU (or a blocking call) actually sits;
-    * ``total``: samples where it appeared anywhere on the stack.
+    * ``own``: the function was the innermost frame while its thread
+      burned CPU — where the core actually goes;
+    * ``total``: it was anywhere on a CPU-burning stack (inclusive).
+
+    Plus ``waiting``: wall-clock samples where a framework function sat
+    blocked (leaf in a known wait, or zero CPU delta) — stall evidence,
+    reported separately.
 
     ``interval`` trades resolution for overhead; 5 ms ≈ 200 Hz costs well
-    under 1% of one core for a dozen threads.
+    under 1% of one core for a few dozen threads.
     """
 
-    def __init__(self, interval: float = 0.005,
-                 skip_idle: bool = True) -> None:
+    def __init__(self, interval: float = 0.005) -> None:
         self.interval = float(interval)
-        # drop frames that are just the sampler itself / thread bookkeeping
-        self.skip_idle = skip_idle
-        self._own: Dict[str, int] = defaultdict(int)
-        self._total: Dict[str, int] = defaultdict(int)
+        self._own: Dict[str, float] = defaultdict(float)      # CPU ms
+        self._total: Dict[str, float] = defaultdict(float)    # CPU ms
+        self._waiting: Dict[str, int] = defaultdict(int)      # samples
+        self._thread_cpu: Dict[str, float] = defaultdict(float)
+        self._prev_ticks: Dict[int, int] = {}
         self._samples = 0
-        self._thread_samples: Dict[str, int] = defaultdict(int)
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -70,43 +99,60 @@ class StackSampler:
     # --------------------------------------------------------------- sampling
     def _run(self) -> None:
         me = threading.get_ident()
-        names = {}  # ident -> thread name (refreshed each pass)
+        tick_ms = 1000.0 / _TICKS_PER_SEC
         while not self._stop.wait(self.interval):
-            names = {t.ident: t.name for t in threading.enumerate()}
+            threads = {t.ident: t for t in threading.enumerate()}
             frames = sys._current_frames()
             with self._lock:
                 self._samples += 1
                 for ident, frame in frames.items():
                     if ident == me:
                         continue
-                    leaf = True
-                    seen = set()
-                    f = frame
-                    thread_name = names.get(ident, str(ident))
-                    counted_thread = False
-                    while f is not None:
-                        code = f.f_code
-                        key = (f"{code.co_filename}:{code.co_name}:"
-                               f"{code.co_firstlineno}")
-                        if leaf:
-                            if self.skip_idle and _is_idle_wait(code.co_name):
-                                # blocked in a lock/queue/sleep: attribute
-                                # the own-sample to the first frame that is
-                                # OUR code (what is waiting, not the wait)
-                                leaf = False
-                            else:
-                                self._own[key] += 1
-                                leaf = False
-                                counted_thread = True
-                        elif not counted_thread and _in_repo(code.co_filename):
-                            self._own[key] += 1
-                            counted_thread = True
-                        if key not in seen:  # recursion: count once
-                            self._total[key] += 1
-                            seen.add(key)
-                        f = f.f_back
-                    if counted_thread:
-                        self._thread_samples[thread_name] += 1
+                    t = threads.get(ident)
+                    nid = getattr(t, "native_id", None) if t else None
+                    cpu_ms = 0.0
+                    if nid is not None:
+                        ticks = _thread_cpu_ticks(nid)
+                        if ticks is not None:
+                            prev = self._prev_ticks.get(nid)
+                            self._prev_ticks[nid] = ticks
+                            if prev is not None and ticks > prev:
+                                cpu_ms = (ticks - prev) * tick_ms
+                    name = t.name if t else str(ident)
+                    if cpu_ms > 0.0:
+                        self._thread_cpu[name] += cpu_ms
+                        self._credit_cpu(frame, cpu_ms)
+                    else:
+                        self._credit_waiting(frame)
+
+    def _credit_cpu(self, frame, cpu_ms: float) -> None:
+        leaf = True
+        seen = set()
+        f = frame
+        while f is not None:
+            code = f.f_code
+            key = (f"{code.co_filename}:{code.co_name}:"
+                   f"{code.co_firstlineno}")
+            if leaf:
+                self._own[key] += cpu_ms
+                leaf = False
+            if key not in seen:  # recursion: count once
+                self._total[key] += cpu_ms
+                seen.add(key)
+            f = f.f_back
+
+    def _credit_waiting(self, frame) -> None:
+        # attribute the blocked sample to the innermost FRAMEWORK frame:
+        # "processor._loop is waiting", not "queue.get is waiting"
+        f = frame
+        while f is not None:
+            code = f.f_code
+            if _in_repo(code.co_filename):
+                key = (f"{code.co_filename}:{code.co_name}:"
+                       f"{code.co_firstlineno}")
+                self._waiting[key] += 1
+                return
+            f = f.f_back
 
     # ---------------------------------------------------------------- report
     def report(self, top: int = 25) -> Dict[str, Any]:
@@ -114,54 +160,64 @@ class StackSampler:
             samples = self._samples
             own = dict(self._own)
             total = dict(self._total)
-            threads = dict(self._thread_samples)
+            waiting = dict(self._waiting)
+            thread_cpu = dict(self._thread_cpu)
         elapsed = self._elapsed or (time.perf_counter() - self._t0)
+        wall_ms = elapsed * 1000.0
 
-        def rows(counter: Dict[str, int]) -> List[Dict[str, Any]]:
+        def cpu_rows(counter: Dict[str, float]) -> List[Dict[str, Any]]:
             out = []
-            for key, n in sorted(counter.items(), key=lambda kv: -kv[1])[:top]:
+            for key, ms in sorted(counter.items(), key=lambda kv: -kv[1])[:top]:
                 path, func, line = key.rsplit(":", 2)
                 out.append({
                     "function": func,
                     "location": f"{_short(path)}:{line}",
-                    "samples": n,
-                    "pct": round(100.0 * n / samples, 1) if samples else 0.0,
+                    "cpu_ms": round(ms, 1),
+                    # % of one core over the window
+                    "pct": round(100.0 * ms / wall_ms, 1) if wall_ms else 0.0,
                 })
             return out
+
+        wait_rows = []
+        for key, n in sorted(waiting.items(), key=lambda kv: -kv[1])[:top]:
+            path, func, line = key.rsplit(":", 2)
+            wait_rows.append({
+                "function": func,
+                "location": f"{_short(path)}:{line}",
+                "samples": n,
+                "pct": round(100.0 * n / samples, 1) if samples else 0.0,
+            })
 
         return {
             "samples": samples,
             "interval_ms": self.interval * 1000.0,
             "elapsed_s": round(elapsed, 2),
-            "busiest_threads": dict(
-                sorted(threads.items(), key=lambda kv: -kv[1])[:top]),
-            # own: where the CPU/blocking call sits; total: inclusive
-            "own": rows(own),
-            "total": rows(total),
+            "total_cpu_ms": round(sum(thread_cpu.values()), 1),
+            "busiest_threads_cpu_ms": {
+                k: round(v, 1) for k, v in sorted(
+                    thread_cpu.items(), key=lambda kv: -kv[1])[:top]},
+            "own": cpu_rows(own),       # CPU, innermost frame
+            "total": cpu_rows(total),   # CPU, inclusive
+            "waiting": wait_rows,       # wall samples blocked (framework)
         }
 
     def format_report(self, top: int = 25) -> str:
         rep = self.report(top)
         lines = [f"{rep['samples']} samples @ {rep['interval_ms']:.0f} ms "
-                 f"over {rep['elapsed_s']}s",
-                 f"busiest threads: {rep['busiest_threads']}",
-                 f"{'own%':>6} {'incl%':>6}  function (location)"]
+                 f"over {rep['elapsed_s']}s; "
+                 f"process CPU {rep['total_cpu_ms']:.0f} ms "
+                 f"({100 * rep['total_cpu_ms'] / (rep['elapsed_s'] * 1000 or 1):.0f}% of one core)",
+                 f"busiest threads (CPU ms): {rep['busiest_threads_cpu_ms']}",
+                 f"{'own%':>6} {'incl%':>6}  CPU function (location)"]
         incl = {r["function"] + r["location"]: r["pct"] for r in rep["total"]}
         for r in rep["own"]:
             lines.append(f"{r['pct']:>6} "
                          f"{incl.get(r['function'] + r['location'], ''):>6}"
                          f"  {r['function']} ({r['location']})")
+        lines.append(f"{'wait%':>6}  blocked framework function (location)")
+        for r in rep["waiting"][:10]:
+            lines.append(f"{r['pct']:>6}  {r['function']} ({r['location']})")
         return "\n".join(lines)
-
-
-_IDLE_NAMES = frozenset({
-    "wait", "acquire", "get", "select", "poll", "sleep", "recv", "recv_into",
-    "accept", "read", "readinto", "_recv", "settimeout", "wait_for",
-})
-
-
-def _is_idle_wait(func_name: str) -> bool:
-    return func_name in _IDLE_NAMES
 
 
 _REPO_MARK = "telescope_cam_detection_tpu"
