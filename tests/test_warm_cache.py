@@ -44,6 +44,7 @@ def test_warm_plain_then_dispatch_no_recompile(gates):
     assert prog.stats["compilations"] == warmed
 
 
+@pytest.mark.slow  # compiles 2 full delta program variants (~15s each)
 @pytest.mark.parametrize("gates", ["none", "device"])
 def test_warm_delta_k_bucket_then_dispatch_no_recompile(gates):
     kw = dict(transfer="delta", delta_lanes=3, delta_refresh_tiles=4)
