@@ -294,33 +294,47 @@ class SharedInferenceCoordinator:
         n = len(reqs)
         capture_hw = None
         resize = None
-        try:
-            # resize during batch assembly when the program would host-resize
-            # anyway: stacking 1440p frames first costs a ~11 MB memcpy per
-            # frame that is immediately thrown away (1-core host budget)
-            import cv2
-            spec = getattr(self.program, "spec", None)
-            input_hw = getattr(spec, "input_hw", None)
-            if (input_hw is not None and hw != tuple(input_hw)
-                    and getattr(self.program, "_host_resize_active",
-                                lambda _hw: False)(hw)):
-                capture_hw = hw
-                ih, iw = input_hw
-                # resize straight into the batch slot: dst= skips cv2's
-                # output allocation AND the 1.2 MB copy into frames[i]
-                resize = lambda f, dst: cv2.resize(  # noqa: E731
-                    f, (iw, ih), dst=dst, interpolation=cv2.INTER_LINEAR)
-        except ImportError:
-            pass
-        if resize is not None:
-            ih, iw = self.program.spec.input_hw
-            frames = np.zeros((padded_n, ih, iw, 3), np.uint8)
-            for i, req in enumerate(reqs):
-                resize(req.frame, frames[i])
+        spec = getattr(self.program, "spec", None)
+        input_hw = getattr(spec, "input_hw", None)
+        host_resize = (input_hw is not None and hw != tuple(input_hw)
+                       and getattr(self.program, "_host_resize_active",
+                                   lambda _hw: False)(hw))
+        if host_resize and getattr(spec, "transfer", None) == "delta":
+            # delta mode takes a LIST of frames: the resize runs inside the
+            # program's per-lane encoder workers (cv2 releases the GIL, so
+            # lanes resize+encode concurrently) instead of serially here,
+            # and 11 MB capture-res frames are never stacked. Pads are
+            # input-sized zeros — the program skips their resize.
+            ih, iw = input_hw
+            frames = ([req.frame for req in reqs]
+                      + [np.zeros((ih, iw, 3), np.uint8)] * (padded_n - n))
+            capture_hw = hw
         else:
-            frames = np.zeros((padded_n, *hw, 3), np.uint8)
-            for i, req in enumerate(reqs):
-                frames[i] = req.frame
+            if host_resize:
+                try:
+                    # resize during batch assembly when the program would
+                    # host-resize anyway: stacking 1440p frames first costs
+                    # a ~11 MB memcpy per frame that is immediately thrown
+                    # away (1-core host budget)
+                    import cv2
+                    capture_hw = hw
+                    ih, iw = input_hw
+                    # resize straight into the batch slot: dst= skips cv2's
+                    # output allocation AND the 1.2 MB copy into frames[i]
+                    resize = lambda f, dst: cv2.resize(  # noqa: E731
+                        f, (iw, ih), dst=dst,
+                        interpolation=cv2.INTER_LINEAR)
+                except ImportError:
+                    capture_hw = None
+            if resize is not None:
+                ih, iw = input_hw
+                frames = np.zeros((padded_n, ih, iw, 3), np.uint8)
+                for i, req in enumerate(reqs):
+                    resize(req.frame, frames[i])
+            else:
+                frames = np.zeros((padded_n, *hw, 3), np.uint8)
+                for i, req in enumerate(reqs):
+                    frames[i] = req.frame
         lanes = None
         if self._lanes_needed:
             # -1 = padding entry: the program excludes it from the gate

@@ -350,3 +350,59 @@ def test_program_delta_pad_lane_entries():
     with pytest.raises(ValueError, match="lane out of range"):
         prog.detect_batch_rows(np.zeros((1, 192, 256, 3), np.uint8),
                                lanes=[-2])
+
+
+@pytest.mark.slow
+def test_program_delta_list_input_matches_ndarray_path():
+    """Delta dispatch accepts a LIST of capture-res frames: the resize
+    then runs inside the per-lane encode workers instead of serially
+    before stacking. Same cv2 resize -> bit-identical rows AND identical
+    delta mirror state vs the classic pre-resized ndarray path; pads may
+    ride along already input-sized."""
+    cv2 = pytest.importorskip("cv2")
+    cap_wh, in_hw = (256, 192), (128, 128)
+    frames_raw = [SyntheticFrameSource(width=cap_wh[0], height=cap_wh[1],
+                                       seed=3).frame_at(i) for i in range(4)]
+    pre = np.stack([cv2.resize(f, (in_hw[1], in_hw[0]),
+                               interpolation=cv2.INTER_LINEAR)
+                    for f in frames_raw])
+    filt = FilterSettings(conf_threshold=0.0, wildlife_only=False)
+
+    a = DetectorProgram(_mini_spec(transfer="delta", delta_threshold=4,
+                                   delta_lanes=3), seed=0)
+    a.update_filters(filt)
+    b = DetectorProgram(_mini_spec(transfer="delta", delta_threshold=4,
+                                   delta_lanes=3), seed=0)
+    b.update_filters(filt)
+
+    lanes = [0, 1, 0, 1]
+    want = a.detect_batch_rows(pre, lanes=lanes)
+    got = b.detect_batch_rows(frames_raw, lanes=lanes)
+    # ndarray path resizes to input then reports boxes in input coords
+    # (capture_hw unset); the list path infers capture_hw from the raw
+    # frames, so rescale before comparing
+    sy, sx = cap_wh[1] / in_hw[0], cap_wh[0] / in_hw[1]
+    scaled = want.copy()
+    valid = scaled[..., 5] >= 0
+    scaled[..., 0] *= sx
+    scaled[..., 1] *= sy
+    scaled[..., 2] *= sx
+    scaled[..., 3] *= sy
+    np.testing.assert_allclose(got[valid][..., 4:], want[valid][..., 4:],
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(got[valid][..., :4], scaled[valid][..., :4],
+                               rtol=1e-4, atol=1e-2)
+
+    # mirrors identical -> second dispatch ships the same tiles
+    f2 = [SyntheticFrameSource(width=cap_wh[0], height=cap_wh[1],
+                               seed=3).frame_at(i) for i in range(4, 8)]
+    pre2 = np.stack([cv2.resize(f, (in_hw[1], in_hw[0]),
+                                interpolation=cv2.INTER_LINEAR) for f in f2])
+    a.detect_batch_rows(pre2, lanes=lanes)
+    b.detect_batch_rows(f2, lanes=lanes)
+    assert a.stats["delta_tiles_sent"] == b.stats["delta_tiles_sent"]
+
+    # mixed shapes: input-sized pads skip the per-lane resize
+    mixed = [frames_raw[0], np.zeros((*in_hw, 3), np.uint8)]
+    rows = b.detect_batch_rows(mixed, lanes=[0, -1])
+    assert rows.shape[0] == 2
