@@ -108,7 +108,10 @@ class SpeciesClassifier:
         key = (batch, *crop_hw)
         fn = self._programs.get(key)
         if fn is None:
-            model, size, k = self.model, self.input_size, 10
+            # a custom fine-tuned head may have fewer classes than the
+            # device-side top-k window
+            model, size, k = self.model, self.input_size, min(
+                10, self.num_classes)
 
             def program(variables, crops_u8):
                 x = preprocess_classifier(crops_u8, (size, size))
@@ -178,7 +181,7 @@ class SpeciesClassifier:
                 x = (x - mean) * inv_std
                 logits = model.apply(variables, x, train=False)
                 probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-                return jax.lax.top_k(probs, 10)
+                return jax.lax.top_k(probs, min(10, probs.shape[-1]))
 
             fn = jax.jit(program)
             self._programs[key] = fn

@@ -437,6 +437,8 @@ def create_stream_capture(camera: Dict[str, Any], frame_queue: Queue,
         target_height=camera.get("target_height"),
         max_failures=performance.get("rtsp_max_failures",
                                      C.DEFAULT_MAX_RTSP_FAILURES),
+        reconnect_delay=performance.get("rtsp_retry_delay",
+                                        C.DEFAULT_RTSP_RECONNECT_DELAY_SECONDS),
     )
     protocol = camera.get("protocol", "rtsp-tcp")
     if protocol == "synthetic":

@@ -608,6 +608,19 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._clips_list()
             if path.startswith("/api/clips/"):
                 return self._clips_serve(path[len("/api/clips/"):])
+            if path == "/clips_list":
+                # Legacy alias kept for old clients: 307 redirect to
+                # /api/clips (reference web_server.py:645-653).
+                self.send_response(307)
+                self.send_header("Location", "/api/clips")
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            if path == "/video/feed":
+                # Default-camera MJPEG (reference web_server.py:833-849).
+                if not self.web.captures:
+                    return self._json({"error": "No cameras available"})
+                return self._mjpeg(next(iter(self.web.captures)))
             if path.startswith("/video/feed/"):
                 return self._mjpeg(path[len("/video/feed/"):])
             if path == "/ws/detections":

@@ -84,6 +84,17 @@ def test_create_stream_capture_factory_synthetic():
     assert isinstance(cap, SyntheticStreamCapture)
 
 
+def test_factory_plumbs_rtsp_retry_settings():
+    # reference main.py:920 passes performance.rtsp_retry_delay into the
+    # capture's reconnect sleep; rtsp_max_failures sets the failure cap.
+    q = queue.Queue()
+    cap = create_stream_capture(
+        {"id": "f1", "protocol": "file", "path": "/nonexistent.mp4"}, q,
+        performance={"rtsp_retry_delay": 2.5, "rtsp_max_failures": 7})
+    assert cap.reconnect_delay == 2.5
+    assert cap.max_failures == 7
+
+
 def test_bucket_for():
     assert bucket_for(1) == 1
     assert bucket_for(3) == 4

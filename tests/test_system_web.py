@@ -151,6 +151,29 @@ def test_cameras_and_stats(system):
     assert data["coordinator"] is not None
 
 
+def test_clips_list_legacy_redirect(system):
+    # reference web_server.py:645-653: /clips_list 307-redirects to /api/clips
+    _, port = system
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("GET", "/clips_list")
+    resp = conn.getresponse()
+    resp.read()
+    conn.close()
+    assert resp.status == 307
+    assert resp.getheader("Location") == "/api/clips"
+
+
+def test_video_feed_default_camera(system):
+    # reference web_server.py:833-849: bare /video/feed streams the first camera
+    _, port = system
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("GET", "/video/feed")
+    resp = conn.getresponse()
+    assert resp.status == 200
+    assert "multipart/x-mixed-replace" in resp.getheader("Content-Type", "")
+    conn.close()
+
+
 def test_per_camera_routes(system):
     _, port = system
     status, body = _get(port, "/api/cameras/cam1/stats")
