@@ -404,10 +404,20 @@ class RTDETR(nn.Module):
     sampling_impl: str = "xla"   # "xla" | "pallas" (deformable attention)
 
     @nn.compact
-    def __call__(self, images: jnp.ndarray, train: bool = False):
+    def __call__(self, images: jnp.ndarray, train: bool = False,
+                 return_aux: bool = False):
         """images: (B, H, W, 3) float RGB 0..1.
 
         Returns (logits (B, Q, classes), boxes cxcywh normalized (B, Q, 4)).
+
+        With return_aux=True (training only) additionally returns the deep
+        supervision heads upstream RT-DETR trains with: per-decoder-layer
+        (logits, boxes) predictions from auxiliary class heads, and the
+        encoder top-k selection head's (logits, boxes). Inter-layer
+        reference points are detached so each layer's box gradient flows
+        only through its own refinement (upstream RTDETRTransformer
+        semantics); the serving path (return_aux=False) is unchanged and
+        never creates the aux parameters.
         """
         dt = self.dtype
         feats = ResNetVd(self.depths, self.bottleneck, dtype=dt,
@@ -447,6 +457,7 @@ class RTDETR(nn.Module):
                        name="query_pos_head")
 
         boxes = ref_boxes
+        aux_layers = []
         for i in range(self.decoder_layers):
             query_pos = pos_head(boxes.astype(dt))
             query = DecoderLayer(dtype=dt, sampling_impl=self.sampling_impl,
@@ -454,9 +465,20 @@ class RTDETR(nn.Module):
                 query, query_pos, boxes, levels)
             delta = MLP(HIDDEN, 4, dtype=dt, name=f"bbox_head{i}")(query)
             boxes = jax.nn.sigmoid(delta + _inverse_sigmoid(boxes))
+            if return_aux and i < self.decoder_layers - 1:
+                aux_logits = nn.Dense(self.num_classes, dtype=jnp.float32,
+                                      name=f"aux_class_head{i}")(query)
+                aux_layers.append((aux_logits, boxes))
+                # detach reference points between layers (deep supervision:
+                # layer i+1 refines FROM layer i's boxes, not THROUGH them)
+                boxes = jax.lax.stop_gradient(boxes)
         logits = nn.Dense(self.num_classes, dtype=jnp.float32,
                           name="class_head")(query)
-        return logits, boxes
+        if not return_aux:
+            return logits, boxes
+        enc_aux = (jnp.take_along_axis(enc_logits, topk[..., None], axis=1),
+                   jnp.take_along_axis(enc_boxes, topk[..., None], axis=1))
+        return logits, boxes, {"layers": tuple(aux_layers), "enc": enc_aux}
 
     def predict(self, images: jnp.ndarray, train: bool = False):
         """NMS-free rows like the reference deploy postprocessor

@@ -80,5 +80,10 @@ def export_serving_weights(state: Any, path: str, use_ema: bool = True) -> None:
     from telescope_cam_detection_tpu.models.convert import save_variables
     params = state.serving_params() if use_ema and hasattr(
         state, "serving_params") else state.params
+    # Train-only deep-supervision heads (RT-DETR aux_class_head{i}) are
+    # never referenced by the serving forward; drop them from the export.
+    if isinstance(params, dict):
+        params = {k: v for k, v in params.items()
+                  if not str(k).startswith("aux_class_head")}
     save_variables({"params": params,
                     "batch_stats": state.batch_stats}, path)

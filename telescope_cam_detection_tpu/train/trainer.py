@@ -119,17 +119,55 @@ def make_train_step(model, num_classes: int = 80,
     return train_step
 
 
+def make_rtdetr_train_step(model, num_classes: int,
+                           input_hw: Tuple[int, int]) -> Callable:
+    """Returns train_step(state, images, targets) -> (state, metrics) for
+    an RTDETR model: forward with deep-supervision aux heads, Hungarian
+    matching + VFL/L1/GIoU loss (train/detr_loss.py), same TrainState/EMA
+    machinery as the YOLOX step."""
+    from telescope_cam_detection_tpu.train.detr_loss import rtdetr_loss
+
+    def train_step(state: TrainState, images: jnp.ndarray,
+                   targets: jnp.ndarray) -> Tuple[TrainState, Dict]:
+        def loss_fn(params):
+            outs, mutations = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                images, train=True, return_aux=True, mutable=["batch_stats"])
+            loss, metrics = rtdetr_loss(outs, targets, input_hw=input_hw,
+                                        num_classes=num_classes)
+            return loss, (metrics, mutations.get("batch_stats", {}))
+
+        grads, (metrics, new_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = state.ema_params
+        if new_ema is not None:
+            d = state.ema_decay * (
+                1.0 - jnp.exp(-(state.step.astype(jnp.float32) + 1.0) / 2000.0))
+            new_ema = jax.tree.map(lambda e, p: e * d + p * (1.0 - d),
+                                   new_ema, new_params)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_stats, opt_state=new_opt,
+                                  ema_params=new_ema)
+        return new_state, metrics
+
+    return train_step
+
+
 def make_sharded_train_step(
     model,
     state: TrainState,
     mesh: Mesh,
     num_classes: int = 80,
     assigner: str = "simota",
+    step_fn: Optional[Callable] = None,
 ) -> Tuple[Callable, TrainState]:
     """jit the train step over the mesh with real shardings:
     batch over dp, fsdp parameter sharding over mp. Returns the jitted step
-    and the state placed onto the mesh."""
-    step_fn = make_train_step(model, num_classes, assigner)
+    and the state placed onto the mesh. step_fn overrides the default
+    YOLOX step (used for the RT-DETR family)."""
+    if step_fn is None:
+        step_fn = make_train_step(model, num_classes, assigner)
 
     param_sh = mesh_lib.param_shardings(mesh, state.params)
     opt_sh = jax.tree.map(
@@ -177,20 +215,36 @@ def build_training(
 ):
     """Convenience: model + state (+ sharded step if mesh given).
 
+    variant selects the detector family: yolox-* trains under the SimOTA
+    loss (train/loss.py); rtdetr* trains under Hungarian matching +
+    VFL/L1/GIoU with deep supervision (train/detr_loss.py). RT-DETR
+    training always uses the XLA deformable-sampling path (the Pallas
+    serving kernel defines no VJP).
+
     With total_steps given, the optimizer runs warmup+cosine LR; with
     ema_decay > 0 the state carries an EMA shadow of the params.
     """
-    model = build_yolox(variant, num_classes)
-    dummy = jnp.zeros((1, *input_hw, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(seed), dummy, train=False)
+    if variant.startswith("rtdetr"):
+        from telescope_cam_detection_tpu.models.rtdetr import build_rtdetr
+        model = build_rtdetr(variant, num_classes, sampling_impl="xla")
+        dummy = jnp.zeros((1, *input_hw, 3), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(seed), dummy, train=False,
+                               return_aux=True)
+        step_builder = lambda: make_rtdetr_train_step(  # noqa: E731
+            model, num_classes, input_hw)
+    else:
+        model = build_yolox(variant, num_classes)
+        dummy = jnp.zeros((1, *input_hw, 3), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(seed), dummy, train=False)
+        step_builder = lambda: make_train_step(  # noqa: E731
+            model, num_classes, assigner)
     lr = (make_lr_schedule(learning_rate, total_steps, warmup_steps,
                            min_lr_ratio)
           if total_steps else learning_rate)
     state = TrainState.create(variables, make_optimizer(lr),
                               ema_decay=ema_decay)
     if mesh is None:
-        return model, state, jax.jit(make_train_step(model, num_classes,
-                                                     assigner))
+        return model, state, jax.jit(step_builder())
     step, placed = make_sharded_train_step(model, state, mesh, num_classes,
-                                           assigner)
+                                           assigner, step_fn=step_builder())
     return model, placed, step

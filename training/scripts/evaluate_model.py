@@ -49,7 +49,9 @@ def main() -> int:
         ds = DetectionDataset(find_pairs(args.images, args.labels)[:args.limit],
                               input_hw)
 
-    spec = ProgramSpec(variant=args.variant, num_classes=args.classes,
+    detector_type = "rtdetr" if args.variant.startswith("rtdetr") else "yolox"
+    spec = ProgramSpec(detector_type=detector_type, variant=args.variant,
+                       num_classes=args.classes,
                        input_hw=input_hw, max_det=50, pre_nms_topk=200)
     program = DetectorProgram(spec)
     if args.weights:

@@ -1,15 +1,20 @@
 #!/usr/bin/env python3
-"""Fine-tune a YOLOX detector on a custom dataset.
+"""Fine-tune a Stage-1 detector (YOLOX or RT-DETR) on a custom dataset.
 
 Counterpart of reference training/scripts/train_custom_model.py (ultralytics
 YOLOv8 fine-tuning), rebuilt on the framework's jax trainer: sharded train
 step over a (dp, mp) mesh, orbax checkpoints, msgpack serving export, mAP
-evaluation per epoch.
+evaluation per epoch. YOLOX variants train under the SimOTA loss; rtdetr*
+variants train under Hungarian-matched VFL/L1/GIoU with deep supervision
+(train/detr_loss.py) — a capability the reference lacks entirely (it only
+consumes upstream RT-DETR checkpoints).
 
   python training/scripts/train_custom_model.py \
       --images training/datasets/desert_wildlife/images \
       --variant yolox-s --classes 10 --epochs 20 --batch 8 \
       --out runs/desert
+  python training/scripts/train_custom_model.py --synthetic \
+      --variant rtdetrv2-r18vd --classes 4 --epochs 5 --out runs/detr
   # hermetic smoke run (no data needed):
   python training/scripts/train_custom_model.py --synthetic --epochs 2 \
       --steps-per-epoch 5 --out /tmp/run
