@@ -247,3 +247,81 @@ class SyntheticDetectionDataset(DetectionDataset):
             img[y1:y1 + size, x1:x1 + size] = color
             labels[k] = [x1, y1, x1 + size, y1 + size, cls]
         return img, labels
+
+
+# ---- classification (Stage-2 fine-tuning) -----------------------------------
+
+class ClassificationFolderDataset:
+    """Folder-per-class crop dataset (the layout the snapshot saver's raw/
+    output falls into after hand-sorting): root/<class_name>/*.jpg.
+
+    Images load as uint8 BGR at a fixed square size — the training step
+    applies the SAME preprocess as the serving SpeciesClassifier
+    (ops/preprocess.preprocess_classifier), so no normalization happens
+    here. Class ids are assigned by sorted folder name; class_names maps
+    them back for taxonomy export.
+    """
+
+    EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp")
+
+    def __init__(self, root: str, image_size: int = 336):
+        rootp = Path(root)
+        self.image_size = image_size
+        self.class_names = sorted(
+            d.name for d in rootp.iterdir() if d.is_dir())
+        self.samples: list = []
+        for cid, name in enumerate(self.class_names):
+            for p in sorted((rootp / name).iterdir()):
+                if p.suffix.lower() in self.EXTENSIONS:
+                    self.samples.append((p, cid))
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.class_names)
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def load(self, idx: int) -> Tuple[np.ndarray, int]:
+        import cv2
+        path, cid = self.samples[idx]
+        img = cv2.imread(str(path))
+        if img is None:
+            raise IOError(f"unreadable image {path}")
+        s = self.image_size
+        return cv2.resize(img, (s, s), interpolation=cv2.INTER_LINEAR), cid
+
+    def batches(self, batch_size: int, seed: int = 0,
+                epochs: int = 1) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Yields (crops_u8 (B,S,S,3), labels_onehot (B,C) float32)."""
+        rng = random.Random(seed)
+        order = list(range(len(self.samples)))
+        for _ in range(epochs):
+            rng.shuffle(order)
+            for start in range(0, len(order) - batch_size + 1, batch_size):
+                idxs = order[start:start + batch_size]
+                imgs, cids = zip(*(self.load(i) for i in idxs))
+                onehot = np.zeros((len(idxs), self.num_classes), np.float32)
+                onehot[np.arange(len(idxs)), list(cids)] = 1.0
+                yield np.stack(imgs), onehot
+
+
+class SyntheticClassificationDataset(ClassificationFolderDataset):
+    """Procedural class-colored crops for hermetic fine-tune tests."""
+
+    def __init__(self, n: int = 64, image_size: int = 64,
+                 num_classes: int = 4, seed: int = 0):
+        self.image_size = image_size
+        self.class_names = [f"class_{i}" for i in range(num_classes)]
+        self.samples = [(Path(f"synthetic_{i}"), i % num_classes)
+                        for i in range(n)]
+        self.seed = seed
+
+    def load(self, idx: int) -> Tuple[np.ndarray, int]:
+        _, cid = self.samples[idx]
+        rng = np.random.default_rng(self.seed * 99991 + idx)
+        s = self.image_size
+        img = rng.integers(0, 60, (s, s, 3)).astype(np.uint8)
+        # class signature: a bright square whose hue encodes the class
+        img[s // 4: 3 * s // 4, s // 4: 3 * s // 4, cid % 3] = 200 + 10 * cid
+        return img, cid
