@@ -348,10 +348,12 @@ class DecoderLayer(nn.Module):
     sampling_impl: str = "xla"
 
     @nn.compact
-    def __call__(self, query, query_pos, reference_points, value_levels):
+    def __call__(self, query, query_pos, reference_points, value_levels,
+                 attn_mask=None):
         b, q, _ = query.shape
         hd = self.dim // self.heads
-        # self attention
+        # self attention (attn_mask: (B, 1, Q, Q) bool, True = may attend —
+        # used by CDN training to isolate denoising groups)
         qk = query + query_pos
         qh = nn.Dense(self.dim, dtype=self.dtype, name="sa_q")(qk).reshape(
             b, q, self.heads, hd)
@@ -359,7 +361,8 @@ class DecoderLayer(nn.Module):
             b, q, self.heads, hd)
         vh = nn.Dense(self.dim, dtype=self.dtype, name="sa_v")(query).reshape(
             b, q, self.heads, hd)
-        sa = jax.nn.dot_product_attention(qh, kh, vh).reshape(b, q, self.dim)
+        sa = jax.nn.dot_product_attention(qh, kh, vh, mask=attn_mask).reshape(
+            b, q, self.dim)
         sa = nn.Dense(self.dim, dtype=self.dtype, name="sa_proj")(sa)
         query = nn.LayerNorm(dtype=jnp.float32, name="norm1")(query + sa)
         # cross (deformable) attention
@@ -405,7 +408,7 @@ class RTDETR(nn.Module):
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False,
-                 return_aux: bool = False):
+                 return_aux: bool = False, dn=None):
         """images: (B, H, W, 3) float RGB 0..1.
 
         Returns (logits (B, Q, classes), boxes cxcywh normalized (B, Q, 4)).
@@ -418,6 +421,13 @@ class RTDETR(nn.Module):
         only through its own refinement (upstream RTDETRTransformer
         semantics); the serving path (return_aux=False) is unchanged and
         never creates the aux parameters.
+
+        dn (training only, requires return_aux): contrastive-denoising
+        queries from train/cdn.py — dict with "labels" (B, D) int32
+        (num_classes = background), "boxes" (B, D, 4) noised cxcywh, and
+        "attn_mask" (B, 1, D+Q, D+Q). The dn queries ride FIRST in the
+        decoder sequence; per-layer dn predictions return under
+        aux["dn_layers"] (final layer included).
         """
         dt = self.dtype
         feats = ResNetVd(self.depths, self.bottleneck, dtype=dt,
@@ -456,29 +466,55 @@ class RTDETR(nn.Module):
         pos_head = MLP(HIDDEN * 2, HIDDEN, layers=2, dtype=dt,
                        name="query_pos_head")
 
+        n_dn = 0
+        attn_mask = None
+        if dn is not None:
+            if not return_aux:
+                raise ValueError("dn queries are a training construct; "
+                                 "use return_aux=True")
+            n_dn = dn["labels"].shape[1]
+            dn_content = nn.Embed(self.num_classes + 1, HIDDEN,
+                                  name="dn_class_embed")(dn["labels"])
+            query = jnp.concatenate([dn_content.astype(dt), query], axis=1)
+            ref_boxes = jnp.concatenate(
+                [dn["boxes"].astype(ref_boxes.dtype), ref_boxes], axis=1)
+            attn_mask = dn["attn_mask"]
+
+        def split(t):
+            return (t[:, :n_dn], t[:, n_dn:]) if n_dn else (None, t)
+
         boxes = ref_boxes
-        aux_layers = []
+        aux_layers, dn_layers = [], []
         for i in range(self.decoder_layers):
             query_pos = pos_head(boxes.astype(dt))
             query = DecoderLayer(dtype=dt, sampling_impl=self.sampling_impl,
                                  name=f"decoder{i}")(
-                query, query_pos, boxes, levels)
+                query, query_pos, boxes, levels, attn_mask=attn_mask)
             delta = MLP(HIDDEN, 4, dtype=dt, name=f"bbox_head{i}")(query)
             boxes = jax.nn.sigmoid(delta + _inverse_sigmoid(boxes))
             if return_aux and i < self.decoder_layers - 1:
                 aux_logits = nn.Dense(self.num_classes, dtype=jnp.float32,
                                       name=f"aux_class_head{i}")(query)
-                aux_layers.append((aux_logits, boxes))
+                lg_dn, lg_m = split(aux_logits)
+                bx_dn, bx_m = split(boxes)
+                aux_layers.append((lg_m, bx_m))
+                if n_dn:
+                    dn_layers.append((lg_dn, bx_dn))
                 # detach reference points between layers (deep supervision:
                 # layer i+1 refines FROM layer i's boxes, not THROUGH them)
                 boxes = jax.lax.stop_gradient(boxes)
         logits = nn.Dense(self.num_classes, dtype=jnp.float32,
                           name="class_head")(query)
+        lg_dn, logits = split(logits)
+        bx_dn, boxes = split(boxes)
         if not return_aux:
             return logits, boxes
+        if n_dn:
+            dn_layers.append((lg_dn, bx_dn))
         enc_aux = (jnp.take_along_axis(enc_logits, topk[..., None], axis=1),
                    jnp.take_along_axis(enc_boxes, topk[..., None], axis=1))
-        return logits, boxes, {"layers": tuple(aux_layers), "enc": enc_aux}
+        return logits, boxes, {"layers": tuple(aux_layers), "enc": enc_aux,
+                               "dn_layers": tuple(dn_layers)}
 
     def predict(self, images: jnp.ndarray, train: bool = False):
         """NMS-free rows like the reference deploy postprocessor

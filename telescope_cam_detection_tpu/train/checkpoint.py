@@ -80,10 +80,12 @@ def export_serving_weights(state: Any, path: str, use_ema: bool = True) -> None:
     from telescope_cam_detection_tpu.models.convert import save_variables
     params = state.serving_params() if use_ema and hasattr(
         state, "serving_params") else state.params
-    # Train-only deep-supervision heads (RT-DETR aux_class_head{i}) are
-    # never referenced by the serving forward; drop them from the export.
+    # Train-only params (RT-DETR deep-supervision heads aux_class_head{i},
+    # CDN denoising embedding dn_class_embed) are never referenced by the
+    # serving forward; drop them from the export.
     if isinstance(params, dict):
         params = {k: v for k, v in params.items()
-                  if not str(k).startswith("aux_class_head")}
+                  if not (str(k).startswith("aux_class_head")
+                          or str(k) == "dn_class_embed")}
     save_variables({"params": params,
                     "batch_stats": state.batch_stats}, path)

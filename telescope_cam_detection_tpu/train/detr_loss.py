@@ -141,17 +141,46 @@ def _layer_loss(logits, boxes, gt_boxes, gt_cls, valid, num_classes,
     return loss_vfl, loss_l1, loss_giou
 
 
+def _dn_layer_loss(logits, boxes, q_gt_boxes, q_gt_cls, pos, denom):
+    """Denoising losses for one layer: targets are KNOWN per query.
+
+    logits (B,D,C), boxes (B,D,4) cxcywh; q_gt_* (B,D,..) the source GT of
+    each dn query; pos (B,D) = positive AND valid. Positives reconstruct
+    their GT (VFL with IoU target + L1 + GIoU); negatives/padding target
+    background (zero scores, no box loss).
+    """
+    b, d, c = logits.shape
+    ious, _ = iou_xyxy(cxcywh_to_xyxy(jax.lax.stop_gradient(boxes)),
+                       cxcywh_to_xyxy(q_gt_boxes))             # (B, D)
+    onehot = jax.nn.one_hot(q_gt_cls, c) * pos[..., None]
+    tgt_score = onehot * ious[..., None]
+    pred = jax.nn.sigmoid(jax.lax.stop_gradient(logits.astype(jnp.float32)))
+    weight = _VFL_ALPHA * (pred ** _VFL_GAMMA) * (1 - onehot) + tgt_score
+    vfl = _bce_logits(logits.astype(jnp.float32), tgt_score) * weight
+    loss_vfl = jnp.sum(jnp.mean(vfl, axis=1)) * d / denom
+
+    pmask = pos[..., None].astype(jnp.float32)
+    loss_l1 = jnp.sum(jnp.abs(boxes - q_gt_boxes) * pmask) / denom
+    giou = generalized_iou(cxcywh_to_xyxy(boxes), cxcywh_to_xyxy(q_gt_boxes))
+    loss_giou = jnp.sum((1.0 - giou) * pos) / denom
+    return loss_vfl, loss_l1, loss_giou
+
+
 def rtdetr_loss(
     outputs,
     targets: jnp.ndarray,
     input_hw: Tuple[int, int],
     num_classes: int = 80,
+    dn_meta: Dict[str, jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Scalar training loss + metrics for RTDETR.__call__(return_aux=True).
 
     outputs: (logits, boxes, aux) where aux = {"layers": ((logits, boxes),
-    ... one per non-final decoder layer), "enc": (logits, boxes)}.
+    ... one per non-final decoder layer), "enc": (logits, boxes),
+    "dn_layers": per-layer denoising predictions when training with CDN}.
     targets: (B, MAX_GT, 5) xyxy pixels + class, class < 0 padding.
+    dn_meta: the dict build_cdn_queries returned (positive/gt_idx/valid)
+    when dn queries were fed to the model.
     """
     logits, boxes, aux = outputs
     gt_boxes, gt_cls, valid = _targets_to_cxcywh_norm(targets, input_hw)
@@ -170,6 +199,25 @@ def rtdetr_loss(
         total = total + W_VFL * vfl + W_BBOX * l1 + W_GIOU * giou
         if idx == 0:
             metrics.update(vfl_loss=vfl, l1_loss=l1, giou_loss=giou)
+
+    dn_layers = aux.get("dn_layers", ())
+    if dn_layers and dn_meta is not None:
+        g = targets.shape[1]
+        d = dn_meta["gt_idx"].shape[1]
+        num_groups = max(d // (2 * g), 1)
+        denom = num_boxes * num_groups       # upstream loss_dn denominator
+        q_gt_boxes = jnp.take_along_axis(
+            gt_boxes, dn_meta["gt_idx"][..., None], axis=1)
+        q_gt_cls = jnp.take_along_axis(gt_cls, dn_meta["gt_idx"], axis=1)
+        pos = dn_meta["positive"] & dn_meta["valid"]
+        dn_total = jnp.float32(0.0)
+        for lg, bx in dn_layers:
+            vfl, l1, giou = _dn_layer_loss(lg, bx, q_gt_boxes, q_gt_cls,
+                                           pos, denom)
+            dn_total = dn_total + W_VFL * vfl + W_BBOX * l1 + W_GIOU * giou
+        total = total + dn_total
+        metrics["dn_loss"] = dn_total
+
     metrics["loss"] = total
     metrics["num_pos"] = num_boxes
     return total, metrics

@@ -119,22 +119,49 @@ def make_train_step(model, num_classes: int = 80,
     return train_step
 
 
+def rtdetr_query_count(model, input_hw: Tuple[int, int]) -> int:
+    """Actual decoder query count: the encoder top-k selection is capped by
+    the token count at small input sizes (models/rtdetr.py)."""
+    from telescope_cam_detection_tpu.models.rtdetr import FEAT_STRIDES
+    tokens = sum((input_hw[0] // s) * (input_hw[1] // s)
+                 for s in FEAT_STRIDES)
+    return min(model.num_queries, tokens)
+
+
 def make_rtdetr_train_step(model, num_classes: int,
-                           input_hw: Tuple[int, int]) -> Callable:
+                           input_hw: Tuple[int, int],
+                           dn_groups: int = 2) -> Callable:
     """Returns train_step(state, images, targets) -> (state, metrics) for
-    an RTDETR model: forward with deep-supervision aux heads, Hungarian
+    an RTDETR model: forward with deep-supervision aux heads + contrastive
+    denoising queries (train/cdn.py; dn_groups=0 disables), Hungarian
     matching + VFL/L1/GIoU loss (train/detr_loss.py), same TrainState/EMA
-    machinery as the YOLOX step."""
+    machinery as the YOLOX step. The CDN noise rng derives from state.step
+    so the step keeps the (state, images, targets) signature."""
+    from telescope_cam_detection_tpu.train.cdn import (
+        build_cdn_queries, cdn_attention_mask)
     from telescope_cam_detection_tpu.train.detr_loss import rtdetr_loss
 
     def train_step(state: TrainState, images: jnp.ndarray,
                    targets: jnp.ndarray) -> Tuple[TrainState, Dict]:
+        dn_meta = dn = None
+        if dn_groups > 0:
+            rng = jax.random.fold_in(jax.random.PRNGKey(0xCD17), state.step)
+            dn_meta = build_cdn_queries(rng, targets, input_hw, num_classes,
+                                        num_groups=dn_groups)
+            dn = {"labels": dn_meta["labels"], "boxes": dn_meta["boxes"],
+                  "attn_mask": cdn_attention_mask(
+                      dn_groups, targets.shape[1],
+                      rtdetr_query_count(model, input_hw),
+                      dn_meta["valid"])}
+
         def loss_fn(params):
             outs, mutations = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                images, train=True, return_aux=True, mutable=["batch_stats"])
+                images, train=True, return_aux=True, dn=dn,
+                mutable=["batch_stats"])
             loss, metrics = rtdetr_loss(outs, targets, input_hw=input_hw,
-                                        num_classes=num_classes)
+                                        num_classes=num_classes,
+                                        dn_meta=dn_meta)
             return loss, (metrics, mutations.get("batch_stats", {}))
 
         grads, (metrics, new_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
@@ -212,12 +239,14 @@ def build_training(
     warmup_steps: int = 0,
     min_lr_ratio: float = 0.05,
     ema_decay: float = 0.0,
+    dn_groups: int = 2,
 ):
     """Convenience: model + state (+ sharded step if mesh given).
 
     variant selects the detector family: yolox-* trains under the SimOTA
     loss (train/loss.py); rtdetr* trains under Hungarian matching +
-    VFL/L1/GIoU with deep supervision (train/detr_loss.py). RT-DETR
+    VFL/L1/GIoU with deep supervision plus contrastive denoising queries
+    (train/detr_loss.py, train/cdn.py; dn_groups=0 disables CDN). RT-DETR
     training always uses the XLA deformable-sampling path (the Pallas
     serving kernel defines no VJP).
 
@@ -228,10 +257,18 @@ def build_training(
         from telescope_cam_detection_tpu.models.rtdetr import build_rtdetr
         model = build_rtdetr(variant, num_classes, sampling_impl="xla")
         dummy = jnp.zeros((1, *input_hw, 3), jnp.float32)
+        # init with a minimal dn so the CDN class-embedding param exists
+        # (its table size is independent of the dn query count)
+        nq = rtdetr_query_count(model, input_hw)
+        dummy_dn = {
+            "labels": jnp.zeros((1, 2), jnp.int32),
+            "boxes": jnp.full((1, 2, 4), 0.5, jnp.float32),
+            "attn_mask": jnp.ones((1, 1, nq + 2, nq + 2), bool),
+        }
         variables = model.init(jax.random.PRNGKey(seed), dummy, train=False,
-                               return_aux=True)
+                               return_aux=True, dn=dummy_dn)
         step_builder = lambda: make_rtdetr_train_step(  # noqa: E731
-            model, num_classes, input_hw)
+            model, num_classes, input_hw, dn_groups=dn_groups)
     else:
         model = build_yolox(variant, num_classes)
         dummy = jnp.zeros((1, *input_hw, 3), jnp.float32)

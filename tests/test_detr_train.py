@@ -143,6 +143,7 @@ def test_rtdetr_export_serves(tmp_path):
     loaded = load_variables(path)
     assert loaded is not None
     assert not any(str(k).startswith("aux_class_head")
+                   or str(k) == "dn_class_embed"
                    for k in loaded["params"])
 
     spec = ProgramSpec(detector_type="rtdetr", variant="rtdetrv2-r18vd",

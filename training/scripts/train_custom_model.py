@@ -47,6 +47,9 @@ def main() -> int:
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--assigner", default="simota",
                         choices=["simota", "center"])
+    parser.add_argument("--dn-groups", type=int, default=2,
+                        help="rtdetr contrastive-denoising groups "
+                             "(0 disables CDN; yolox ignores)")
     parser.add_argument("--no-augment", action="store_true",
                         help="disable mosaic/mixup/flip/HSV augmentation")
     parser.add_argument("--ema", type=float, default=0.9998,
@@ -109,7 +112,8 @@ def main() -> int:
         learning_rate=args.lr, mesh=mesh, assigner=args.assigner,
         total_steps=None if args.constant_lr else steps * args.epochs,
         warmup_steps=int(args.warmup_epochs * steps),
-        min_lr_ratio=args.min_lr_ratio, ema_decay=args.ema)
+        min_lr_ratio=args.min_lr_ratio, ema_decay=args.ema,
+        dn_groups=args.dn_groups)
     augment = None
     if not args.no_augment:
         from telescope_cam_detection_tpu.train.augment import Augmenter
