@@ -72,6 +72,7 @@ def test_cdn_attention_mask_rules():
     assert m[4:, 4:].all()
 
 
+@pytest.mark.slow
 def test_match_outputs_invariant_to_dn_presence():
     """The leak rule, end-to-end: adding dn queries must not change the
     matching queries' predictions at all."""

@@ -58,6 +58,7 @@ def test_layer_lr_multipliers_monotonic():
     assert m_embed < m_b0 < m_b5 < m_head == 1.0
 
 
+@pytest.mark.slow
 def test_head_reinit_on_class_count_change():
     # pretrained trunk with a 7-class head seeds a 3-class fine-tune:
     # trunk transfers, head re-initializes at the new width

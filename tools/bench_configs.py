@@ -242,7 +242,9 @@ def bench_config4_fused():
     INSIDE the gated detector dispatch — ONE device round trip per frame
     instead of one per stage. Sharpened weights produce real detections;
     conf_threshold sweeps contrast detection-bearing vs empty frames (the
-    lax.cond skips the classifier on empty)."""
+    lax.cond skips the classifier on empty). FUSED_MAX_CROPS=N sweeps the
+    fused crop window (config key species_classification.fused_max_crops)."""
+    max_crops = int(os.environ.get("FUSED_MAX_CROPS", "4"))
     import jax.numpy as jnp
     from telescope_cam_detection_tpu.models.convert import (
         sharpen_random_variables)
@@ -261,11 +263,13 @@ def bench_config4_fused():
                             dtype=jnp.bfloat16)
     from telescope_cam_detection_tpu.models.eva02 import build_eva02
     s2_model = build_eva02("eva02-large", 10000, 336, dtype=jnp.bfloat16)
-    prog.attach_classifier(s2_model, s2_vars, input_size=336, max_crops=4)
+    prog.attach_classifier(s2_model, s2_vars, input_size=336,
+                           max_crops=max_crops)
 
     src = SyntheticFrameSource(width=hw[1], height=hw[0], seed=0)
     clip = [src.frame_at(i) for i in range(8)]
     out = {"config": "4-fused", "name": "fused_two_stage_eva02L_bf16",
+           "max_crops": max_crops,
            "reference_bar": "15/40/65/90 ms at 0/1/2/3 dets on A30; "
                             "unfused round-3: 46.5/123.7 ms at 0/1 dets"}
     for label, conf in (("detecting", 0.05), ("empty", 0.999)):
