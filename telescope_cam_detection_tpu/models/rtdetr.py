@@ -430,6 +430,14 @@ class RTDETR(nn.Module):
         aux["dn_layers"] (final layer included).
         """
         dt = self.dtype
+        h_in, w_in = images.shape[1:3]
+        if h_in % 32 or w_in % 32:
+            # the vd residual downsample (stride-2 conv vs avg-pool identity)
+            # disagrees on odd feature sizes — fail with a clear message
+            # instead of a broadcast error three stages deep
+            raise ValueError(
+                f"RT-DETR input {h_in}x{w_in} must be divisible by 32 "
+                f"(configure detection.input_size accordingly)")
         feats = ResNetVd(self.depths, self.bottleneck, dtype=dt,
                          name="backbone")(images, train)
         levels = HybridEncoder(dtype=dt, name="encoder")(feats, train)

@@ -328,9 +328,11 @@ class DetectorProgram:
             class_mask = np.zeros((n,), bool)
             for i in ids:
                 class_mask[i] = True
+        # a fine-tuned head may have fewer classes than the top-k window
+        top_k = min(int(top_k), int(getattr(model, "num_classes", top_k)))
         self._stage2 = {
             "model": model, "variables": variables, "size": int(input_size),
-            "max_crops": int(max_crops), "top_k": int(top_k),
+            "max_crops": int(max_crops), "top_k": top_k,
             "pad_pct": float(crop_padding_percent),
             "class_mask": class_mask,
             "min_crop": float(min_crop_size),

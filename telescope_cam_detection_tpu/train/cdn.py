@@ -95,12 +95,13 @@ def build_cdn_queries(
 
     k_noise, k_flip, k_cls, k_sign = jax.random.split(rng, 4)
 
-    # --- box noise: pos shifts within lambda/2 of the half-extent, neg in
-    # (lambda/2, lambda] (the upstream "contrastive" split)
+    # --- box noise (upstream magnitudes): positives shift each corner by
+    # U[0,1) x half-extent x scale, negatives by U[1,2) — the contrastive
+    # split that makes negatives unambiguous background
     half = boxes[..., 2:] / 2.0
     diff = jnp.concatenate([half, half], -1)                    # (B, D, 4)
     u = jax.random.uniform(k_noise, boxes.shape)                # [0, 1)
-    mag = jnp.where(positive[..., None], u * 0.5, 0.5 + u * 0.5)
+    mag = jnp.where(positive[..., None], u, 1.0 + u)
     sign = jnp.where(
         jax.random.bernoulli(k_sign, 0.5, boxes.shape), 1.0, -1.0)
     xyxy = jnp.concatenate([boxes[..., :2] - half, boxes[..., :2] + half], -1)
@@ -110,12 +111,12 @@ def build_cdn_queries(
                              jnp.clip(noised[..., 2:] - noised[..., :2], 1e-4)],
                             -1)
 
-    # --- label noise: flip some POSITIVE labels to a random class
-    # (upstream applies label noise at ratio * 0.5)
+    # --- label noise: flip labels of any valid dn query (positives AND
+    # negatives) to a random class at ratio * 0.5, upstream semantics
     flip = jax.random.bernoulli(k_flip, label_noise_ratio * 0.5,
                                 labels.shape)
     rand_cls = jax.random.randint(k_cls, labels.shape, 0, num_classes)
-    labels = jnp.where(flip & positive & valid, rand_cls, labels)
+    labels = jnp.where(flip & valid, rand_cls, labels)
     # padding-born queries embed as background
     labels = jnp.where(valid, labels, num_classes)
 

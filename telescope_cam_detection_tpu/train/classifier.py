@@ -29,7 +29,7 @@ import optax
 
 from telescope_cam_detection_tpu.models.eva02 import EVA02_VARIANTS, build_eva02
 from telescope_cam_detection_tpu.train.trainer import (
-    TrainState, make_lr_schedule, make_optimizer)
+    TrainState, apply_updates_with_ema, make_lr_schedule, make_optimizer)
 
 _MIXUP_BETA = 0.8
 
@@ -120,16 +120,7 @@ def make_classifier_train_step(model, image_size: int,
 
         (loss, acc), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
-        updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        new_ema = state.ema_params
-        if new_ema is not None:
-            d = state.ema_decay * (
-                1.0 - jnp.exp(-(state.step.astype(jnp.float32) + 1.0) / 2000.0))
-            new_ema = jax.tree.map(lambda e, p: e * d + p * (1.0 - d),
-                                   new_ema, new_params)
-        new_state = state.replace(step=state.step + 1, params=new_params,
-                                  opt_state=new_opt, ema_params=new_ema)
+        new_state = apply_updates_with_ema(state, grads)
         return new_state, {"loss": loss, "accuracy": acc}
 
     return train_step
@@ -163,11 +154,30 @@ def build_classifier_training(
     if init_variables is not None:
         fresh = variables["params"]
         pre = dict(init_variables.get("params", init_variables))
-        head = pre.get("head")
-        if head is not None and head["kernel"].shape != fresh["head"]["kernel"].shape:
-            pre = {k: v for k, v in pre.items() if k != "head"}
+
+        def shapes_match(a, b) -> bool:
+            try:
+                jax.tree.map(lambda x, y: None if jnp.shape(x) == jnp.shape(y)
+                             else (_ for _ in ()).throw(ValueError()), a, b)
+                return True
+            except (ValueError, TypeError):
+                return False
+
         merged = dict(fresh)
-        merged.update({k: v for k, v in pre.items() if k in fresh})
+        for k, v in pre.items():
+            if k not in fresh:
+                continue
+            if shapes_match(v, fresh[k]):
+                merged[k] = v
+            else:
+                # a new head for a different class count is the normal
+                # fine-tune case; pos/patch embeds mismatch when --size
+                # differs from the checkpoint's train size — re-init fresh
+                # rather than failing with a broadcast error mid-step
+                import logging
+                logging.getLogger(__name__).warning(
+                    "pretrained %r shape mismatch (checkpoint trained at a "
+                    "different size/class count); re-initializing fresh", k)
         variables = {"params": merged}
 
     depth = EVA02_VARIANTS[model_name][0]
@@ -182,28 +192,17 @@ def build_classifier_training(
     if mesh is None:
         return model, state, jax.jit(step_fn)
 
-    # Sharded: same sharding rules as the detector trainer
-    # (make_sharded_train_step), but the classifier step carries an extra
-    # replicated rng argument, so the jit is assembled here directly.
+    # Sharded: same sharding rules as the detector trainer; the classifier
+    # step's args after state are dp-sharded crops + labels and a
+    # replicated rng.
     from jax.sharding import NamedSharding, PartitionSpec as P
     from telescope_cam_detection_tpu.parallel import mesh as mesh_lib
-    param_sh = mesh_lib.param_shardings(mesh, state.params)
-    opt_sh = jax.tree.map(
-        lambda leaf: (mesh_lib.param_sharding_rule(mesh, (), leaf)
-                      if hasattr(leaf, "shape") else mesh_lib.replicated(mesh)),
-        state.opt_state, is_leaf=lambda x: hasattr(x, "shape"))
-    stats_sh = jax.tree.map(lambda _: mesh_lib.replicated(mesh),
-                            state.batch_stats)
-    ema_sh = None if state.ema_params is None else param_sh
-    state_sh = TrainState(step=mesh_lib.replicated(mesh), params=param_sh,
-                          batch_stats=stats_sh, opt_state=opt_sh, tx=state.tx,
-                          ema_params=ema_sh, ema_decay=state.ema_decay)
-    images_sh = NamedSharding(mesh, P(mesh_lib.DATA_AXIS, None, None, None))
-    labels_sh = NamedSharding(mesh, P(mesh_lib.DATA_AXIS, None))
-    rng_sh = NamedSharding(mesh, P())
-    jitted = jax.jit(step_fn,
-                     in_shardings=(state_sh, images_sh, labels_sh, rng_sh),
-                     out_shardings=(state_sh, NamedSharding(mesh, P())),
-                     donate_argnums=(0,))
-    placed = jax.device_put(state, state_sh)
+    from telescope_cam_detection_tpu.train.trainer import (
+        make_sharded_train_step)
+    jitted, placed = make_sharded_train_step(
+        model, state, mesh, step_fn=step_fn, data_shardings=(
+            NamedSharding(mesh, P(mesh_lib.DATA_AXIS, None, None, None)),
+            NamedSharding(mesh, P(mesh_lib.DATA_AXIS, None)),
+            NamedSharding(mesh, P()),
+        ))
     return model, placed, jitted

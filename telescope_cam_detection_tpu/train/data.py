@@ -293,9 +293,14 @@ class ClassificationFolderDataset:
 
     def batches(self, batch_size: int, seed: int = 0,
                 epochs: int = 1) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        """Yields (crops_u8 (B,S,S,3), labels_onehot (B,C) float32)."""
+        """Yields (crops_u8 (B,S,S,3), labels_onehot (B,C) float32). A
+        dataset smaller than batch_size yields one whole-dataset batch per
+        epoch instead of silently yielding nothing."""
         rng = random.Random(seed)
         order = list(range(len(self.samples)))
+        if not order:
+            return
+        batch_size = min(batch_size, len(order))
         for _ in range(epochs):
             rng.shuffle(order)
             for start in range(0, len(order) - batch_size + 1, batch_size):
@@ -322,6 +327,8 @@ class SyntheticClassificationDataset(ClassificationFolderDataset):
         rng = np.random.default_rng(self.seed * 99991 + idx)
         s = self.image_size
         img = rng.integers(0, 60, (s, s, 3)).astype(np.uint8)
-        # class signature: a bright square whose hue encodes the class
-        img[s // 4: 3 * s // 4, s // 4: 3 * s // 4, cid % 3] = 200 + 10 * cid
+        # class signature: a bright square whose channel + intensity encode
+        # the class (intensity stays within uint8 for any class count)
+        img[s // 4: 3 * s // 4, s // 4: 3 * s // 4, cid % 3] = \
+            200 + (10 * cid) % 56
         return img, cid

@@ -84,6 +84,29 @@ def make_optimizer(learning_rate=1e-3,
     )
 
 
+_EMA_RAMP_STEPS = 2000.0   # upstream ModelEMA warmup constant
+
+
+def apply_updates_with_ema(state: TrainState, grads, new_stats=None
+                           ) -> TrainState:
+    """Shared optimizer/EMA tail of every train step: apply the optax
+    update, advance the ramped EMA shadow (upstream ModelEMA: early steps
+    track params closely, converging to the configured decay), bump step."""
+    updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    new_ema = state.ema_params
+    if new_ema is not None:
+        d = state.ema_decay * (
+            1.0 - jnp.exp(-(state.step.astype(jnp.float32) + 1.0)
+                          / _EMA_RAMP_STEPS))
+        new_ema = jax.tree.map(lambda e, p: e * d + p * (1.0 - d),
+                               new_ema, new_params)
+    return state.replace(
+        step=state.step + 1, params=new_params,
+        batch_stats=state.batch_stats if new_stats is None else new_stats,
+        opt_state=new_opt, ema_params=new_ema)
+
+
 def make_train_step(model, num_classes: int = 80,
                     assigner: str = "simota") -> Callable:
     """Returns train_step(state, images, targets) -> (state, metrics).
@@ -101,29 +124,17 @@ def make_train_step(model, num_classes: int = 80,
             return loss, (metrics, mutations.get("batch_stats", {}))
 
         grads, (metrics, new_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
-        updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        new_ema = state.ema_params
-        if new_ema is not None:
-            # Ramped decay (upstream ModelEMA): early steps track params
-            # closely, converging to the configured decay.
-            d = state.ema_decay * (
-                1.0 - jnp.exp(-(state.step.astype(jnp.float32) + 1.0) / 2000.0))
-            new_ema = jax.tree.map(lambda e, p: e * d + p * (1.0 - d),
-                                   new_ema, new_params)
-        new_state = state.replace(step=state.step + 1, params=new_params,
-                                  batch_stats=new_stats, opt_state=new_opt,
-                                  ema_params=new_ema)
-        return new_state, metrics
+        return apply_updates_with_ema(state, grads, new_stats), metrics
 
     return train_step
 
 
 def rtdetr_query_count(model, input_hw: Tuple[int, int]) -> int:
     """Actual decoder query count: the encoder top-k selection is capped by
-    the token count at small input sizes (models/rtdetr.py)."""
+    the token count at small input sizes (models/rtdetr.py). The SAME-padded
+    stride-2 convs produce ceil-sized feature maps, so ceil-divide."""
     from telescope_cam_detection_tpu.models.rtdetr import FEAT_STRIDES
-    tokens = sum((input_hw[0] // s) * (input_hw[1] // s)
+    tokens = sum((-(-input_hw[0] // s)) * (-(-input_hw[1] // s))
                  for s in FEAT_STRIDES)
     return min(model.num_queries, tokens)
 
@@ -165,18 +176,7 @@ def make_rtdetr_train_step(model, num_classes: int,
             return loss, (metrics, mutations.get("batch_stats", {}))
 
         grads, (metrics, new_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
-        updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        new_ema = state.ema_params
-        if new_ema is not None:
-            d = state.ema_decay * (
-                1.0 - jnp.exp(-(state.step.astype(jnp.float32) + 1.0) / 2000.0))
-            new_ema = jax.tree.map(lambda e, p: e * d + p * (1.0 - d),
-                                   new_ema, new_params)
-        new_state = state.replace(step=state.step + 1, params=new_params,
-                                  batch_stats=new_stats, opt_state=new_opt,
-                                  ema_params=new_ema)
-        return new_state, metrics
+        return apply_updates_with_ema(state, grads, new_stats), metrics
 
     return train_step
 
@@ -188,18 +188,18 @@ def make_sharded_train_step(
     num_classes: int = 80,
     assigner: str = "simota",
     step_fn: Optional[Callable] = None,
+    data_shardings: Optional[Tuple] = None,
 ) -> Tuple[Callable, TrainState]:
     """jit the train step over the mesh with real shardings:
     batch over dp, fsdp parameter sharding over mp. Returns the jitted step
     and the state placed onto the mesh. step_fn overrides the default
-    YOLOX step (used for the RT-DETR family)."""
+    YOLOX step (RT-DETR family, classifier fine-tune); data_shardings
+    overrides the shardings of the step args after state (default:
+    dp-sharded (B,H,W,3) images + (B,G,5) targets)."""
     if step_fn is None:
         step_fn = make_train_step(model, num_classes, assigner)
 
     param_sh = mesh_lib.param_shardings(mesh, state.params)
-    opt_sh = jax.tree.map(
-        lambda _: mesh_lib.replicated(mesh), state.opt_state,
-        is_leaf=lambda x: hasattr(x, "shape"))
     # optimizer moments mirror parameter shapes where possible
     opt_sh = jax.tree.map(
         lambda leaf: (mesh_lib.param_sharding_rule(mesh, (), leaf)
@@ -212,13 +212,15 @@ def make_sharded_train_step(
                           batch_stats=stats_sh, opt_state=opt_sh, tx=state.tx,
                           ema_params=ema_sh, ema_decay=state.ema_decay)
 
-    data_sh = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
-    images_sh = NamedSharding(mesh, P(mesh_lib.DATA_AXIS, None, None, None))
-    targets_sh = NamedSharding(mesh, P(mesh_lib.DATA_AXIS, None, None))
+    if data_shardings is None:
+        data_shardings = (
+            NamedSharding(mesh, P(mesh_lib.DATA_AXIS, None, None, None)),
+            NamedSharding(mesh, P(mesh_lib.DATA_AXIS, None, None)),
+        )
 
     jitted = jax.jit(
         step_fn,
-        in_shardings=(state_sh, images_sh, targets_sh),
+        in_shardings=(state_sh, *data_shardings),
         out_shardings=(state_sh, NamedSharding(mesh, P())),
         donate_argnums=(0,),
     )

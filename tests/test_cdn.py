@@ -54,8 +54,10 @@ def test_cdn_noise_contrastive_split():
     valid = np.asarray(meta["valid"][0])
     pos = np.asarray(meta["positive"][0]) & valid
     neg = ~np.asarray(meta["positive"][0]) & valid
-    assert ious[pos].mean() > ious[neg].mean()
-    assert ious[pos].min() > 0.2
+    # upstream magnitudes: pos corners shift by U[0,1) x half-extent,
+    # neg by U[1,2) — positives overlap clearly more on average
+    assert ious[pos].mean() > ious[neg].mean() + 0.1
+    assert ious[pos].mean() > 0.3
 
 
 def test_cdn_attention_mask_rules():

@@ -423,3 +423,21 @@ def test_system_per_camera_stage2_override_disables_fused_raw(tmp_path):
                 .crop_padding_percent == 40)
     finally:
         sys_obj.stop()
+
+
+@pytest.mark.slow
+def test_fused_small_class_head_clamps_topk():
+    """A fine-tuned classifier head with fewer classes than the default
+    top-k window (10) must not crash the fused program (regression:
+    lax.top_k(k=10) on 4 logits fails at trace time)."""
+    spec = ProgramSpec(detector_type="yolox", variant="yolox-nano",
+                       input_hw=HW, gates="device", gate_lanes=1,
+                       gate_blur_size=5, gate_motion_blur_size=5, max_det=8)
+    prog = DetectorProgram(spec, seed=0)
+    prog.update_filters(FilterSettings(conf_threshold=0.0,
+                                       wildlife_only=False))
+    model, variables = init_eva02("eva02-tiny", 4, S2_SIZE, seed=1)
+    prog.attach_classifier(model, variables, input_size=S2_SIZE, max_crops=2)
+    rows, aux = prog.detect_batch_gated(_frame()[None], lanes=[0])
+    assert aux["species_prob"].shape == (1, 2, 4)   # top-k clamped to 4
+    assert aux["species_id"].shape == (1, 2, 4)
