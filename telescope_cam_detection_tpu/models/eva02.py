@@ -126,6 +126,11 @@ class EVA02(nn.Module):
     image_size: int = 336
     dtype: Any = jnp.float32
     attn_impl: str = "xla"
+    # Rematerialize each transformer block under grad (jax.checkpoint):
+    # activations are recomputed in the backward pass instead of stored,
+    # trading ~1 extra forward of FLOPs for O(depth) less activation HBM —
+    # lets bigger fine-tune batches fit one chip. No effect on inference.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False):
@@ -146,9 +151,10 @@ class EVA02(nn.Module):
 
         head_dim = self.dim // self.heads
         rope_angles = jnp.asarray(_rope_freqs(head_dim, n_side))
+        block_cls = nn.remat(EVA02Block) if self.remat else EVA02Block
         for i in range(self.depth):
-            x = EVA02Block(self.dim, self.heads, self.mlp_hidden, self.dtype,
-                           self.attn_impl, name=f"block{i}")(x, rope_angles)
+            x = block_cls(self.dim, self.heads, self.mlp_hidden, self.dtype,
+                          self.attn_impl, name=f"block{i}")(x, rope_angles)
         x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
         cls_feat = x[:, 0]
         return nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(cls_feat)
@@ -156,14 +162,14 @@ class EVA02(nn.Module):
 
 def build_eva02(name: str = "eva02-large", num_classes: int = 10000,
                 image_size: int = 336, dtype=jnp.float32,
-                attn_impl: str = "xla") -> EVA02:
+                attn_impl: str = "xla", remat: bool = False) -> EVA02:
     if name not in EVA02_VARIANTS:
         raise ValueError(f"unknown EVA02 variant {name!r}; valid: "
                          f"{sorted(EVA02_VARIANTS)}")
     depth, dim, heads, mlp_hidden, patch = EVA02_VARIANTS[name]
     return EVA02(num_classes=num_classes, depth=depth, dim=dim, heads=heads,
                  mlp_hidden=mlp_hidden, patch=patch, image_size=image_size,
-                 dtype=dtype, attn_impl=attn_impl)
+                 dtype=dtype, attn_impl=attn_impl, remat=remat)
 
 
 def init_eva02(name: str = "eva02-large", num_classes: int = 10000,

@@ -88,6 +88,7 @@ class ResNetVd(nn.Module):
     depths: Tuple[int, ...] = (2, 2, 2, 2)
     bottleneck: bool = False
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -99,6 +100,8 @@ class ResNetVd(nn.Module):
         x = nn.max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
 
         block = BottleneckVd if self.bottleneck else BasicBlockVd
+        if self.remat:   # recompute stage activations in backward
+            block = nn.remat(block, static_argnums=(2,))
         feats = []
         for stage, (depth, ch) in enumerate(zip(self.depths,
                                                 (64, 128, 256, 512))):
@@ -405,6 +408,10 @@ class RTDETR(nn.Module):
     num_queries: int = NUM_QUERIES
     dtype: Any = jnp.float32
     sampling_impl: str = "xla"   # "xla" | "pallas" (deformable attention)
+    # rematerialize backbone blocks + decoder layers under grad
+    # (jax.checkpoint): bigger train batches per chip for ~1 extra
+    # forward of FLOPs; no effect on inference
+    remat: bool = False
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False,
@@ -439,7 +446,7 @@ class RTDETR(nn.Module):
                 f"RT-DETR input {h_in}x{w_in} must be divisible by 32 "
                 f"(configure detection.input_size accordingly)")
         feats = ResNetVd(self.depths, self.bottleneck, dtype=dt,
-                         name="backbone")(images, train)
+                         remat=self.remat, name="backbone")(images, train)
         levels = HybridEncoder(dtype=dt, name="encoder")(feats, train)
 
         b = images.shape[0]
@@ -493,11 +500,12 @@ class RTDETR(nn.Module):
 
         boxes = ref_boxes
         aux_layers, dn_layers = [], []
+        layer_cls = nn.remat(DecoderLayer) if self.remat else DecoderLayer
         for i in range(self.decoder_layers):
             query_pos = pos_head(boxes.astype(dt))
-            query = DecoderLayer(dtype=dt, sampling_impl=self.sampling_impl,
-                                 name=f"decoder{i}")(
-                query, query_pos, boxes, levels, attn_mask=attn_mask)
+            query = layer_cls(dtype=dt, sampling_impl=self.sampling_impl,
+                              name=f"decoder{i}")(
+                query, query_pos, boxes, levels, attn_mask)
             delta = MLP(HIDDEN, 4, dtype=dt, name=f"bbox_head{i}")(query)
             boxes = jax.nn.sigmoid(delta + _inverse_sigmoid(boxes))
             if return_aux and i < self.decoder_layers - 1:
@@ -558,7 +566,8 @@ def resolve_sampling_impl(sampling_impl: str) -> str:
 
 
 def build_rtdetr(name: str = "rtdetrv2-r18vd", num_classes: int = 80,
-                 dtype=jnp.float32, sampling_impl: str = "auto") -> RTDETR:
+                 dtype=jnp.float32, sampling_impl: str = "auto",
+                 remat: bool = False) -> RTDETR:
     sampling_impl = resolve_sampling_impl(sampling_impl)
     if name not in RTDETR_VARIANTS:
         raise ValueError(f"unknown RT-DETR variant {name!r}; valid: "
@@ -567,7 +576,7 @@ def build_rtdetr(name: str = "rtdetrv2-r18vd", num_classes: int = 80,
     return RTDETR(num_classes=num_classes, depths=depths,
                   bottleneck=name.endswith(("r50vd", "r101vd")),
                   decoder_layers=dec_layers, dtype=dtype,
-                  sampling_impl=sampling_impl)
+                  sampling_impl=sampling_impl, remat=remat)
 
 
 def init_rtdetr(name: str = "rtdetrv2-r18vd", num_classes: int = 80,

@@ -53,6 +53,7 @@ class CSPDarknet(nn.Module):
     depthwise: bool = False
     act: str = "silu"
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
@@ -63,25 +64,27 @@ class CSPDarknet(nn.Module):
         x = Focus(base, 3, act=act, dtype=dt, name="stem")(x, train)
 
         block = DWConvBlock if dw else ConvBnAct
+        CSP = (nn.remat(CSPLayer, static_argnums=(2,)) if self.remat
+               else CSPLayer)
         # dark2
         x = block(base * 2, 3, 2, act=act, dtype=dt, name="dark2_conv")(x, train)
-        x = CSPLayer(base * 2, _d(self.depth, 3), True, depthwise=dw, act=act,
-                     dtype=dt, name="dark2_csp")(x, train)
+        x = CSP(base * 2, _d(self.depth, 3), True, depthwise=dw, act=act,
+                dtype=dt, name="dark2_csp")(x, train)
         # dark3
         x = block(base * 4, 3, 2, act=act, dtype=dt, name="dark3_conv")(x, train)
-        x = CSPLayer(base * 4, _d(self.depth, 9), True, depthwise=dw, act=act,
-                     dtype=dt, name="dark3_csp")(x, train)
+        x = CSP(base * 4, _d(self.depth, 9), True, depthwise=dw, act=act,
+                dtype=dt, name="dark3_csp")(x, train)
         c3 = x
         # dark4
         x = block(base * 8, 3, 2, act=act, dtype=dt, name="dark4_conv")(x, train)
-        x = CSPLayer(base * 8, _d(self.depth, 9), True, depthwise=dw, act=act,
-                     dtype=dt, name="dark4_csp")(x, train)
+        x = CSP(base * 8, _d(self.depth, 9), True, depthwise=dw, act=act,
+                dtype=dt, name="dark4_csp")(x, train)
         c4 = x
         # dark5
         x = block(base * 16, 3, 2, act=act, dtype=dt, name="dark5_conv")(x, train)
         x = SPPBottleneck(base * 16, act=act, dtype=dt, name="dark5_spp")(x, train)
-        x = CSPLayer(base * 16, _d(self.depth, 3), False, depthwise=dw, act=act,
-                     dtype=dt, name="dark5_csp")(x, train)
+        x = CSP(base * 16, _d(self.depth, 3), False, depthwise=dw, act=act,
+                dtype=dt, name="dark5_csp")(x, train)
         return c3, c4, x
 
 
@@ -91,6 +94,7 @@ class PAFPN(nn.Module):
     depthwise: bool = False
     act: str = "silu"
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
@@ -99,30 +103,32 @@ class PAFPN(nn.Module):
         n = _d(self.depth, 3)
         ch = lambda c: _w(self.width, c)
         block = DWConvBlock if dw else ConvBnAct
+        CSP = (nn.remat(CSPLayer, static_argnums=(2,)) if self.remat
+               else CSPLayer)
 
         # top-down
         p5_lat = ConvBnAct(ch(512), 1, 1, act=act, dtype=dt,
                            name="lateral_conv0")(c5, train)
         x = jnp.concatenate([upsample2x(p5_lat), c4], axis=-1)
-        p4_td = CSPLayer(ch(512), n, False, depthwise=dw, act=act, dtype=dt,
-                         name="C3_p4")(x, train)
+        p4_td = CSP(ch(512), n, False, depthwise=dw, act=act, dtype=dt,
+                    name="C3_p4")(x, train)
 
         p4_lat = ConvBnAct(ch(256), 1, 1, act=act, dtype=dt,
                            name="reduce_conv1")(p4_td, train)
         x = jnp.concatenate([upsample2x(p4_lat), c3], axis=-1)
-        p3_out = CSPLayer(ch(256), n, False, depthwise=dw, act=act, dtype=dt,
-                          name="C3_p3")(x, train)
+        p3_out = CSP(ch(256), n, False, depthwise=dw, act=act, dtype=dt,
+                     name="C3_p3")(x, train)
 
         # bottom-up
         x = block(ch(256), 3, 2, act=act, dtype=dt, name="bu_conv2")(p3_out, train)
         x = jnp.concatenate([x, p4_lat], axis=-1)
-        p4_out = CSPLayer(ch(512), n, False, depthwise=dw, act=act, dtype=dt,
-                          name="C3_n3")(x, train)
+        p4_out = CSP(ch(512), n, False, depthwise=dw, act=act, dtype=dt,
+                     name="C3_n3")(x, train)
 
         x = block(ch(512), 3, 2, act=act, dtype=dt, name="bu_conv1")(p4_out, train)
         x = jnp.concatenate([x, p5_lat], axis=-1)
-        p5_out = CSPLayer(ch(1024), n, False, depthwise=dw, act=act, dtype=dt,
-                          name="C3_n4")(x, train)
+        p5_out = CSP(ch(1024), n, False, depthwise=dw, act=act, dtype=dt,
+                     name="C3_n4")(x, train)
         return p3_out, p4_out, p5_out
 
 
@@ -166,6 +172,10 @@ class YOLOX(nn.Module):
     depthwise: bool = False
     act: str = "silu"
     dtype: Any = jnp.float32
+    # rematerialize each CSP stage under grad (jax.checkpoint): recompute
+    # stage activations in the backward pass instead of storing them —
+    # bigger train batches per chip at ~1 extra forward of FLOPs
+    remat: bool = False
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False):
@@ -174,9 +184,10 @@ class YOLOX(nn.Module):
         Returns per-level raw head outputs.
         """
         feats = CSPDarknet(self.depth, self.width, self.depthwise, self.act,
-                           self.dtype, name="backbone")(images, train)
+                           self.dtype, remat=self.remat,
+                           name="backbone")(images, train)
         feats = PAFPN(self.depth, self.width, self.depthwise, self.act,
-                      self.dtype, name="neck")(feats, train)
+                      self.dtype, remat=self.remat, name="neck")(feats, train)
         return YOLOXHead(self.num_classes, self.width, self.depthwise,
                          self.act, self.dtype, name="head")(feats, train)
 
@@ -212,13 +223,13 @@ def decode_outputs(
 
 
 def build_yolox(name: str = "yolox-s", num_classes: int = 80,
-                dtype=jnp.float32) -> YOLOX:
+                dtype=jnp.float32, remat: bool = False) -> YOLOX:
     if name not in YOLOX_VARIANTS:
         raise ValueError(f"unknown YOLOX variant {name!r}; "
                          f"valid: {sorted(YOLOX_VARIANTS)}")
     depth, width, depthwise = YOLOX_VARIANTS[name]
     return YOLOX(num_classes=num_classes, depth=depth, width=width,
-                 depthwise=depthwise, dtype=dtype)
+                 depthwise=depthwise, dtype=dtype, remat=remat)
 
 
 def init_yolox(name: str = "yolox-s", num_classes: int = 80,

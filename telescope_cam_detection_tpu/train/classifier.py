@@ -141,6 +141,7 @@ def build_classifier_training(
     use_mixup: bool = True,
     label_smoothing: float = 0.1,
     init_variables: Optional[Any] = None,
+    remat: bool = False,
 ):
     """Model + TrainState + jitted (optionally mesh-sharded) step.
 
@@ -148,7 +149,7 @@ def build_classifier_training(
     different class count is re-initialized fresh (standard fine-tune:
     new classification head over pretrained trunk).
     """
-    model = build_eva02(model_name, num_classes, image_size)
+    model = build_eva02(model_name, num_classes, image_size, remat=remat)
     dummy = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(seed), dummy, train=False)
     if init_variables is not None:

@@ -242,6 +242,7 @@ def build_training(
     min_lr_ratio: float = 0.05,
     ema_decay: float = 0.0,
     dn_groups: int = 2,
+    remat: bool = False,
 ):
     """Convenience: model + state (+ sharded step if mesh given).
 
@@ -253,11 +254,14 @@ def build_training(
     serving kernel defines no VJP).
 
     With total_steps given, the optimizer runs warmup+cosine LR; with
-    ema_decay > 0 the state carries an EMA shadow of the params.
+    ema_decay > 0 the state carries an EMA shadow of the params. remat
+    rematerializes backbone/decoder blocks under grad (jax.checkpoint) —
+    bigger batches per chip for ~1 extra forward of FLOPs.
     """
     if variant.startswith("rtdetr"):
         from telescope_cam_detection_tpu.models.rtdetr import build_rtdetr
-        model = build_rtdetr(variant, num_classes, sampling_impl="xla")
+        model = build_rtdetr(variant, num_classes, sampling_impl="xla",
+                             remat=remat)
         dummy = jnp.zeros((1, *input_hw, 3), jnp.float32)
         # init with a minimal dn so the CDN class-embedding param exists
         # (its table size is independent of the dn query count)
@@ -272,7 +276,7 @@ def build_training(
         step_builder = lambda: make_rtdetr_train_step(  # noqa: E731
             model, num_classes, input_hw, dn_groups=dn_groups)
     else:
-        model = build_yolox(variant, num_classes)
+        model = build_yolox(variant, num_classes, remat=remat)
         dummy = jnp.zeros((1, *input_hw, 3), jnp.float32)
         variables = model.init(jax.random.PRNGKey(seed), dummy, train=False)
         step_builder = lambda: make_train_step(  # noqa: E731

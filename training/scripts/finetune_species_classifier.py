@@ -54,6 +54,10 @@ def main() -> int:
                              "a different class count is re-initialized)")
     parser.add_argument("--mesh", type=int, default=0)
     parser.add_argument("--model-parallel", type=int, default=1)
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize blocks under grad "
+                             "(jax.checkpoint): bigger batches per chip "
+                             "for ~1 extra forward of FLOPs")
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--out", required=True)
     args = parser.parse_args()
@@ -111,7 +115,7 @@ def main() -> int:
         mesh=mesh, total_steps=steps * args.epochs,
         warmup_steps=int(args.warmup_epochs * steps), ema_decay=args.ema,
         use_mixup=not args.no_mixup, label_smoothing=args.label_smoothing,
-        init_variables=init_vars)
+        init_variables=init_vars, remat=args.remat)
 
     rng = jax.random.PRNGKey(0)
     for epoch in range(args.epochs):

@@ -58,6 +58,10 @@ def main() -> int:
     parser.add_argument("--min-lr-ratio", type=float, default=0.05)
     parser.add_argument("--constant-lr", action="store_true",
                         help="disable the warmup+cosine schedule")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize blocks under grad "
+                             "(jax.checkpoint): bigger batches per chip "
+                             "for ~1 extra forward of FLOPs")
     parser.add_argument("--cpu", action="store_true",
                         help="force a virtual CPU mesh of --mesh devices "
                              "(hermetic smoke runs without TPU hardware)")
@@ -113,7 +117,7 @@ def main() -> int:
         total_steps=None if args.constant_lr else steps * args.epochs,
         warmup_steps=int(args.warmup_epochs * steps),
         min_lr_ratio=args.min_lr_ratio, ema_decay=args.ema,
-        dn_groups=args.dn_groups)
+        dn_groups=args.dn_groups, remat=args.remat)
     augment = None
     if not args.no_augment:
         from telescope_cam_detection_tpu.train.augment import Augmenter
