@@ -1,0 +1,67 @@
+"""Measure rematerialization's activation-memory savings on the real TPU.
+
+Runs one jitted train step (YOLOX by default) with and without remat and
+reports the device's peak bytes in use plus step wall time — the
+FLOPs-for-HBM trade quantified (docs/PERFORMANCE.md).
+
+  python tools/bench_remat.py                     # yolox-m b8 @640
+  BR_VARIANT=yolox-l BR_BATCH=8 BR_SIZE=640 python tools/bench_remat.py
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from telescope_cam_detection_tpu.utils.jaxconfig import configure_jax  # noqa: E402
+
+configure_jax()
+
+
+def run(remat: bool, variant: str, batch: int, size: int):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from telescope_cam_detection_tpu.train.trainer import build_training
+
+    model, state, step = build_training(
+        variant=variant, num_classes=8, input_hw=(size, size),
+        learning_rate=1e-3, seed=0, remat=remat)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(0, 255, (batch, size, size, 3)),
+                         jnp.float32)
+    targets = np.full((batch, 10, 5), -1.0, np.float32)
+    targets[:, 0] = [40.0, 40.0, 200.0, 200.0, 1.0]
+    targets = jnp.asarray(targets)
+
+    # compiler-reported scratch memory: where the saved activations live
+    # (device memory_stats() is unavailable through the axon relay)
+    compiled = step.lower(state, images, targets).compile()
+    ma = compiled.memory_analysis()
+    temp = getattr(ma, "temp_size_in_bytes", 0)
+    args = getattr(ma, "argument_size_in_bytes", 0)
+
+    state, metrics = step(state, images, targets)      # run
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.perf_counter()
+    iters = 5
+    for _ in range(iters):
+        state, metrics = step(state, images, targets)
+    jax.block_until_ready(metrics["loss"])
+    ms = (time.perf_counter() - t0) * 1000 / iters
+
+    return {"remat": remat, "temp_gib": round(temp / 2**30, 3),
+            "args_gib": round(args / 2**30, 3), "step_ms": round(ms, 1)}
+
+
+if __name__ == "__main__":
+    variant = os.environ.get("BR_VARIANT", "yolox-m")
+    batch = int(os.environ.get("BR_BATCH", "8"))
+    size = int(os.environ.get("BR_SIZE", "640"))
+    out = {"variant": variant, "batch": batch, "size": size, "runs": []}
+    # separate processes would isolate peak stats; a fresh run order of
+    # (remat first) keeps the smaller peak from being masked by the larger
+    for remat in (True, False):
+        out["runs"].append(run(remat, variant, batch, size))
+    print(json.dumps(out))
