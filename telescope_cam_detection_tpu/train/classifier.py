@@ -21,6 +21,7 @@ the same param/opt sharding rules as the detector trainer.
 """
 from __future__ import annotations
 
+import logging
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -30,6 +31,8 @@ import optax
 from telescope_cam_detection_tpu.models.eva02 import EVA02_VARIANTS, build_eva02
 from telescope_cam_detection_tpu.train.trainer import (
     TrainState, apply_updates_with_ema, make_lr_schedule, make_optimizer)
+
+logger = logging.getLogger(__name__)
 
 _MIXUP_BETA = 0.8
 
@@ -158,11 +161,13 @@ def build_classifier_training(
 
         def shapes_match(a, b) -> bool:
             try:
-                jax.tree.map(lambda x, y: None if jnp.shape(x) == jnp.shape(y)
-                             else (_ for _ in ()).throw(ValueError()), a, b)
-                return True
-            except (ValueError, TypeError):
+                if (jax.tree_util.tree_structure(a) !=
+                        jax.tree_util.tree_structure(b)):
+                    return False
+            except TypeError:
                 return False
+            return all(jnp.shape(x) == jnp.shape(y) for x, y in
+                       zip(jax.tree.leaves(a), jax.tree.leaves(b)))
 
         merged = dict(fresh)
         for k, v in pre.items():
@@ -175,8 +180,7 @@ def build_classifier_training(
                 # fine-tune case; pos/patch embeds mismatch when --size
                 # differs from the checkpoint's train size — re-init fresh
                 # rather than failing with a broadcast error mid-step
-                import logging
-                logging.getLogger(__name__).warning(
+                logger.warning(
                     "pretrained %r shape mismatch (checkpoint trained at a "
                     "different size/class count); re-initializing fresh", k)
         variables = {"params": merged}

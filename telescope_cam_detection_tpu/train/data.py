@@ -300,7 +300,13 @@ class ClassificationFolderDataset:
         order = list(range(len(self.samples)))
         if not order:
             return
-        batch_size = min(batch_size, len(order))
+        if batch_size > len(order):
+            logger.warning(
+                "classification dataset has %d crops < batch %d; training "
+                "at batch %d (mesh-sharded runs need the batch to divide "
+                "the dp axis — see finetune_species_classifier.py)",
+                len(order), batch_size, len(order))
+            batch_size = len(order)
         for _ in range(epochs):
             rng.shuffle(order)
             for start in range(0, len(order) - batch_size + 1, batch_size):

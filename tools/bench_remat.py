@@ -36,18 +36,20 @@ def run(remat: bool, variant: str, batch: int, size: int):
     targets = jnp.asarray(targets)
 
     # compiler-reported scratch memory: where the saved activations live
-    # (device memory_stats() is unavailable through the axon relay)
+    # (device memory_stats() is unavailable through the axon relay). The
+    # AOT-compiled executable is also what we run, so each config
+    # compiles exactly once.
     compiled = step.lower(state, images, targets).compile()
     ma = compiled.memory_analysis()
     temp = getattr(ma, "temp_size_in_bytes", 0)
     args = getattr(ma, "argument_size_in_bytes", 0)
 
-    state, metrics = step(state, images, targets)      # run
+    state, metrics = compiled(state, images, targets)      # warm
     jax.block_until_ready(metrics["loss"])
     t0 = time.perf_counter()
     iters = 5
     for _ in range(iters):
-        state, metrics = step(state, images, targets)
+        state, metrics = compiled(state, images, targets)
     jax.block_until_ready(metrics["loss"])
     ms = (time.perf_counter() - t0) * 1000 / iters
 

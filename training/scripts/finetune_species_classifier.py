@@ -98,6 +98,14 @@ def main() -> int:
             print("no images found", file=sys.stderr)
             return 1
     print(f"dataset: {len(ds)} crops, {ds.num_classes} classes")
+    if len(ds) < args.batch:
+        args.batch = len(ds)
+        print(f"dataset smaller than batch; training at batch {args.batch}")
+    dp = max(args.mesh, 1) // max(args.model_parallel, 1)
+    if args.mesh and args.batch % max(dp, 1):
+        parser.error(f"--batch {args.batch} must be divisible by the dp "
+                     f"axis size ({dp} = mesh/model_parallel) for sharded "
+                     f"training")
 
     init_vars = None
     if args.init_weights:
