@@ -1,3 +1,4 @@
+import os
 import textwrap
 
 import pytest
@@ -138,6 +139,31 @@ def test_example_configs_validate():
             cfg = yaml.safe_load(f)
         errors = validate_config(cfg)
         assert errors == [], f"{os.path.basename(p)}: {errors}"
+
+
+@pytest.mark.skipif(not os.path.exists("/root/reference/config"),
+                    reason="upstream reference tree not present")
+def test_upstream_reference_configs_validate():
+    """Byte-compat pin: the upstream project's OWN shipped configs must
+    parse and pass OUR validation unmodified (the YAML schema is a
+    compatibility surface). Skipped where the reference checkout is
+    absent (CI)."""
+    import glob
+    import yaml
+    from telescope_cam_detection_tpu.config.loader import validate_config
+    paths = sorted(glob.glob("/root/reference/config/*.yaml*"))
+    checked = 0
+    for p in paths:
+        if "credentials" in p:
+            continue
+        with open(p) as f:
+            cfg = yaml.safe_load(f)
+        if not isinstance(cfg, dict) or "cameras" not in cfg:
+            continue
+        errors = validate_config(cfg)
+        assert errors == [], f"{os.path.basename(p)}: {errors}"
+        checked += 1
+    assert checked >= 1, paths
 
 
 def test_validate_class_size_constraints():
