@@ -23,33 +23,44 @@ def run(remat: bool, variant: str, batch: int, size: int):
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from telescope_cam_detection_tpu.train.trainer import build_training
 
-    model, state, step = build_training(
-        variant=variant, num_classes=8, input_hw=(size, size),
-        learning_rate=1e-3, seed=0, remat=remat)
     rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.uniform(0, 255, (batch, size, size, 3)),
-                         jnp.float32)
-    targets = np.full((batch, 10, 5), -1.0, np.float32)
-    targets[:, 0] = [40.0, 40.0, 200.0, 200.0, 1.0]
-    targets = jnp.asarray(targets)
+    if variant.startswith("eva02"):
+        from telescope_cam_detection_tpu.train.classifier import (
+            build_classifier_training)
+        model, state, step = build_classifier_training(
+            model_name=variant, num_classes=100, image_size=size,
+            learning_rate=1e-4, seed=0, remat=remat)
+        crops = jnp.asarray(rng.integers(0, 256, (batch, size, size, 3)),
+                            jnp.uint8)
+        labels = jnp.eye(100)[jnp.asarray(rng.integers(0, 100, batch))]
+        args3 = (crops, labels, jax.random.PRNGKey(0))
+    else:
+        from telescope_cam_detection_tpu.train.trainer import build_training
+        model, state, step = build_training(
+            variant=variant, num_classes=8, input_hw=(size, size),
+            learning_rate=1e-3, seed=0, remat=remat)
+        images = jnp.asarray(rng.uniform(0, 255, (batch, size, size, 3)),
+                             jnp.float32)
+        targets = np.full((batch, 10, 5), -1.0, np.float32)
+        targets[:, 0] = [40.0, 40.0, 200.0, 200.0, 1.0]
+        args3 = (images, jnp.asarray(targets))
 
     # compiler-reported scratch memory: where the saved activations live
     # (device memory_stats() is unavailable through the axon relay). The
     # AOT-compiled executable is also what we run, so each config
     # compiles exactly once.
-    compiled = step.lower(state, images, targets).compile()
+    compiled = step.lower(state, *args3).compile()
     ma = compiled.memory_analysis()
     temp = getattr(ma, "temp_size_in_bytes", 0)
     args = getattr(ma, "argument_size_in_bytes", 0)
 
-    state, metrics = compiled(state, images, targets)      # warm
+    state, metrics = compiled(state, *args3)      # warm
     jax.block_until_ready(metrics["loss"])
     t0 = time.perf_counter()
     iters = 5
     for _ in range(iters):
-        state, metrics = compiled(state, images, targets)
+        state, metrics = compiled(state, *args3)
     jax.block_until_ready(metrics["loss"])
     ms = (time.perf_counter() - t0) * 1000 / iters
 
