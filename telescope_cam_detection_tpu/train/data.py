@@ -137,12 +137,13 @@ class ShardedBatchLoader:
                              f"{self.n_proc} processes")
         self.per_proc = self.global_batch // self.n_proc
 
-    def _shardings(self):
+    def _shard_for(self, arr: np.ndarray):
+        """dp-shard the leading (batch) axis, replicate the rest — works
+        for detection (B,G,5) targets and classification (B,C) one-hots."""
         from jax.sharding import NamedSharding, PartitionSpec as P
         from telescope_cam_detection_tpu.parallel.mesh import DATA_AXIS
-        img_sh = NamedSharding(self.mesh, P(DATA_AXIS, None, None, None))
-        lbl_sh = NamedSharding(self.mesh, P(DATA_AXIS, None, None))
-        return img_sh, lbl_sh
+        return NamedSharding(self.mesh,
+                             P(DATA_AXIS, *([None] * (arr.ndim - 1))))
 
     def _local_batches(self, epoch: int) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         """This process's slice of each global batch, in global order."""
@@ -176,7 +177,6 @@ class ShardedBatchLoader:
 
         import jax
 
-        img_sh, lbl_sh = self._shardings()
         q: Any = queue_mod.Queue(maxsize=self.prefetch)
         _END = object()
         stop = threading.Event()
@@ -207,8 +207,10 @@ class ShardedBatchLoader:
                 if item is _END:
                     break
                 imgs, lbls = item
-                yield (jax.make_array_from_process_local_data(img_sh, imgs),
-                       jax.make_array_from_process_local_data(lbl_sh, lbls))
+                yield (jax.make_array_from_process_local_data(
+                           self._shard_for(imgs), imgs),
+                       jax.make_array_from_process_local_data(
+                           self._shard_for(lbls), lbls))
         finally:
             stop.set()
             try:  # unblock a producer waiting on a full queue
@@ -315,6 +317,24 @@ class ClassificationFolderDataset:
                 onehot = np.zeros((len(idxs), self.num_classes), np.float32)
                 onehot[np.arange(len(idxs)), list(cids)] = 1.0
                 yield np.stack(imgs), onehot
+
+
+class OneHotView:
+    """Adapter: classification dataset (load -> (crop_u8, class_id)) seen
+    as (crop_u8, onehot) pairs, so ShardedBatchLoader can dp-shard
+    classifier fine-tune batches across processes unchanged."""
+
+    def __init__(self, dataset: ClassificationFolderDataset):
+        self.dataset = dataset
+
+    def __len__(self) -> int:
+        return len(self.dataset)
+
+    def load(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        img, cid = self.dataset.load(idx)
+        onehot = np.zeros((self.dataset.num_classes,), np.float32)
+        onehot[cid] = 1.0
+        return img, onehot
 
 
 class SyntheticClassificationDataset(ClassificationFolderDataset):

@@ -184,3 +184,20 @@ def test_pre_ema_checkpoint_seeds_shadow_from_params(tmp_path):
     for a, b in zip(jax.tree.leaves(restored.ema_params),
                     jax.tree.leaves(restored.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_sharded_loader_classification_onehot(jax_devices):
+    """The loader dp-shards classifier fine-tune batches too: OneHotView
+    adapts (crop_u8, class_id) datasets, label sharding follows the
+    array rank (B, C)."""
+    from telescope_cam_detection_tpu.train.data import (
+        OneHotView, SyntheticClassificationDataset)
+
+    mesh = create_mesh(8, model_parallel=2)
+    ds = SyntheticClassificationDataset(n=16, image_size=32, num_classes=3)
+    loader = ShardedBatchLoader(OneHotView(ds), global_batch=8, mesh=mesh)
+    imgs, lbls = next(iter(loader.epoch(0)))
+    assert imgs.shape == (8, 32, 32, 3) and imgs.dtype == jnp.uint8
+    assert lbls.shape == (8, 3)
+    assert lbls.sharding.spec == jax.sharding.PartitionSpec("dp", None)
+    np.testing.assert_allclose(np.asarray(lbls).sum(axis=1), 1.0)

@@ -125,11 +125,20 @@ def main() -> int:
         use_mixup=not args.no_mixup, label_smoothing=args.label_smoothing,
         init_variables=init_vars, remat=args.remat)
 
+    loader = None
+    if mesh is not None:
+        # multi-host path: per-process loading, dp-sharded global arrays
+        from telescope_cam_detection_tpu.train.data import (
+            OneHotView, ShardedBatchLoader)
+        loader = ShardedBatchLoader(OneHotView(ds), args.batch, mesh)
+
     rng = jax.random.PRNGKey(0)
     for epoch in range(args.epochs):
         t0 = time.time()
         losses, accs = [], []
-        for imgs, labels in ds.batches(args.batch, seed=epoch, epochs=1):
+        batches = (loader.epoch(epoch) if loader is not None
+                   else ds.batches(args.batch, seed=epoch, epochs=1))
+        for imgs, labels in batches:
             rng, sub = jax.random.split(rng)
             state, metrics = step(state, jnp.asarray(imgs),
                                   jnp.asarray(labels), sub)
