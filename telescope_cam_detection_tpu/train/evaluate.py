@@ -46,6 +46,54 @@ def average_precision(scores: np.ndarray, matched: np.ndarray,
     return float(ap)
 
 
+def evaluate_jax_model(model, variables, dataset, family: str = "yolox",
+                       conf_threshold: float = 0.05, limit: int = 0,
+                       max_det: int = 50) -> Dict[str, float]:
+    """mAP of a Flax detector over a dataset (load(i) -> (img, (G,5) gts)).
+
+    family selects the deploy decode: "yolox" = decode + batched NMS,
+    "rtdetr" = NMS-free top-k rows (model.predict). Used by the training
+    CLI's per-epoch eval and the comparison tools.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from telescope_cam_detection_tpu.runtime.program import rows_to_detections
+
+    if family == "rtdetr":
+        @jax.jit
+        def infer(imgs):
+            return model.apply(variables, imgs, train=False,
+                               method=model.predict)
+
+        def rows_of(img):
+            rows = np.asarray(infer(jnp.asarray(img[None], jnp.float32)))[0]
+            return rows[rows[:, 5] >= conf_threshold][:max_det]
+    else:
+        from telescope_cam_detection_tpu.models.yolox import decode_outputs
+        from telescope_cam_detection_tpu.ops.nms import batched_nms
+
+        @jax.jit
+        def infer(imgs):
+            outs = model.apply(variables, imgs, train=False)
+            boxes, obj, cls = decode_outputs(outs)
+            return batched_nms(boxes, obj, cls,
+                               conf_threshold=conf_threshold,
+                               iou_threshold=0.45, max_det=max_det,
+                               pre_nms_topk=max(4 * max_det, 200))
+
+        def rows_of(img):
+            return np.asarray(infer(jnp.asarray(img[None], jnp.float32)))[0]
+
+    n = len(dataset) if not limit else min(limit, len(dataset))
+    preds, gts = [], []
+    for i in range(n):
+        img, lbl = dataset.load(i)
+        preds.append(rows_to_detections(rows_of(img)))
+        gts.append(lbl)
+    return evaluate_detections(preds, gts)
+
+
 def evaluate_detections(
     predictions: Sequence[Sequence[Dict]],   # per image: detection dicts
     ground_truths: Sequence[np.ndarray],     # per image: (N, 5) xyxy+class

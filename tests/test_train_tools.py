@@ -125,3 +125,32 @@ def test_checkpoint_roundtrip(tmp_path):
     a = jax.tree.leaves(state.params)[0]
     b = jax.tree.leaves(restored.params)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_evaluate_jax_model_yolox():
+    """The shared eval helper (per-epoch CLI mAP) runs the deploy decode
+    on a dataset and returns the metric contract."""
+    from telescope_cam_detection_tpu.models.yolox import init_yolox
+    from telescope_cam_detection_tpu.train.data import SyntheticDetectionDataset
+    from telescope_cam_detection_tpu.train.evaluate import evaluate_jax_model
+
+    model, variables = init_yolox("yolox-nano", num_classes=3,
+                                  input_hw=(96, 96), seed=0)
+    ds = SyntheticDetectionDataset(n=4, input_hw=(96, 96), num_classes=3)
+    m = evaluate_jax_model(model, variables, ds, family="yolox", limit=2)
+    assert set(m) == {"mAP50", "mAP50_95", "per_class"}
+    assert 0.0 <= m["mAP50"] <= 1.0
+
+
+@pytest.mark.slow
+def test_evaluate_jax_model_rtdetr():
+    from telescope_cam_detection_tpu.models.rtdetr import init_rtdetr
+    from telescope_cam_detection_tpu.train.data import SyntheticDetectionDataset
+    from telescope_cam_detection_tpu.train.evaluate import evaluate_jax_model
+
+    model, variables = init_rtdetr("rtdetrv2-r18vd", num_classes=3,
+                                   input_hw=(96, 96), seed=0,
+                                   sampling_impl="xla")
+    ds = SyntheticDetectionDataset(n=2, input_hw=(96, 96), num_classes=3)
+    m = evaluate_jax_model(model, variables, ds, family="rtdetr", limit=2)
+    assert 0.0 <= m["mAP50"] <= 1.0

@@ -52,6 +52,11 @@ def main() -> int:
                              "(0 disables CDN; yolox ignores)")
     parser.add_argument("--no-augment", action="store_true",
                         help="disable mosaic/mixup/flip/HSV augmentation")
+    parser.add_argument("--eval-every", type=int, default=1,
+                        help="epochs between held-out mAP evals "
+                             "(0 disables)")
+    parser.add_argument("--eval-limit", type=int, default=64,
+                        help="max validation images per eval")
     parser.add_argument("--ema", type=float, default=0.9998,
                         help="EMA decay for exported weights (0 disables)")
     parser.add_argument("--warmup-epochs", type=float, default=1.0)
@@ -153,9 +158,19 @@ def main() -> int:
             losses.append(float(jax.device_get(metrics["loss"])))
             if len(losses) >= steps:
                 break
-        print(f"epoch {epoch + 1}/{args.epochs}: loss "
-              f"{np.mean(losses):.4f} ({time.time() - t0:.1f}s, "
-              f"{len(losses)} steps)")
+        msg = (f"epoch {epoch + 1}/{args.epochs}: loss "
+               f"{np.mean(losses):.4f} ({time.time() - t0:.1f}s, "
+               f"{len(losses)} steps)")
+        if args.eval_every and (epoch + 1) % args.eval_every == 0:
+            from telescope_cam_detection_tpu.train.evaluate import (
+                evaluate_jax_model)
+            family = "rtdetr" if args.variant.startswith("rtdetr") else "yolox"
+            variables = {"params": jax.device_get(state.serving_params()),
+                         "batch_stats": jax.device_get(state.batch_stats)}
+            m = evaluate_jax_model(model, variables, val_ds, family=family,
+                                   limit=args.eval_limit)
+            msg += f" | val mAP50 {m['mAP50']:.3f} mAP50-95 {m['mAP50_95']:.3f}"
+        print(msg)
         save_train_state(ckpt_dir, state)
 
     weights_path = os.path.join(args.out, f"{args.variant}_custom.msgpack")
