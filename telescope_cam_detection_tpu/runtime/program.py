@@ -339,6 +339,13 @@ class DetectorProgram:
         }
         self._compiled.clear()   # programs rebuild with the stage-2 tail
 
+    def update_classifier_weights(self, variables) -> None:
+        """Swap the fused Stage-2 classifier weights live: they ride every
+        dispatch as an argument, so no program recompiles and in-flight
+        batches finish on the old tree. No-op when Stage-2 is not fused."""
+        if self._stage2 is not None:
+            self._stage2["variables"] = variables
+
     def _stage2_tail(self, capture_hw: Tuple[int, int]) -> Callable:
         """(s2_vars, frames_bgr, rows) -> (top_p (B,C,K), top_i (B,C,K)).
         Same crop/preprocess math as SpeciesClassifier.classify_boxes_device

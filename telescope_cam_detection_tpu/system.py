@@ -740,6 +740,85 @@ class TelescopeDetectionSystem:
             return ok
 
     # ---------------------------------------------------------------- hot reload
+    @staticmethod
+    def _trees_compatible(a: Any, b: Any) -> bool:
+        import jax
+        import jax.numpy as jnp
+        try:
+            if (jax.tree_util.tree_structure(a) !=
+                    jax.tree_util.tree_structure(b)):
+                return False
+        except TypeError:
+            return False
+        return all(jnp.shape(x) == jnp.shape(y) for x, y in
+                   zip(jax.tree.leaves(a), jax.tree.leaves(b)))
+
+    def _hot_swap_weights(self, old_cfg: Dict[str, Any],
+                          new_cfg: Dict[str, Any],
+                          result: Dict[str, Any]) -> set:
+        """Apply weights-path-only changes live. Returns the model-section
+        names whose 'weights' key should be excluded from the restart diff.
+        Appends to result['errors'] (and swaps nothing) on load failure or
+        tree mismatch — a bad path must not take down a healthy service."""
+        swapped: set = set()
+        if not self.load_weights:
+            return swapped
+        from telescope_cam_detection_tpu.models.convert import load_variables
+
+        detection = new_cfg.get("detection", {}) or {}
+        old_det = old_cfg.get("detection", {}) or {}
+        det_type = detection.get("detector_type", "yolox")
+        if (self.program is not None
+                and old_det.get("detector_type", "yolox") == det_type):
+            new_m = dict(detection.get(det_type) or {})
+            old_m = dict(old_det.get(det_type) or {})
+            new_w = new_m.pop("weights", None)
+            old_w = old_m.pop("weights", None)
+            if new_w and new_w != old_w and new_m == old_m:
+                loaded = load_variables(
+                    new_w, reference_variables=self.program.variables)
+                if loaded is None:
+                    result["errors"].append(
+                        f"detector weights failed to load: {new_w}")
+                elif not self._trees_compatible(loaded,
+                                                self.program.variables):
+                    result["errors"].append(
+                        f"detector weights {new_w} do not match the running "
+                        f"{det_type} model (wrong variant/classes?)")
+                else:
+                    self.program.variables = loaded
+                    swapped.add(det_type)
+                    result["reloaded"].append(f"detection.{det_type}.weights")
+                    logger.info("hot-swapped detector weights from %s", new_w)
+
+        sc_new = dict(((new_cfg.get("species_classification", {}) or {})
+                       .get("inat_classifier", {}) or {}))
+        sc_old = dict(((old_cfg.get("species_classification", {}) or {})
+                       .get("inat_classifier", {}) or {}))
+        new_w = sc_new.pop("weights", None)
+        old_w = sc_old.pop("weights", None)
+        if (self.species_classifier is not None and new_w
+                and new_w != old_w and sc_new == sc_old):
+            loaded = load_variables(
+                new_w, reference_variables=self.species_classifier.variables)
+            if loaded is None:
+                result["errors"].append(
+                    f"classifier weights failed to load: {new_w}")
+            elif not self._trees_compatible(
+                    loaded, self.species_classifier.variables):
+                result["errors"].append(
+                    f"classifier weights {new_w} do not match the running "
+                    f"classifier (wrong variant/classes?)")
+            else:
+                self.species_classifier.variables = loaded
+                if self.program is not None:
+                    self.program.update_classifier_weights(loaded)
+                swapped.add("inat_classifier")
+                result["reloaded"].append(
+                    "species_classification.inat_classifier.weights")
+                logger.info("hot-swapped classifier weights from %s", new_w)
+        return swapped
+
     def reload_config(self) -> Dict[str, Any]:
         """Re-read + validate config; apply hot-reloadable settings; report
         what needs a restart (reference main.py:429-655)."""
@@ -807,6 +886,16 @@ class TelescopeDetectionSystem:
                     new_cfg.get("time_of_day_filter", {}) or {})
                 result["reloaded"] += [f"{cam_id}.tod.{u}" for u in updated]
 
+            # Zero-downtime weight hot-swap: model weights are DISPATCH
+            # ARGUMENTS of the compiled programs (never baked in), so a
+            # weights-path-only change swaps without restart or recompile.
+            # In-flight batches finish on the old weights; the next
+            # dispatch carries the new tree. (The reference requires a
+            # full restart for any model change, main.py:608-617.)
+            swapped = self._hot_swap_weights(old_cfg, new_cfg, result)
+            if result["errors"]:
+                return result
+
             # restart-required diff. Per-camera detection_overrides hot-reload
             # through the engines above, so they are stripped from the cameras
             # comparison (the reference likewise only flags id/ip/count
@@ -814,6 +903,10 @@ class TelescopeDetectionSystem:
             def _strip_overrides(cams):
                 return [{k: v for k, v in (c or {}).items()
                          if k != "detection_overrides"} for c in (cams or [])]
+
+            def _strip_weights(node):
+                return {k: v for k, v in (node or {}).items()
+                        if k != "weights"}
 
             restart_keys = list(RESTART_REQUIRED_KEYS)
             if (self.program is not None
@@ -829,6 +922,9 @@ class TelescopeDetectionSystem:
                 if dotted == "cameras":
                     node_old = _strip_overrides(node_old)
                     node_new = _strip_overrides(node_new)
+                if dotted.split(".")[-1] in swapped:
+                    node_old = _strip_weights(node_old)
+                    node_new = _strip_weights(node_new)
                 if node_old != node_new:
                     result["requires_restart"].append(dotted)
 

@@ -367,6 +367,7 @@ def test_profiler_trace_endpoint(system, tmp_path):
     assert any(pathlib.Path(data["trace_dir"]).rglob("*"))  # trace files exist
 
 
+@pytest.mark.slow  # captures a real jax.profiler trace (~35s on 1 core)
 def test_profiler_trace_requires_token_when_set(system, monkeypatch):
     _, port = system
     monkeypatch.setenv("TELESCOPE_CLIPS_TOKEN", "sekrit")
