@@ -192,6 +192,44 @@ def convert_yolox_from_torch(state_dict: Dict[str, Any],
 
 
 # ---------------------------------------------------------------------------
+# Tree utilities (shared by hot-swap and fine-tune seeding)
+# ---------------------------------------------------------------------------
+
+def trees_compatible(a: Any, b: Any) -> bool:
+    """Same pytree structure and leaf shapes (dtype-agnostic: callers that
+    need dtype stability cast with cast_tree_like)."""
+    import jax
+    import jax.numpy as jnp
+    try:
+        if (jax.tree_util.tree_structure(a) !=
+                jax.tree_util.tree_structure(b)):
+            return False
+    except TypeError:
+        return False
+    return all(jnp.shape(x) == jnp.shape(y) for x, y in
+               zip(jax.tree.leaves(a), jax.tree.leaves(b)))
+
+
+def cast_tree_like(src: Any, ref: Any) -> Any:
+    """Cast every leaf of src to the corresponding ref leaf's dtype.
+
+    Weight hot-swap depends on this: serving trees may be bf16
+    (detection.precision) while fine-tune exports are f32 — swapping
+    without the cast would change every compiled program's argument
+    dtypes and force full recompilation."""
+    import jax
+    import numpy as np
+
+    def cast(s, r):
+        target = getattr(r, "dtype", None)
+        if target is None or getattr(s, "dtype", None) == target:
+            return s
+        return np.asarray(s).astype(target)
+
+    return jax.tree.map(cast, src, ref)
+
+
+# ---------------------------------------------------------------------------
 # Native checkpoint IO
 # ---------------------------------------------------------------------------
 

@@ -740,30 +740,38 @@ class TelescopeDetectionSystem:
             return ok
 
     # ---------------------------------------------------------------- hot reload
-    @staticmethod
-    def _trees_compatible(a: Any, b: Any) -> bool:
-        import jax
-        import jax.numpy as jnp
-        try:
-            if (jax.tree_util.tree_structure(a) !=
-                    jax.tree_util.tree_structure(b)):
-                return False
-        except TypeError:
-            return False
-        return all(jnp.shape(x) == jnp.shape(y) for x, y in
-                   zip(jax.tree.leaves(a), jax.tree.leaves(b)))
+    def _prepare_weight_swaps(self, old_cfg: Dict[str, Any],
+                              new_cfg: Dict[str, Any],
+                              result: Dict[str, Any]):
+        """Validate weights-path-only changes and return (commits, swapped):
+        zero-arg callables that apply the swaps, and the model-section names
+        whose weights/taxonomy keys the restart diff should ignore.
 
-    def _hot_swap_weights(self, old_cfg: Dict[str, Any],
-                          new_cfg: Dict[str, Any],
-                          result: Dict[str, Any]) -> set:
-        """Apply weights-path-only changes live. Returns the model-section
-        names whose 'weights' key should be excluded from the restart diff.
-        Appends to result['errors'] (and swaps nothing) on load failure or
-        tree mismatch — a bad path must not take down a healthy service."""
+        Validation happens BEFORE anything else is applied, so a bad path
+        or mismatched tree rejects the whole reload with the running system
+        untouched (no half-applied config). Loaded trees are cast to the
+        running trees' dtypes (serving may be bf16 while fine-tune exports
+        are f32) so the swap never changes compiled argument dtypes — the
+        zero-recompile guarantee."""
+        commits: List[Any] = []
         swapped: set = set()
         if not self.load_weights:
-            return swapped
-        from telescope_cam_detection_tpu.models.convert import load_variables
+            return commits, swapped
+        from telescope_cam_detection_tpu.models.convert import (
+            cast_tree_like, load_variables, trees_compatible)
+
+        def prepare(new_w, current, what):
+            loaded = load_variables(new_w, reference_variables=current)
+            if loaded is None:
+                result["errors"].append(
+                    f"{what} weights failed to load: {new_w}")
+                return None
+            if not trees_compatible(loaded, current):
+                result["errors"].append(
+                    f"{what} weights {new_w} do not match the running model "
+                    f"(wrong variant/classes?)")
+                return None
+            return cast_tree_like(loaded, current)
 
         detection = new_cfg.get("detection", {}) or {}
         old_det = old_cfg.get("detection", {}) or {}
@@ -775,49 +783,59 @@ class TelescopeDetectionSystem:
             new_w = new_m.pop("weights", None)
             old_w = old_m.pop("weights", None)
             if new_w and new_w != old_w and new_m == old_m:
-                loaded = load_variables(
-                    new_w, reference_variables=self.program.variables)
-                if loaded is None:
-                    result["errors"].append(
-                        f"detector weights failed to load: {new_w}")
-                elif not self._trees_compatible(loaded,
-                                                self.program.variables):
-                    result["errors"].append(
-                        f"detector weights {new_w} do not match the running "
-                        f"{det_type} model (wrong variant/classes?)")
-                else:
-                    self.program.variables = loaded
+                tree = prepare(new_w, self.program.variables, "detector")
+                if tree is not None:
+                    def commit_det(tree=tree, new_w=new_w):
+                        self.program.variables = tree
+                        result["reloaded"].append(
+                            f"detection.{det_type}.weights")
+                        logger.info("hot-swapped detector weights from %s",
+                                    new_w)
+                    commits.append(commit_det)
                     swapped.add(det_type)
-                    result["reloaded"].append(f"detection.{det_type}.weights")
-                    logger.info("hot-swapped detector weights from %s", new_w)
 
+        # classifier: weights and taxonomy_file hot-reload together (the
+        # fine-tune CLI exports both; examples/README.md workflow)
         sc_new = dict(((new_cfg.get("species_classification", {}) or {})
                        .get("inat_classifier", {}) or {}))
         sc_old = dict(((old_cfg.get("species_classification", {}) or {})
                        .get("inat_classifier", {}) or {}))
         new_w = sc_new.pop("weights", None)
         old_w = sc_old.pop("weights", None)
-        if (self.species_classifier is not None and new_w
-                and new_w != old_w and sc_new == sc_old):
-            loaded = load_variables(
-                new_w, reference_variables=self.species_classifier.variables)
-            if loaded is None:
-                result["errors"].append(
-                    f"classifier weights failed to load: {new_w}")
-            elif not self._trees_compatible(
-                    loaded, self.species_classifier.variables):
-                result["errors"].append(
-                    f"classifier weights {new_w} do not match the running "
-                    f"classifier (wrong variant/classes?)")
-            else:
-                self.species_classifier.variables = loaded
-                if self.program is not None:
-                    self.program.update_classifier_weights(loaded)
-                swapped.add("inat_classifier")
-                result["reloaded"].append(
-                    "species_classification.inat_classifier.weights")
-                logger.info("hot-swapped classifier weights from %s", new_w)
-        return swapped
+        new_tax = sc_new.pop("taxonomy_file", None)
+        old_tax = sc_old.pop("taxonomy_file", None)
+        if self.species_classifier is not None and sc_new == sc_old:
+            if new_w and new_w != old_w:
+                tree = prepare(new_w, self.species_classifier.variables,
+                               "classifier")
+                if tree is not None:
+                    def commit_cls(tree=tree, new_w=new_w):
+                        self.species_classifier.variables = tree
+                        if self.program is not None:
+                            self.program.update_classifier_weights(tree)
+                        result["reloaded"].append(
+                            "species_classification.inat_classifier.weights")
+                        logger.info("hot-swapped classifier weights from %s",
+                                    new_w)
+                    commits.append(commit_cls)
+                    swapped.add("inat_classifier")
+            if new_tax and new_tax != old_tax:
+                from telescope_cam_detection_tpu.pipeline.species import (
+                    load_taxonomy)
+                taxonomy = load_taxonomy(new_tax)
+                if not taxonomy:
+                    result["errors"].append(
+                        f"taxonomy file failed to load: {new_tax}")
+                else:
+                    def commit_tax(taxonomy=taxonomy, new_tax=new_tax):
+                        self.species_classifier.taxonomy = taxonomy
+                        result["reloaded"].append(
+                            "species_classification.inat_classifier"
+                            ".taxonomy_file")
+                        logger.info("hot-reloaded taxonomy from %s", new_tax)
+                    commits.append(commit_tax)
+                    swapped.add("inat_classifier")
+        return commits, swapped
 
     def reload_config(self) -> Dict[str, Any]:
         """Re-read + validate config; apply hot-reloadable settings; report
@@ -838,6 +856,18 @@ class TelescopeDetectionSystem:
 
             old_cfg = self.config
             detection = new_cfg.get("detection", {}) or {}
+
+            # Zero-downtime weight hot-swap, phase 1 (validate + prepare):
+            # model weights are DISPATCH ARGUMENTS of the compiled programs
+            # (never baked in), so a weights-path-only change swaps without
+            # restart or recompile. Trees load and validate BEFORE any other
+            # setting applies — a bad path rejects the whole reload with the
+            # running system untouched. (The reference requires a full
+            # restart for any model change, main.py:608-617.)
+            swap_commits, swapped = self._prepare_weight_swaps(
+                old_cfg, new_cfg, result)
+            if result["errors"]:
+                return result
 
             # engine settings (per camera merge)
             for cam in new_cfg.get("cameras", []) or []:
@@ -886,15 +916,10 @@ class TelescopeDetectionSystem:
                     new_cfg.get("time_of_day_filter", {}) or {})
                 result["reloaded"] += [f"{cam_id}.tod.{u}" for u in updated]
 
-            # Zero-downtime weight hot-swap: model weights are DISPATCH
-            # ARGUMENTS of the compiled programs (never baked in), so a
-            # weights-path-only change swaps without restart or recompile.
-            # In-flight batches finish on the old weights; the next
-            # dispatch carries the new tree. (The reference requires a
-            # full restart for any model change, main.py:608-617.)
-            swapped = self._hot_swap_weights(old_cfg, new_cfg, result)
-            if result["errors"]:
-                return result
+            # weight hot-swap, phase 2 (commit): in-flight batches finish
+            # on the old trees; the next dispatch carries the new ones
+            for commit in swap_commits:
+                commit()
 
             # restart-required diff. Per-camera detection_overrides hot-reload
             # through the engines above, so they are stripped from the cameras

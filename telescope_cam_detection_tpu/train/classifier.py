@@ -159,21 +159,14 @@ def build_classifier_training(
         fresh = variables["params"]
         pre = dict(init_variables.get("params", init_variables))
 
-        def shapes_match(a, b) -> bool:
-            try:
-                if (jax.tree_util.tree_structure(a) !=
-                        jax.tree_util.tree_structure(b)):
-                    return False
-            except TypeError:
-                return False
-            return all(jnp.shape(x) == jnp.shape(y) for x, y in
-                       zip(jax.tree.leaves(a), jax.tree.leaves(b)))
+        from telescope_cam_detection_tpu.models.convert import (
+            trees_compatible)
 
         merged = dict(fresh)
         for k, v in pre.items():
             if k not in fresh:
                 continue
-            if shapes_match(v, fresh[k]):
+            if trees_compatible(v, fresh[k]):
                 merged[k] = v
             else:
                 # a new head for a different class count is the normal

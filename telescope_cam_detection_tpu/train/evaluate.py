@@ -46,14 +46,17 @@ def average_precision(scores: np.ndarray, matched: np.ndarray,
     return float(ap)
 
 
-def evaluate_jax_model(model, variables, dataset, family: str = "yolox",
-                       conf_threshold: float = 0.05, limit: int = 0,
-                       max_det: int = 50) -> Dict[str, float]:
-    """mAP of a Flax detector over a dataset (load(i) -> (img, (G,5) gts)).
+def make_eval_fn(model, family: str = "yolox", conf_threshold: float = 0.05,
+                 max_det: int = 50):
+    """Build evaluate(variables, dataset, limit=0) -> mAP metrics.
 
-    family selects the deploy decode: "yolox" = decode + batched NMS,
-    "rtdetr" = NMS-free top-k rows (model.predict). Used by the training
-    CLI's per-epoch eval and the comparison tools.
+    family selects the deploy decode — "yolox" = decode + batched NMS on
+    raw BGR 0..255 frames; "rtdetr" = the serving preprocess (BGR u8 ->
+    RGB 0..1, ops/preprocess.preprocess_rtdetr semantics) then NMS-free
+    top-k rows — so the reported mAP reflects deployed behavior, not a
+    different pixel convention. Variables are a traced argument (not
+    baked into the executable), and the jitted program is built once per
+    returned closure: per-epoch CLI evals reuse one compilation.
     """
     import jax
     import jax.numpy as jnp
@@ -62,19 +65,21 @@ def evaluate_jax_model(model, variables, dataset, family: str = "yolox",
 
     if family == "rtdetr":
         @jax.jit
-        def infer(imgs):
-            return model.apply(variables, imgs, train=False,
+        def infer(variables, imgs):
+            x = imgs[..., ::-1] * (1.0 / 255.0)   # serving convention
+            return model.apply(variables, x, train=False,
                                method=model.predict)
 
-        def rows_of(img):
-            rows = np.asarray(infer(jnp.asarray(img[None], jnp.float32)))[0]
+        def rows_of(variables, img):
+            rows = np.asarray(infer(variables,
+                                    jnp.asarray(img[None], jnp.float32)))[0]
             return rows[rows[:, 5] >= conf_threshold][:max_det]
     else:
         from telescope_cam_detection_tpu.models.yolox import decode_outputs
         from telescope_cam_detection_tpu.ops.nms import batched_nms
 
         @jax.jit
-        def infer(imgs):
+        def infer(variables, imgs):
             outs = model.apply(variables, imgs, train=False)
             boxes, obj, cls = decode_outputs(outs)
             return batched_nms(boxes, obj, cls,
@@ -82,16 +87,28 @@ def evaluate_jax_model(model, variables, dataset, family: str = "yolox",
                                iou_threshold=0.45, max_det=max_det,
                                pre_nms_topk=max(4 * max_det, 200))
 
-        def rows_of(img):
-            return np.asarray(infer(jnp.asarray(img[None], jnp.float32)))[0]
+        def rows_of(variables, img):
+            return np.asarray(infer(variables,
+                                    jnp.asarray(img[None], jnp.float32)))[0]
 
-    n = len(dataset) if not limit else min(limit, len(dataset))
-    preds, gts = [], []
-    for i in range(n):
-        img, lbl = dataset.load(i)
-        preds.append(rows_to_detections(rows_of(img)))
-        gts.append(lbl)
-    return evaluate_detections(preds, gts)
+    def evaluate(variables, dataset, limit: int = 0) -> Dict[str, float]:
+        n = len(dataset) if not limit else min(limit, len(dataset))
+        preds, gts = [], []
+        for i in range(n):
+            img, lbl = dataset.load(i)
+            preds.append(rows_to_detections(rows_of(variables, img)))
+            gts.append(lbl)
+        return evaluate_detections(preds, gts)
+
+    return evaluate
+
+
+def evaluate_jax_model(model, variables, dataset, family: str = "yolox",
+                       conf_threshold: float = 0.05, limit: int = 0,
+                       max_det: int = 50) -> Dict[str, float]:
+    """One-shot convenience over make_eval_fn (tools/tests)."""
+    return make_eval_fn(model, family, conf_threshold, max_det)(
+        variables, dataset, limit)
 
 
 def evaluate_detections(

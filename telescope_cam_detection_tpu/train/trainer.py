@@ -147,7 +147,13 @@ def make_rtdetr_train_step(model, num_classes: int,
     denoising queries (train/cdn.py; dn_groups=0 disables), Hungarian
     matching + VFL/L1/GIoU loss (train/detr_loss.py), same TrainState/EMA
     machinery as the YOLOX step. The CDN noise rng derives from state.step
-    so the step keeps the (state, images, targets) signature."""
+    so the step keeps the (state, images, targets) signature.
+
+    images arrive as raw BGR 0..255 floats (the shared dataset convention,
+    same as the YOLOX step); the step applies the SERVING preprocess
+    (BGR -> RGB 0..1, ops/preprocess.preprocess_rtdetr semantics) so
+    trained weights see the exact pixel convention the deploy program
+    feeds them."""
     from telescope_cam_detection_tpu.train.cdn import (
         build_cdn_queries, cdn_attention_mask)
     from telescope_cam_detection_tpu.train.detr_loss import rtdetr_loss
@@ -165,10 +171,12 @@ def make_rtdetr_train_step(model, num_classes: int,
                       rtdetr_query_count(model, input_hw),
                       dn_meta["valid"])}
 
+        x = images[..., ::-1] * (1.0 / 255.0)   # serving pixel convention
+
         def loss_fn(params):
             outs, mutations = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                images, train=True, return_aux=True, dn=dn,
+                x, train=True, return_aux=True, dn=dn,
                 mutable=["batch_stats"])
             loss, metrics = rtdetr_loss(outs, targets, input_hw=input_hw,
                                         num_classes=num_classes,

@@ -73,13 +73,40 @@ def test_weights_path_change_swaps_live(system):
 
 
 def test_bad_weights_path_keeps_old_weights(system):
+    """A rejected reload must apply NOTHING — not even hot-reloadable
+    settings changed in the same edit (no half-applied config)."""
     sys_obj, cfg, tmp = system
     before = _leaf(jax.device_get(sys_obj.program.variables)).copy()
     _write_cfg(cfg, weights_line="weights: /nonexistent/nope.msgpack")
+    cfg.write_text(cfg.read_text().replace("conf_threshold: 0.3",
+                                           "conf_threshold: 0.55"))
     res = sys_obj.reload_config()
     assert res["success"] is False
     assert any("failed to load" in e for e in res["errors"])
     np.testing.assert_allclose(_leaf(sys_obj.program.variables), before)
+    assert sys_obj.engines["cam1"]._settings["conf_threshold"] == 0.3
+
+
+def test_swapped_tree_adopts_running_dtypes(system):
+    """Fine-tune exports are f32; serving trees may be bf16 — the swap
+    casts to the running dtypes so compiled argument signatures (and
+    therefore the zero-recompile guarantee) never change."""
+    import jax.numpy as jnp
+    sys_obj, cfg, tmp = system
+    # force a distinct running dtype on one leaf, then swap an f32 export
+    vars_now = jax.device_get(sys_obj.program.variables)
+    as_bf16 = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == np.float32 else a,
+        vars_now)
+    sys_obj.program.variables = as_bf16
+    wpath = tmp / "f32.msgpack"
+    save_variables(vars_now, str(wpath))
+    _write_cfg(cfg, weights_line=f"weights: {wpath}")
+    res = sys_obj.reload_config()
+    assert res["success"] is True, res
+    dtypes = {np.asarray(leaf).dtype
+              for leaf in jax.tree.leaves(sys_obj.program.variables)}
+    assert np.float32 not in dtypes
 
 
 def test_mismatched_tree_keeps_old_weights(system):

@@ -140,6 +140,7 @@ def main() -> int:
         loader = ShardedBatchLoader(train_ds, args.batch, mesh,
                                     augment=augment)
 
+    eval_fn = None
     for epoch in range(args.epochs):
         t0 = time.time()
         losses = []
@@ -161,14 +162,19 @@ def main() -> int:
         msg = (f"epoch {epoch + 1}/{args.epochs}: loss "
                f"{np.mean(losses):.4f} ({time.time() - t0:.1f}s, "
                f"{len(losses)} steps)")
-        if args.eval_every and (epoch + 1) % args.eval_every == 0:
-            from telescope_cam_detection_tpu.train.evaluate import (
-                evaluate_jax_model)
-            family = "rtdetr" if args.variant.startswith("rtdetr") else "yolox"
+        # single-device eval only: mp-sharded params span hosts, and every
+        # process would redundantly run the same loop on a mesh
+        if args.eval_every and mesh is None \
+                and (epoch + 1) % args.eval_every == 0:
+            if eval_fn is None:
+                from telescope_cam_detection_tpu.train.evaluate import (
+                    make_eval_fn)
+                family = ("rtdetr" if args.variant.startswith("rtdetr")
+                          else "yolox")
+                eval_fn = make_eval_fn(model, family=family)
             variables = {"params": jax.device_get(state.serving_params()),
                          "batch_stats": jax.device_get(state.batch_stats)}
-            m = evaluate_jax_model(model, variables, val_ds, family=family,
-                                   limit=args.eval_limit)
+            m = eval_fn(variables, val_ds, limit=args.eval_limit)
             msg += f" | val mAP50 {m['mAP50']:.3f} mAP50-95 {m['mAP50_95']:.3f}"
         print(msg)
         save_train_state(ckpt_dir, state)
