@@ -110,21 +110,26 @@ def make_classifier_train_step(model, image_size: int,
 
     def train_step(state: TrainState, crops_u8: jnp.ndarray,
                    labels: jnp.ndarray, rng: jax.Array):
-        images = preprocess_classifier(crops_u8, (image_size, image_size))
-        if use_mixup:
-            images, labels = mixup(rng, images, labels)
+        # true-f32 matmuls (see trainer.make_train_step): fine-tuning from
+        # a pretrained trunk is less precision-sensitive than from-scratch
+        # detection, but training quality should not depend on the backend
+        with jax.default_matmul_precision("float32"):
+            images = preprocess_classifier(crops_u8,
+                                           (image_size, image_size))
+            if use_mixup:
+                images, labels = mixup(rng, images, labels)
 
-        def loss_fn(params):
-            logits = model.apply({"params": params}, images, train=True)
-            loss = classifier_loss(logits, labels, label_smoothing)
-            acc = jnp.mean((jnp.argmax(logits, -1) ==
-                            jnp.argmax(labels, -1)).astype(jnp.float32))
-            return loss, acc
+            def loss_fn(params):
+                logits = model.apply({"params": params}, images, train=True)
+                loss = classifier_loss(logits, labels, label_smoothing)
+                acc = jnp.mean((jnp.argmax(logits, -1) ==
+                                jnp.argmax(labels, -1)).astype(jnp.float32))
+                return loss, acc
 
-        (loss, acc), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
-        new_state = apply_updates_with_ema(state, grads)
-        return new_state, {"loss": loss, "accuracy": acc}
+            (loss, acc), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            new_state = apply_updates_with_ema(state, grads)
+            return new_state, {"loss": loss, "accuracy": acc}
 
     return train_step
 

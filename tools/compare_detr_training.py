@@ -24,9 +24,7 @@ def run(dn_groups: int, steps: int = 200, batch: int = 4, seed: int = 0):
     import jax.numpy as jnp
     import numpy as np
     from telescope_cam_detection_tpu.train.data import SyntheticDetectionDataset
-    from telescope_cam_detection_tpu.train.evaluate import evaluate_detections
     from telescope_cam_detection_tpu.train.trainer import build_training
-    from telescope_cam_detection_tpu.runtime.program import rows_to_detections
 
     num_classes, input_hw = 4, (128, 128)
     ds = SyntheticDetectionDataset(n=batch * 25, input_hw=input_hw,
@@ -35,7 +33,7 @@ def run(dn_groups: int, steps: int = 200, batch: int = 4, seed: int = 0):
                                     num_classes=num_classes, seed=777)
     model, state, step_fn = build_training(
         variant="rtdetrv2-r18vd", num_classes=num_classes, input_hw=input_hw,
-        learning_rate=2e-4, seed=seed, total_steps=steps,
+        learning_rate=1e-3, seed=seed, total_steps=steps,
         warmup_steps=steps // 10, dn_groups=dn_groups)
     t0 = time.time()
     done = 0
@@ -51,21 +49,10 @@ def run(dn_groups: int, steps: int = 200, batch: int = 4, seed: int = 0):
 
     variables = {"params": jax.device_get(state.params),
                  "batch_stats": jax.device_get(state.batch_stats)}
-
-    @jax.jit
-    def infer(imgs):
-        # NMS-free deploy rows (models/rtdetr.py predict)
-        return model.apply(variables, imgs, train=False,
-                           method=model.predict)
-
-    preds, gts = [], []
-    for i in range(len(val)):
-        img, lbl = val.load(i)
-        rows = np.asarray(infer(jnp.asarray(img[None], jnp.float32)))[0]
-        rows = rows[rows[:, 5] >= 0.10][:20]   # confidence floor, top rows
-        preds.append(rows_to_detections(rows))
-        gts.append(lbl)
-    m = evaluate_detections(preds, gts)
+    # serving-true eval: the SAME pixel convention + NMS-free deploy rows
+    # the runtime feeds the model (train/evaluate.make_eval_fn)
+    from telescope_cam_detection_tpu.train.evaluate import make_eval_fn
+    m = make_eval_fn(model, family="rtdetr", max_det=20)(variables, val)
     return {"dn_groups": dn_groups, "final_loss": round(loss, 2),
             "mAP50": round(m["mAP50"], 4), "mAP50_95": round(m["mAP50_95"], 4),
             "train_seconds": round(train_s, 1)}
