@@ -120,6 +120,10 @@ _VALID_TRANSFERS = ("auto", "device", "host", "yuv420", "delta")
 _VALID_DELTA_PAYLOADS = ("rgb", "yuv420")
 _VALID_GATES = ("none", "device")
 _VALID_IMPLS = ("auto", "xla", "pallas")
+_VALID_DET_PRECISION = ("fp32", "bf16", "bfloat16")
+# classifier precision: int8 = W8A8 dynamic quantization on the MXU
+# (ops/quant.py); the same checkpoint serves any of these
+_VALID_CLS_PRECISION = ("fp32", "bf16", "bfloat16", "int8")
 
 
 def _check_size_constraints(errors: List[str], prefix: str, constraints: Any) -> None:
@@ -248,6 +252,16 @@ def validate_config(config: Dict[str, Any]) -> List[str]:
     if nms_impl is not None and nms_impl not in _VALID_IMPLS:
         errors.append(f"detection.nms_impl must be one of {_VALID_IMPLS}, "
                       f"got {nms_impl!r}")
+    precision = detection.get("precision")
+    if precision is not None and precision not in _VALID_DET_PRECISION:
+        errors.append(f"detection.precision must be one of "
+                      f"{_VALID_DET_PRECISION}, got {precision!r}")
+    cls_precision = _lookup(
+        config, ("species_classification", "inat_classifier", "precision"))
+    if cls_precision is not None and cls_precision not in _VALID_CLS_PRECISION:
+        errors.append(
+            "species_classification.inat_classifier.precision must be one "
+            f"of {_VALID_CLS_PRECISION}, got {cls_precision!r}")
 
     for path, typ, lo, hi in _RANGE_SPECS:
         val = _lookup(config, path)

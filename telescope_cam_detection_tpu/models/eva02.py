@@ -54,18 +54,29 @@ def _apply_rope(x: jnp.ndarray, angles: jnp.ndarray,
     return jnp.concatenate([prefix, rotated], axis=1)
 
 
+def _dense_cls(quant: str):
+    """nn.Dense, or the int8-MXU drop-in when quant="int8" (same param
+    tree, so the same checkpoint serves either precision)."""
+    if quant == "int8":
+        from telescope_cam_detection_tpu.ops.quant import QuantDense
+        return QuantDense
+    return nn.Dense
+
+
 class SwiGLU(nn.Module):
     hidden: int
     out: int
     dtype: Any = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x):
-        gate = nn.Dense(self.hidden, dtype=self.dtype, name="w1")(x)
-        val = nn.Dense(self.hidden, dtype=self.dtype, name="w2")(x)
+        dense = _dense_cls(self.quant)
+        gate = dense(self.hidden, dtype=self.dtype, name="w1")(x)
+        val = dense(self.hidden, dtype=self.dtype, name="w2")(x)
         x = nn.silu(gate) * val
         x = nn.LayerNorm(dtype=jnp.float32, name="ffn_ln")(x)  # sub-LN
-        return nn.Dense(self.out, dtype=self.dtype, name="w3")(x)
+        return dense(self.out, dtype=self.dtype, name="w3")(x)
 
 
 class EVA02Block(nn.Module):
@@ -79,16 +90,22 @@ class EVA02Block(nn.Module):
     # (docs/PERFORMANCE.md Stage-2 table), so auto picks pallas on TPU at
     # every bucket.
     attn_impl: str = "xla"
+    # "none" | "int8": run the projection/SwiGLU matmuls (~83% of the
+    # block's FLOPs) through the int8 MXU path (ops/quant.py, W8A8 dynamic
+    # per-token/per-channel). Attention score/value matmuls and LayerNorms
+    # stay in the compute dtype.
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, rope_angles):
         b, t, _ = x.shape
         head_dim = self.dim // self.heads
+        dense = _dense_cls(self.quant)
 
         h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
-        q = nn.Dense(self.dim, dtype=self.dtype, name="q_proj")(h)
-        k = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="k_proj")(h)
-        v = nn.Dense(self.dim, dtype=self.dtype, name="v_proj")(h)
+        q = dense(self.dim, dtype=self.dtype, name="q_proj")(h)
+        k = dense(self.dim, use_bias=False, dtype=self.dtype, name="k_proj")(h)
+        v = dense(self.dim, dtype=self.dtype, name="v_proj")(h)
         q = q.reshape(b, t, self.heads, head_dim)
         k = k.reshape(b, t, self.heads, head_dim)
         v = v.reshape(b, t, self.heads, head_dim)
@@ -109,10 +126,11 @@ class EVA02Block(nn.Module):
             attn = jax.nn.dot_product_attention(q, k, v)
         attn = attn.reshape(b, t, self.dim)
         attn = nn.LayerNorm(dtype=jnp.float32, name="attn_ln")(attn)  # sub-LN
-        x = x + nn.Dense(self.dim, dtype=self.dtype, name="proj")(attn)
+        x = x + dense(self.dim, dtype=self.dtype, name="proj")(attn)
 
         h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
-        x = x + SwiGLU(self.mlp_hidden, self.dim, self.dtype, name="mlp")(h)
+        x = x + SwiGLU(self.mlp_hidden, self.dim, self.dtype,
+                       quant=self.quant, name="mlp")(h)
         return x
 
 
@@ -126,6 +144,7 @@ class EVA02(nn.Module):
     image_size: int = 336
     dtype: Any = jnp.float32
     attn_impl: str = "xla"
+    quant: str = "none"  # "int8": block matmuls via the int8 MXU path
     # Rematerialize each transformer block under grad (jax.checkpoint):
     # activations are recomputed in the backward pass instead of stored,
     # trading ~1 extra forward of FLOPs for O(depth) less activation HBM —
@@ -154,7 +173,8 @@ class EVA02(nn.Module):
         block_cls = nn.remat(EVA02Block) if self.remat else EVA02Block
         for i in range(self.depth):
             x = block_cls(self.dim, self.heads, self.mlp_hidden, self.dtype,
-                          self.attn_impl, name=f"block{i}")(x, rope_angles)
+                          self.attn_impl, self.quant,
+                          name=f"block{i}")(x, rope_angles)
         x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
         cls_feat = x[:, 0]
         return nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(cls_feat)
@@ -162,20 +182,24 @@ class EVA02(nn.Module):
 
 def build_eva02(name: str = "eva02-large", num_classes: int = 10000,
                 image_size: int = 336, dtype=jnp.float32,
-                attn_impl: str = "xla", remat: bool = False) -> EVA02:
+                attn_impl: str = "xla", remat: bool = False,
+                quant: str = "none") -> EVA02:
     if name not in EVA02_VARIANTS:
         raise ValueError(f"unknown EVA02 variant {name!r}; valid: "
                          f"{sorted(EVA02_VARIANTS)}")
+    if quant not in ("none", "int8"):
+        raise ValueError(f"unknown quant {quant!r} (valid: none, int8)")
     depth, dim, heads, mlp_hidden, patch = EVA02_VARIANTS[name]
     return EVA02(num_classes=num_classes, depth=depth, dim=dim, heads=heads,
                  mlp_hidden=mlp_hidden, patch=patch, image_size=image_size,
-                 dtype=dtype, attn_impl=attn_impl, remat=remat)
+                 dtype=dtype, attn_impl=attn_impl, remat=remat, quant=quant)
 
 
 def init_eva02(name: str = "eva02-large", num_classes: int = 10000,
                image_size: int = 336, seed: int = 0, dtype=jnp.float32,
-               attn_impl: str = "xla"):
-    model = build_eva02(name, num_classes, image_size, dtype, attn_impl)
+               attn_impl: str = "xla", quant: str = "none"):
+    model = build_eva02(name, num_classes, image_size, dtype, attn_impl,
+                        quant=quant)
     dummy = jnp.zeros((1, image_size, image_size, 3), dtype)
     variables = model.init(jax.random.PRNGKey(seed), dummy, train=False)
     return model, variables

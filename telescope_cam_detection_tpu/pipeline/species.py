@@ -77,6 +77,7 @@ class SpeciesClassifier:
         seed: int = 0,
         param_dtype=jnp.bfloat16,
         attn_impl: str = "auto",
+        quant: str = "none",
     ):
         self.model_name = model_name
         self.num_classes = num_classes
@@ -90,13 +91,14 @@ class SpeciesClassifier:
             load_taxonomy(taxonomy_file) if taxonomy_file else {})
 
         self.model = build_eva02(model_name, num_classes, input_size,
-                                 dtype=param_dtype, attn_impl=attn_impl)
+                                 dtype=param_dtype, attn_impl=attn_impl,
+                                 quant=quant)
         if variables is None:
             logger.warning("SpeciesClassifier: random-init weights "
                            "(no checkpoint)")
             _, variables = init_eva02(model_name, num_classes, input_size,
                                       seed, dtype=param_dtype,
-                                      attn_impl=attn_impl)
+                                      attn_impl=attn_impl, quant=quant)
         self.variables = variables
         self._programs: Dict[Tuple[int, int, int], Any] = {}
         self.total_classified = 0

@@ -69,6 +69,7 @@ RESTART_REQUIRED_KEYS = (
     "detection.batching", "detection.gates",
     "species_classification.fused",
     "species_classification.fused_max_crops",
+    "species_classification.inat_classifier.precision",
 )
 
 # compiled into the fused program ONLY when gates='device' (hot-reloadable
@@ -266,7 +267,15 @@ class TelescopeDetectionSystem:
                 use_hierarchical=inat.get("use_hierarchical", True),
                 enable_geographic_filter=geo.get("enabled", False),
                 allowed_species=geo.get("allowed_species") or [],
-                attn_impl=inat.get("attn_impl", "auto"))
+                attn_impl=inat.get("attn_impl", "auto"),
+                # "int8" routes the block matmuls through the int8 MXU
+                # (2x bf16 peak on v5e); same checkpoint either way.
+                # "fp32" opts out of bf16 compute entirely.
+                param_dtype=(jnp.float32
+                             if inat.get("precision") == "fp32"
+                             else jnp.bfloat16),
+                quant=("int8" if inat.get("precision") == "int8"
+                       else "none"))
             weights = inat.get("weights")
             if self.load_weights and weights:
                 from telescope_cam_detection_tpu.models.convert import (

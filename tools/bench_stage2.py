@@ -30,11 +30,17 @@ def main():
     results = {}
     rng = np.random.default_rng(0)
 
-    for attn_impl in ("xla", "pallas"):
+    # (attn_impl, quant) arms; int8 = W8A8 dynamic on the MXU (ops/quant.py)
+    arms = [("xla", "none"), ("pallas", "none"), ("pallas", "int8")]
+    if os.environ.get("S2_ARMS"):  # e.g. S2_ARMS=pallas:int8,xla:none
+        arms = [tuple(a.split(":")) for a in os.environ["S2_ARMS"].split(",")]
+    variables = None
+    for attn_impl, quant in arms:
         model = build_eva02(variant, 10000, size, dtype=jnp.bfloat16,
-                            attn_impl=attn_impl)
-        _, variables = init_eva02(variant, 10000, size, 0,
-                                  dtype=jnp.bfloat16, attn_impl=attn_impl)
+                            attn_impl=attn_impl, quant=quant)
+        if variables is None:  # one checkpoint serves every precision
+            _, variables = init_eva02(variant, 10000, size, 0,
+                                      dtype=jnp.bfloat16)
 
         def program(variables, crops_u8):
             x = preprocess_classifier(crops_u8, (size, size),
@@ -59,13 +65,14 @@ def main():
             for _ in range(iters):
                 np.asarray(fn(variables, jnp.asarray(crops))[0])
             e2e_ms = (time.perf_counter() - t0) / iters * 1000
-            results[f"{attn_impl}_b{batch}"] = {
+            tag = attn_impl if quant == "none" else f"{attn_impl}_{quant}"
+            results[f"{tag}_b{batch}"] = {
                 "exec_ms_per_batch": round(exec_ms, 2),
                 "exec_ms_per_crop": round(exec_ms / batch, 2),
                 "dispatch_ms_per_batch": round(e2e_ms, 2),
                 "dispatch_ms_per_crop": round(e2e_ms / batch, 2),
             }
-            print(f"{attn_impl} b{batch}: exec {exec_ms:.1f} ms "
+            print(f"{tag} b{batch}: exec {exec_ms:.1f} ms "
                   f"({exec_ms/batch:.1f}/crop), +transfer {e2e_ms:.1f} ms",
                   flush=True)
     print(json.dumps({"variant": variant, "size": size,
