@@ -21,6 +21,18 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache for the test suite: the quick loop is
+# dominated by XLA CPU compiles, and test artifacts never leave this
+# machine (the package-level configure_jax deliberately skips the CPU
+# cache because cached CPU executables are machine-feature sensitive —
+# that concern doesn't apply to a local pytest cache directory).
+_cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".pytest_xla_cache")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pytest  # noqa: E402

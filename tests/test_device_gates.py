@@ -371,6 +371,7 @@ def test_round_schedule_drops_padding():
     assert sorted(sched[0].tolist()) == [0, 1]          # pads absent
 
 
+@pytest.mark.slow  # extra padded-batch program compile (~19s)
 def test_padded_batch_matches_unpadded(gated_program):
     """A batch padded with -1 lanes yields identical gate results for the
     real entry and leaves that lane's state exactly as a pad-free dispatch

@@ -259,6 +259,7 @@ def test_fused_readback_maps_species_to_valid_rows(fused_program):
     assert mapped == set(top)
 
 
+@pytest.mark.slow  # builds two extra fused programs (~28s CPU compile)
 def test_fused_class_mask_limits_slots(fused_program):
     """With classify_class_ids restricted, rows of other classes never take
     classification slots even when they outscore eligible rows."""
@@ -286,6 +287,7 @@ def test_fused_class_mask_limits_slots(fused_program):
                                max_crops=3, crop_padding_percent=20)
 
 
+@pytest.mark.slow  # own classifier pipeline compile (~10s)
 def test_use_fused_raw_false_ignores_device_results():
     """A camera whose Stage-2 settings diverge from the fused globals
     discards species_raw (popped, never on the wire) and classifies
@@ -441,3 +443,38 @@ def test_fused_small_class_head_clamps_topk():
     rows, aux = prog.detect_batch_gated(_frame()[None], lanes=[0])
     assert aux["species_prob"].shape == (1, 2, 4)   # top-k clamped to 4
     assert aux["species_id"].shape == (1, 2, 4)
+
+
+@pytest.mark.slow
+def test_fused_int8_classifier_tracks_f32(fused_program):
+    """attach_classifier with an int8-quantized EVA02 (the
+    `inat_classifier.precision: int8` serving path) runs inside the fused
+    dispatch and its species ranking tracks the f32 build of the SAME
+    checkpoint (ops/quant.py is serving-time only)."""
+    prog_f, _, variables = fused_program
+    spec = ProgramSpec(detector_type="yolox", variant="yolox-nano",
+                       input_hw=HW, gates="device", gate_lanes=2,
+                       gate_blur_size=5, gate_motion_blur_size=5,
+                       max_det=16)
+    prog_q = DetectorProgram(spec, seed=0)
+    prog_q.update_filters(FilterSettings(conf_threshold=0.0,
+                                         wildlife_only=False))
+    model_q = build_eva02("eva02-tiny", N_CLASSES, S2_SIZE, quant="int8")
+    prog_q.attach_classifier(model_q, variables, input_size=S2_SIZE,
+                             max_crops=3, crop_padding_percent=20)
+    frame = _frame(3)
+    prog_f.reset_gate_state()
+    rows_f, aux_f = prog_f.detect_batch_gated(frame[None], lanes=[0])
+    prog_q.reset_gate_state()
+    rows_q, aux_q = prog_q.detect_batch_gated(frame[None], lanes=[0])
+    # detector path identical (same seed/spec): same rows
+    np.testing.assert_allclose(rows_f, rows_q, rtol=1e-5, atol=1e-5)
+    if not (rows_f[0][:, 5] >= 0).any():
+        pytest.skip("random-init detector produced no rows on this frame")
+    # int8 classifier: same top-k id SET up to quantization-noise
+    # reordering of near-ties, probabilities close
+    ids_f = set(aux_f["species_id"][0, 0].tolist())
+    ids_q = set(aux_q["species_id"][0, 0].tolist())
+    assert len(ids_f & ids_q) >= 8  # >=8 of top-10 shared
+    np.testing.assert_allclose(aux_q["species_prob"][0, 0].sum(),
+                               aux_f["species_prob"][0, 0].sum(), atol=0.05)

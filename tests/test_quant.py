@@ -79,11 +79,11 @@ def test_eva02_int8_matches_f32_checkpoint():
     from telescope_cam_detection_tpu.models.eva02 import (
         build_eva02, init_eva02)
     model_f, variables = init_eva02("eva02-tiny", num_classes=100,
-                                    image_size=112, seed=0)
-    model_q = build_eva02("eva02-tiny", num_classes=100, image_size=112,
+                                    image_size=84, seed=0)
+    model_q = build_eva02("eva02-tiny", num_classes=100, image_size=84,
                           quant="int8")
     rng = np.random.default_rng(5)
-    x = jnp.asarray(rng.normal(0, 1.0, (2, 112, 112, 3)).astype(np.float32))
+    x = jnp.asarray(rng.normal(0, 1.0, (2, 84, 84, 3)).astype(np.float32))
     lf = np.asarray(model_f.apply(variables, x, train=False))
     lq = np.asarray(model_q.apply(variables, x, train=False))
     cos = (lf * lq).sum(-1) / (np.linalg.norm(lf, axis=-1)
@@ -108,7 +108,7 @@ def test_species_classifier_int8_smoke():
     """SpeciesClassifier(quant="int8") classifies a crop end to end."""
     from telescope_cam_detection_tpu.pipeline.species import SpeciesClassifier
     clf = SpeciesClassifier(model_name="eva02-tiny", num_classes=20,
-                            input_size=112, confidence_threshold=0.0,
+                            input_size=84, confidence_threshold=0.0,
                             use_hierarchical=False, quant="int8")
     rng = np.random.default_rng(6)
     crop = rng.integers(0, 256, (56, 64, 3), dtype=np.uint8)

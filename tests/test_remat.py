@@ -43,6 +43,7 @@ def test_yolox_remat_grads_match():
     _rel_close(g0, g1, 1e-4)
 
 
+@pytest.mark.slow  # two eva02 grad compiles (~29s); tree test stays quick
 def test_eva02_remat_grads_match():
     from telescope_cam_detection_tpu.models.eva02 import build_eva02
 

@@ -132,6 +132,7 @@ def test_loss_jits_finite_and_differentiable(assigner):
     assert any(np.abs(np.asarray(g)).max() > 0 for g in flat)
 
 
+@pytest.mark.slow  # ~16s; dynamic-k behavior also covered by the quick test
 def test_simota_assigns_more_anchors_than_center_when_preds_good():
     """The point of dynamic k: good predictions recruit more positives,
     densifying the training signal vs one-anchor-per-GT."""

@@ -493,6 +493,10 @@ def test_reload_reports_compiled_keys_as_restart_required(system):
             "detection:",
             "detection:\n  transfer: delta\n  readback_topk: 32", 1)
         modified = modified.replace("max_batch_size: 4", "max_batch_size: 2")
+        # classifier precision is baked into the model build (quantized
+        # matmul graph), so flipping it must demand a restart too
+        modified += ("\nspecies_classification:\n  inat_classifier:\n"
+                     "    precision: int8\n")
         with open(path, "w") as f:
             f.write(modified)
         status, body = _post(port, "/api/config/reload")
@@ -502,6 +506,7 @@ def test_reload_reports_compiled_keys_as_restart_required(system):
         assert "detection.transfer" in need
         assert "detection.readback_topk" in need
         assert "detection.batching" in need
+        assert "species_classification.inat_classifier.precision" in need
     finally:
         with open(path, "w") as f:
             f.write(original)

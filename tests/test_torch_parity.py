@@ -55,7 +55,12 @@ def _frames(n, hw, seed=0):
     return np.stack([src.frame_at(i) for i in range(n)]).astype(np.float32)
 
 
-@pytest.fixture(scope="module", params=["yolox-nano", "yolox-s"])
+@pytest.fixture(scope="module", params=[
+    "yolox-nano",
+    # same code path at different depth/width multipliers; the -s compile
+    # costs ~26s on this host, so it rides the slow tier
+    pytest.param("yolox-s", marks=pytest.mark.slow),
+])
 def both_models(request):
     variant = request.param
     _, variables = init_yolox(variant, num_classes=80, input_hw=(256, 256),

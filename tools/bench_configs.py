@@ -262,13 +262,20 @@ def bench_config4_fused():
     _, s2_vars = init_eva02("eva02-large", 10000, 336, seed=1,
                             dtype=jnp.bfloat16)
     from telescope_cam_detection_tpu.models.eva02 import build_eva02
-    s2_model = build_eva02("eva02-large", 10000, 336, dtype=jnp.bfloat16)
+    # S2_PRECISION=int8 serves the same weights through the int8 MXU path
+    # (inat_classifier.precision: int8)
+    s2_quant = ("int8" if os.environ.get("S2_PRECISION") == "int8"
+                else "none")
+    s2_model = build_eva02("eva02-large", 10000, 336, dtype=jnp.bfloat16,
+                           quant=s2_quant)
     prog.attach_classifier(s2_model, s2_vars, input_size=336,
                            max_crops=max_crops)
 
     src = SyntheticFrameSource(width=hw[1], height=hw[0], seed=0)
     clip = [src.frame_at(i) for i in range(8)]
-    out = {"config": "4-fused", "name": "fused_two_stage_eva02L_bf16",
+    out = {"config": "4-fused",
+           "name": f"fused_two_stage_eva02L_"
+                   f"{'int8' if s2_quant == 'int8' else 'bf16'}",
            "max_crops": max_crops,
            "reference_bar": "15/40/65/90 ms at 0/1/2/3 dets on A30; "
                             "unfused round-3: 46.5/123.7 ms at 0/1 dets"}
