@@ -33,6 +33,16 @@ class ConfigError(ValueError):
 # Loading
 # ---------------------------------------------------------------------------
 
+def resolve_credentials_path(config_path: str) -> str:
+    """Default camera_credentials.yaml location for a given config path:
+    the repo root next to config/, falling back to the config dir itself."""
+    path = Path(config_path)
+    credentials_path = str(path.parent.parent / "camera_credentials.yaml")
+    if not Path(credentials_path).exists():
+        credentials_path = str(path.parent / "camera_credentials.yaml")
+    return credentials_path
+
+
 def load_config(
     config_path: str = "config/config.yaml",
     credentials_path: Optional[str] = None,
@@ -50,9 +60,7 @@ def load_config(
         config = yaml.safe_load(f) or {}
 
     if credentials_path is None:
-        credentials_path = str(path.parent.parent / "camera_credentials.yaml")
-        if not Path(credentials_path).exists():
-            credentials_path = str(path.parent / "camera_credentials.yaml")
+        credentials_path = resolve_credentials_path(config_path)
 
     creds = {}
     if Path(credentials_path).exists():
@@ -109,6 +117,8 @@ _RANGE_SPECS: Tuple[Tuple[Tuple[str, ...], type, Optional[float], Optional[float
     (("camera_health", "max_restart_attempts"), int, 0, 10000),
     (("camera_health", "alerts", "min_interval_seconds"), float, 0.0, None),
     (("camera_health", "alerts", "timeout_seconds"), float, 0.1, 300.0),
+    (("system", "hot_reload", "poll_interval_seconds"), float, 0.05, 3600.0),
+    (("system", "hot_reload", "auto_reload_interval_seconds"), float, 0.0, None),
 )
 
 _VALID_DETECTORS = ("yolox", "rtdetr")

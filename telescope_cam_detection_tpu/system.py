@@ -98,6 +98,7 @@ class TelescopeDetectionSystem:
         self.health_monitor: Optional[CameraHealthMonitor] = None
         self.alerter = None  # WebhookAlerter when camera_health.alerts set
         self.web_server: Optional[WebServer] = None
+        self.config_watcher = None  # ConfigFileWatcher when system.hot_reload
 
         self.captures: Dict[str, Any] = {}
         self.engines: Dict[str, InferenceEngine] = {}
@@ -385,6 +386,27 @@ class TelescopeDetectionSystem:
                                                            "clips"),
             queue_health=(perf.get("queue_health") or {}),
             trace_dir=web.get("trace_dir", "/tmp/tcd_traces"))
+
+        # automatic config hot-reload (the reference's planned-but-unbuilt
+        # system.hot_reload surface, docs/features/HOT_RELOAD_CONFIG.md)
+        hr = ((cfg.get("system", {}) or {}).get("hot_reload", {}) or {})
+        auto_interval = float(hr.get("auto_reload_interval_seconds", 0) or 0)
+        if hr.get("enabled") and (hr.get("watch_files", True)
+                                  or auto_interval > 0):
+            from telescope_cam_detection_tpu.config.loader import (
+                resolve_credentials_path)
+            from telescope_cam_detection_tpu.runtime.config_watch import (
+                ConfigFileWatcher)
+            # watch_files: false + auto_reload_interval > 0 is a valid
+            # periodic-only mode — the watcher accepts an empty path list
+            paths = ([self.config_path,
+                      resolve_credentials_path(self.config_path)]
+                     if hr.get("watch_files", True) else [])
+            self.config_watcher = ConfigFileWatcher(
+                paths,
+                reload_callback=self.reload_config,
+                poll_interval=float(hr.get("poll_interval_seconds", 2.0)),
+                auto_reload_interval=auto_interval)
 
     def _apply_gate_params(self, eff_cfg: Dict[str, Any],
                            mf_cfg: Dict[str, Any]) -> None:
@@ -685,6 +707,8 @@ class TelescopeDetectionSystem:
                 processor.start()
             if self.health_monitor is not None:
                 self.health_monitor.start()
+            if self.config_watcher is not None:
+                self.config_watcher.start()
             self._started = True
             for cam_id in self.captures:
                 if self.web_server:
@@ -703,6 +727,8 @@ class TelescopeDetectionSystem:
             logger.info("stopping system...")
             if self.web_server is not None:
                 self.web_server.stop()
+            if self.config_watcher is not None:
+                self.config_watcher.stop()
             if self.health_monitor is not None:
                 self.health_monitor.stop()
             if self.alerter is not None:
