@@ -62,18 +62,29 @@ def load_config(
     if credentials_path is None:
         credentials_path = resolve_credentials_path(config_path)
 
+    merge_credentials(config, credentials_path)
+    return config
+
+
+def merge_credentials(config: Dict[str, Any], credentials_path: str) -> None:
+    """In-place merge of camera_credentials.yaml into config['cameras']
+    (inline username/password in the config win — setdefault semantics)."""
     creds = {}
     if Path(credentials_path).exists():
         with open(credentials_path) as f:
             cred_doc = yaml.safe_load(f) or {}
         creds = cred_doc.get("credentials", cred_doc) or {}
 
-    for cam in config.get("cameras", []) or []:
+    cams = config.get("cameras") or []
+    if not isinstance(cams, list):
+        return  # malformed; validate_config reports it
+    for cam in cams:
+        if not isinstance(cam, dict):
+            continue
         cam_creds = creds.get(cam.get("id"), {})
         if cam_creds:
             cam.setdefault("username", cam_creds.get("username"))
             cam.setdefault("password", cam_creds.get("password"))
-    return config
 
 
 # ---------------------------------------------------------------------------

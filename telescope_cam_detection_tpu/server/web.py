@@ -18,6 +18,10 @@ upgrade (utils/wsproto.py) since fastapi/uvicorn are not in this image:
   GET  /api/clips/{name}         -> serve product (Bearer token + traversal guard)
   POST /api/config/reload        -> hot reload
   GET  /api/config/current       -> redacted live config
+  GET  /config_editor            -> web config editor page
+  GET  /api/config/file          -> raw on-disk YAML (Bearer token)
+  POST /api/config/validate      -> validate proposed YAML + diff (Bearer)
+  POST /api/config/save          -> atomic write + hot reload (Bearer)
   GET  /api/zones                -> live collision zones per camera
   POST /api/zones                -> replace one camera's zones (editor)
   GET  /video/feed/{camera_id}   -> multipart MJPEG
@@ -136,6 +140,11 @@ class WebServer:
         restart_callback: Optional[Callable[[str], bool]] = None,
         reload_callback: Optional[Callable[[], Dict[str, Any]]] = None,
         get_config: Optional[Callable[[], Dict[str, Any]]] = None,
+        get_config_text: Optional[Callable[[], str]] = None,
+        validate_config_callback: Optional[
+            Callable[[str], Dict[str, Any]]] = None,
+        save_config_callback: Optional[
+            Callable[[str], Dict[str, Any]]] = None,
         set_zones_callback: Optional[Callable[[str, List[Dict[str, Any]]],
                                               Dict[str, Any]]] = None,
         get_zones_callback: Optional[Callable[[], Dict[str, Any]]] = None,
@@ -160,6 +169,9 @@ class WebServer:
         self.restart_callback = restart_callback
         self.reload_callback = reload_callback
         self.get_config = get_config
+        self.get_config_text = get_config_text
+        self.validate_config_callback = validate_config_callback
+        self.save_config_callback = save_config_callback
         self.set_zones_callback = set_zones_callback
         self.get_zones_callback = get_zones_callback
         self.mjpeg_fps = mjpeg_fps
@@ -563,6 +575,17 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._static("app.js", "application/javascript")
             if path == "/clips_browser":
                 return self._static("clips.html", "text/html")
+            if path == "/config_editor":
+                return self._static("config.html", "text/html")
+            if path == "/api/config/file":
+                # raw file may contain inline camera credentials, unlike
+                # the redacted /api/config/current — token-gated
+                if not self.web.verify_clips_token(
+                        self.headers.get("Authorization")):
+                    return self._error(401, "unauthorized")
+                if self.web.get_config_text is None:
+                    return self._error(503, "config editor unavailable")
+                return self._json({"text": self.web.get_config_text()})
             if path == "/health":
                 return self._json(self.web.health_payload())
             if path == "/cameras":
@@ -642,6 +665,31 @@ class _Handler(BaseHTTPRequestHandler):
                 if self.web.reload_callback is None:
                     return self._error(503, "reload unavailable")
                 return self._json(self.web.reload_callback())
+            if path in ("/api/config/validate", "/api/config/save"):
+                # the editor surface (validate = dry run, save = atomic
+                # write + reload); both token-gated — save mutates the
+                # config file, validate echoes parse state of arbitrary text
+                if not self.web.verify_clips_token(
+                        self.headers.get("Authorization")):
+                    return self._error(401, "unauthorized")
+                cb = (self.web.validate_config_callback
+                      if path.endswith("validate")
+                      else self.web.save_config_callback)
+                if cb is None:
+                    return self._error(503, "config editor unavailable")
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    if length <= 0 or length > 1 << 20:
+                        return self._error(400, "bad body length")
+                    body = json.loads(self.rfile.read(length))
+                    text = body["text"]
+                    if not isinstance(text, str):
+                        raise TypeError("text must be a string")
+                except (KeyError, ValueError, TypeError) as e:
+                    return self._error(400, f"bad editor body: {e}")
+                result = cb(text)
+                ok = result.get("valid", result.get("success", False))
+                return self._json(result, 200 if ok else 422)
             if path.startswith("/api/cameras/") and path.endswith("/restart"):
                 cam_id = path[len("/api/cameras/"):-len("/restart")]
                 if self.web.restart_callback is None:

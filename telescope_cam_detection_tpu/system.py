@@ -9,7 +9,9 @@ and REST-driven hot reload with reloaded/requires-restart diffing.
 from __future__ import annotations
 
 import logging
+import os
 import queue
+import tempfile
 import threading
 import time
 from typing import Any, Dict, List, Optional
@@ -18,7 +20,9 @@ from telescope_cam_detection_tpu import constants as C
 from telescope_cam_detection_tpu.config.loader import (
     load_config,
     merge_camera_detection_config,
+    merge_credentials,
     merge_stage2_preprocessing,
+    resolve_credentials_path,
     validate_config,
     validate_model_files,
 )
@@ -78,6 +82,59 @@ GATED_RESTART_KEYS = (
     "performance.empty_frame_filter.blur_size",
     "motion_filter.motion_blur_size",
 )
+
+_REDACT_KEYS = frozenset(("password", "username"))
+
+
+def _redact(val: Any) -> Any:
+    """Strip credential values from a config subtree for diff reporting."""
+    if isinstance(val, dict):
+        return {k: "***" if k in _REDACT_KEYS else _redact(v)
+                for k, v in val.items()}
+    if isinstance(val, list):
+        return [_redact(v) for v in val]
+    return val
+
+
+def _mask(key_leaf: str, val: Any) -> Any:
+    return "***" if key_leaf in _REDACT_KEYS else _redact(val)
+
+
+def _diff_configs(old: Any, new: Any, prefix: str = "") -> List[Dict[str, Any]]:
+    """Dotted-key diff of two config trees (the editor's diff viewer).
+    Dicts recurse by key, lists by index; credential values are masked in
+    the report (a changed password shows as *** -> ***, never the value)."""
+    if isinstance(old, dict) and isinstance(new, dict):
+        changes: List[Dict[str, Any]] = []
+        for k in sorted(set(old) | set(new), key=str):
+            key = f"{prefix}.{k}" if prefix else str(k)
+            if k not in old:
+                changes.append({"key": key, "change": "added",
+                                "new": _mask(k, new[k])})
+            elif k not in new:
+                changes.append({"key": key, "change": "removed",
+                                "old": _mask(k, old[k])})
+            else:
+                changes += _diff_configs(old[k], new[k], key)
+        return changes
+    if isinstance(old, list) and isinstance(new, list):
+        changes = []
+        for i in range(max(len(old), len(new))):
+            key = f"{prefix}[{i}]"
+            if i >= len(old):
+                changes.append({"key": key, "change": "added",
+                                "new": _redact(new[i])})
+            elif i >= len(new):
+                changes.append({"key": key, "change": "removed",
+                                "old": _redact(old[i])})
+            else:
+                changes += _diff_configs(old[i], new[i], key)
+        return changes
+    if old != new:
+        leaf = prefix.rsplit(".", 1)[-1].split("[")[0]
+        return [{"key": prefix, "change": "changed",
+                 "old": _mask(leaf, old), "new": _mask(leaf, new)}]
+    return []
 
 
 class TelescopeDetectionSystem:
@@ -378,6 +435,9 @@ class TelescopeDetectionSystem:
             restart_callback=self.restart_camera,
             reload_callback=self.reload_config,
             get_config=lambda: self.config,
+            get_config_text=self.read_config_file,
+            validate_config_callback=self.preview_config,
+            save_config_callback=self.save_config,
             set_zones_callback=self.set_camera_zones,
             get_zones_callback=self.get_camera_zones,
             mjpeg_fps=web.get("mjpeg_fps", C.DEFAULT_MJPEG_FPS),
@@ -393,8 +453,6 @@ class TelescopeDetectionSystem:
         auto_interval = float(hr.get("auto_reload_interval_seconds", 0) or 0)
         if hr.get("enabled") and (hr.get("watch_files", True)
                                   or auto_interval > 0):
-            from telescope_cam_detection_tpu.config.loader import (
-                resolve_credentials_path)
             from telescope_cam_detection_tpu.runtime.config_watch import (
                 ConfigFileWatcher)
             # watch_files: false + auto_reload_interval > 0 is a valid
@@ -990,6 +1048,69 @@ class TelescopeDetectionSystem:
 
             self.config = new_cfg  # atomic swap
             result["success"] = True
+            return result
+
+    # ------------------------------------------------------------ config editor
+    # The reference's second planned-but-unbuilt surface: a web config
+    # editor with validation feedback, a diff viewer, and one-click reload
+    # (reference docs/features/HOT_RELOAD_CONFIG.md "Web UI Config Editor
+    # (Planned)", Issue #81). Exposed via /config_editor + the
+    # /api/config/file|validate|save routes (Bearer-token gated).
+    def read_config_file(self) -> str:
+        """Raw on-disk YAML text (token-gated at the route: the file may
+        contain inline camera credentials, unlike the redacted
+        /api/config/current payload)."""
+        with open(self.config_path) as f:
+            return f.read()
+
+    def preview_config(self, text: str) -> Dict[str, Any]:
+        """Parse + validate proposed YAML text WITHOUT applying it; returns
+        {valid, errors, changes} where changes is the dotted-key diff vs the
+        live config (credentials merged exactly like load_config, values
+        redacted)."""
+        import yaml as _yaml
+        try:
+            new_cfg = _yaml.safe_load(text) or {}
+        except _yaml.YAMLError as e:
+            return {"valid": False,
+                    "errors": [f"YAML parse error: {e}"], "changes": []}
+        if not isinstance(new_cfg, dict):
+            return {"valid": False,
+                    "errors": ["top level must be a mapping"], "changes": []}
+        merge_credentials(new_cfg,
+                          resolve_credentials_path(self.config_path))
+        errors = validate_config(new_cfg)
+        changes = _diff_configs(self.config, new_cfg)
+        return {"valid": not errors, "errors": errors, "changes": changes}
+
+    def save_config(self, text: str) -> Dict[str, Any]:
+        """Validate proposed YAML; atomically replace config.yaml; hot-reload.
+
+        Rejected text never touches the file. The write is tmp+rename in the
+        config's directory so the file watcher (and any concurrent reader)
+        only ever sees a complete document."""
+        with self._reload_lock:
+            preview = self.preview_config(text)
+            if not preview["valid"]:
+                return {"success": False, "saved": False, **preview}
+            cfg_dir = os.path.dirname(os.path.abspath(self.config_path)) or "."
+            fd, tmp_path = tempfile.mkstemp(
+                dir=cfg_dir, prefix=".config_editor_", suffix=".yaml")
+            try:
+                with os.fdopen(fd, "w") as f:
+                    f.write(text)
+                os.replace(tmp_path, self.config_path)
+            except OSError as e:
+                try:
+                    os.unlink(tmp_path)
+                except OSError:
+                    pass
+                return {"success": False, "saved": False, "valid": True,
+                        "errors": [f"write failed: {e}"],
+                        "changes": preview["changes"]}
+            result = self.reload_config()
+            result["saved"] = True
+            result["changes"] = preview["changes"]
             return result
 
     # ---------------------------------------------------------------- stats
