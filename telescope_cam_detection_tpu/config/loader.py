@@ -33,14 +33,25 @@ class ConfigError(ValueError):
 # Loading
 # ---------------------------------------------------------------------------
 
+def credentials_candidate_paths(config_path: str) -> list:
+    """Both locations load_config considers for camera_credentials.yaml,
+    in precedence order: the repo root next to config/, then the config
+    dir itself. (File watchers must watch BOTH — the preferred one may
+    not exist yet and existence is re-resolved on every load.)"""
+    path = Path(config_path)
+    candidates = [str(path.parent.parent / "camera_credentials.yaml"),
+                  str(path.parent / "camera_credentials.yaml")]
+    return list(dict.fromkeys(candidates))
+
+
 def resolve_credentials_path(config_path: str) -> str:
     """Default camera_credentials.yaml location for a given config path:
     the repo root next to config/, falling back to the config dir itself."""
-    path = Path(config_path)
-    credentials_path = str(path.parent.parent / "camera_credentials.yaml")
-    if not Path(credentials_path).exists():
-        credentials_path = str(path.parent / "camera_credentials.yaml")
-    return credentials_path
+    candidates = credentials_candidate_paths(config_path)
+    for cand in candidates:
+        if Path(cand).exists():
+            return cand
+    return candidates[-1]
 
 
 def load_config(

@@ -74,14 +74,22 @@ def export_detector(program, out_dir: str,
             "delta transfer keeps per-stream reference state on the host "
             "runtime and cannot be frozen; export with transfer='device' "
             "or 'auto'")
+    if spec.transfer == "yuv420":
+        raise ValueError(
+            "yuv420 transfer expects host-packed planar frames produced by "
+            "the runtime's dispatch path, not the (B, H, W, 3) uint8 layout "
+            "an artifact serves; export with transfer='device' or 'auto'")
     if spec.gates == "device":
         raise ValueError(
             "device gates carry HBM gate state managed by the host "
             "runtime; export a gates='none' program")
-    if capture_hw is None or spec.transfer != "device":
-        frames_hw = spec.input_hw
-    else:
-        frames_hw = tuple(capture_hw)
+    if capture_hw is not None and spec.transfer != "device":
+        raise ValueError(
+            f"capture_hw is only meaningful with transfer='device' (the "
+            f"in-graph resize); this spec's transfer={spec.transfer!r} "
+            f"serves frames already at input size {spec.input_hw}")
+    frames_hw = (tuple(capture_hw) if capture_hw is not None
+                 else spec.input_hw)
 
     os.makedirs(out_dir, exist_ok=True)
     entries = {}

@@ -58,6 +58,7 @@ class ConfigFileWatcher:
         self.auto_reload_interval = max(float(auto_reload_interval), 0.0)
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
+        self._rebaseline = threading.Event()
         self.stats: Dict[str, Any] = {
             "reloads_triggered": 0, "reload_failures": 0,
             "last_trigger": None, "watching": list(self.paths)}
@@ -103,6 +104,13 @@ class ConfigFileWatcher:
         self._thread = None
 
     # ------------------------------------------------------------- loop
+    def mark_clean(self) -> None:
+        """Adopt the files' CURRENT state as the baseline: a caller that
+        just wrote the config through the same reload path (the web
+        editor's save) uses this so the watcher doesn't re-trigger a
+        redundant reload of content already applied."""
+        self._rebaseline.set()
+
     def _watch_loop(self) -> None:
         last_sig = self._baseline
         pending_sig: Optional[_Signature] = None
@@ -110,6 +118,11 @@ class ConfigFileWatcher:
         while not self._stop.wait(self.poll_interval):
             reason = None
             sig = self._signature()
+            if self._rebaseline.is_set():
+                self._rebaseline.clear()
+                last_sig = sig
+                pending_sig = None
+                continue
             if pending_sig is not None:
                 if sig == pending_sig:
                     # stable across a full poll interval: writer is done

@@ -533,6 +533,24 @@ class WebServer:
             return False
         return auth_header[7:] == token
 
+    def verify_admin_token(self, auth_header: Optional[str]) -> bool:
+        """Strict variant for routes that mutate state or expose secrets
+        (the config editor): unlike clips' public-with-warning posture,
+        NO configured token means NO access — an unauthenticated client
+        must never be able to rewrite config.yaml or read inline
+        credentials from the raw file."""
+        token = os.environ.get("TELESCOPE_CLIPS_TOKEN")
+        if not token:
+            if not getattr(self, "_warned_no_admin_token", False):
+                logger.warning(
+                    "TELESCOPE_CLIPS_TOKEN not set; config editor routes "
+                    "are disabled (set the env var to enable)")
+                self._warned_no_admin_token = True
+            return False
+        if not auth_header or not auth_header.startswith("Bearer "):
+            return False
+        return auth_header[7:] == token
+
 
 class _Handler(BaseHTTPRequestHandler):
     web: WebServer  # injected subclass attribute
@@ -579,10 +597,13 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._static("config.html", "text/html")
             if path == "/api/config/file":
                 # raw file may contain inline camera credentials, unlike
-                # the redacted /api/config/current — token-gated
-                if not self.web.verify_clips_token(
+                # the redacted /api/config/current — a token must be SET
+                # and match (no public-when-unset fallback here)
+                if not self.web.verify_admin_token(
                         self.headers.get("Authorization")):
-                    return self._error(401, "unauthorized")
+                    return self._error(
+                        401, "unauthorized (config editor requires "
+                        "TELESCOPE_CLIPS_TOKEN to be configured)")
                 if self.web.get_config_text is None:
                     return self._error(503, "config editor unavailable")
                 return self._json({"text": self.web.get_config_text()})
@@ -667,14 +688,16 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._json(self.web.reload_callback())
             if path in ("/api/config/validate", "/api/config/save"):
                 # the editor surface (validate = dry run, save = atomic
-                # write + reload); both token-gated — save mutates the
-                # config file, validate echoes parse state of arbitrary text
-                if not self.web.verify_clips_token(
+                # write + reload); both require a CONFIGURED token — save
+                # mutates the config file
+                if not self.web.verify_admin_token(
                         self.headers.get("Authorization")):
-                    return self._error(401, "unauthorized")
-                cb = (self.web.validate_config_callback
-                      if path.endswith("validate")
-                      else self.web.save_config_callback)
+                    return self._error(
+                        401, "unauthorized (config editor requires "
+                        "TELESCOPE_CLIPS_TOKEN to be configured)")
+                is_save = path.endswith("save")
+                cb = (self.web.save_config_callback if is_save
+                      else self.web.validate_config_callback)
                 if cb is None:
                     return self._error(503, "config editor unavailable")
                 try:
@@ -688,7 +711,9 @@ class _Handler(BaseHTTPRequestHandler):
                 except (KeyError, ValueError, TypeError) as e:
                     return self._error(400, f"bad editor body: {e}")
                 result = cb(text)
-                ok = result.get("valid", result.get("success", False))
+                # save reports success, validate reports valid — a failed
+                # WRITE has valid:True but must still be a non-200
+                ok = result.get("success" if is_save else "valid", False)
                 return self._json(result, 200 if ok else 422)
             if path.startswith("/api/cameras/") and path.endswith("/restart"):
                 cam_id = path[len("/api/cameras/"):-len("/restart")]

@@ -20,6 +20,7 @@ from telescope_cam_detection_tpu import constants as C
 from telescope_cam_detection_tpu.config.loader import (
     load_config,
     merge_camera_detection_config,
+    credentials_candidate_paths,
     merge_credentials,
     merge_stage2_preprocessing,
     resolve_credentials_path,
@@ -456,14 +457,18 @@ class TelescopeDetectionSystem:
             from telescope_cam_detection_tpu.runtime.config_watch import (
                 ConfigFileWatcher)
             # watch_files: false + auto_reload_interval > 0 is a valid
-            # periodic-only mode — the watcher accepts an empty path list
-            paths = ([self.config_path,
-                      resolve_credentials_path(self.config_path)]
+            # periodic-only mode — the watcher accepts an empty path list.
+            # BOTH credential candidates are watched (existence is
+            # re-resolved per load, so the preferred location may appear
+            # after startup; the watcher tolerates missing files).
+            paths = ([self.config_path]
+                     + credentials_candidate_paths(self.config_path)
                      if hr.get("watch_files", True) else [])
             self.config_watcher = ConfigFileWatcher(
                 paths,
                 reload_callback=self.reload_config,
-                poll_interval=float(hr.get("poll_interval_seconds", 2.0)),
+                poll_interval=float(
+                    hr.get("poll_interval_seconds") or 2.0),
                 auto_reload_interval=auto_interval)
 
     def _apply_gate_params(self, eff_cfg: Dict[str, Any],
@@ -1083,34 +1088,67 @@ class TelescopeDetectionSystem:
         changes = _diff_configs(self.config, new_cfg)
         return {"valid": not errors, "errors": errors, "changes": changes}
 
+    def _atomic_write_config(self, text: str) -> None:
+        """tmp+rename in the config's directory (watchers and concurrent
+        readers only ever see a complete document), preserving the original
+        file's permission bits (mkstemp would otherwise pin 0600)."""
+        cfg_path = os.path.abspath(self.config_path)
+        cfg_dir = os.path.dirname(cfg_path) or "."
+        fd, tmp_path = tempfile.mkstemp(
+            dir=cfg_dir, prefix=".config_editor_", suffix=".yaml")
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(text)
+            try:
+                os.chmod(tmp_path, os.stat(cfg_path).st_mode & 0o7777)
+            except OSError:
+                pass  # original missing/unreadable: keep mkstemp's 0600
+            os.replace(tmp_path, cfg_path)
+        except OSError:
+            try:
+                os.unlink(tmp_path)
+            except OSError:
+                pass
+            raise
+
     def save_config(self, text: str) -> Dict[str, Any]:
         """Validate proposed YAML; atomically replace config.yaml; hot-reload.
 
-        Rejected text never touches the file. The write is tmp+rename in the
-        config's directory so the file watcher (and any concurrent reader)
-        only ever sees a complete document."""
+        Rejected text never PERSISTS: static validation rejects before any
+        write, and if the reload stage rejects (e.g. a weights path that
+        exists in no checkpoint), the previous file content is restored —
+        otherwise a config the running system refused would still be what
+        the next restart boots from."""
         with self._reload_lock:
             preview = self.preview_config(text)
             if not preview["valid"]:
                 return {"success": False, "saved": False, **preview}
-            cfg_dir = os.path.dirname(os.path.abspath(self.config_path)) or "."
-            fd, tmp_path = tempfile.mkstemp(
-                dir=cfg_dir, prefix=".config_editor_", suffix=".yaml")
             try:
-                with os.fdopen(fd, "w") as f:
-                    f.write(text)
-                os.replace(tmp_path, self.config_path)
+                old_text = self.read_config_file()
+            except OSError:
+                old_text = None
+            try:
+                self._atomic_write_config(text)
             except OSError as e:
-                try:
-                    os.unlink(tmp_path)
-                except OSError:
-                    pass
                 return {"success": False, "saved": False, "valid": True,
                         "errors": [f"write failed: {e}"],
                         "changes": preview["changes"]}
             result = self.reload_config()
-            result["saved"] = True
+            if not result.get("success") and old_text is not None:
+                try:
+                    self._atomic_write_config(old_text)
+                    result.setdefault("warnings", []).append(
+                        "reload rejected the saved config; previous "
+                        "config.yaml restored")
+                except OSError as e:
+                    result.setdefault("warnings", []).append(
+                        f"reload rejected the saved config AND restoring "
+                        f"the previous file failed: {e}")
+            result["saved"] = bool(result.get("success"))
             result["changes"] = preview["changes"]
+            # the watcher would otherwise re-trigger on our own write
+            if self.config_watcher is not None:
+                self.config_watcher.mark_clean()
             return result
 
     # ---------------------------------------------------------------- stats

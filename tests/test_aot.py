@@ -126,3 +126,20 @@ def test_export_rejects_stateful_variants():
     prog = DetectorProgram(spec, seed=0)
     with pytest.raises(ValueError, match="gate"):
         export_detector(prog, "/tmp/never")
+    # yuv420 expects host-packed planar frames, not the artifact's
+    # (B, H, W, 3) layout — must reject explicitly, not trace-crash
+    spec = ProgramSpec(detector_type="yolox", variant="yolox-nano",
+                       input_hw=HW, max_det=8, transfer="yuv420")
+    prog = DetectorProgram(spec, seed=0)
+    with pytest.raises(ValueError, match="yuv420"):
+        export_detector(prog, "/tmp/never")
+
+
+def test_export_rejects_capture_hw_without_device_transfer(plain_program):
+    # plain_program fixture uses the default transfer (not "device"):
+    # capture_hw would bake a lie into the artifact
+    if plain_program.spec.transfer == "device":
+        pytest.skip("fixture uses device transfer")
+    with pytest.raises(ValueError, match="capture_hw"):
+        export_detector(plain_program, "/tmp/never",
+                        capture_hw=(2 * HW[0], 2 * HW[1]))

@@ -210,6 +210,54 @@ def test_editor_full_cycle_over_http(served_system):
     assert "conf_threshold: 0.45" in cfg.read_text()  # file untouched
 
 
+def test_admin_token_stricter_than_clips(monkeypatch):
+    """No configured token: clips stay public-with-warning (reference
+    posture) but the editor — which can rewrite config.yaml and read
+    inline credentials — must refuse."""
+    from telescope_cam_detection_tpu.server.web import WebServer
+    monkeypatch.delenv("TELESCOPE_CLIPS_TOKEN", raising=False)
+    ws = WebServer()
+    assert ws.verify_clips_token(None) is True
+    assert ws.verify_admin_token(None) is False
+    assert ws.verify_admin_token("Bearer anything") is False
+    monkeypatch.setenv("TELESCOPE_CLIPS_TOKEN", "t0k")
+    assert ws.verify_admin_token("Bearer t0k") is True
+    assert ws.verify_admin_token("Bearer wrong") is False
+
+
+def test_save_rolls_back_file_on_reload_rejection(tmp_path):
+    """A config that passes static validation but is rejected at the
+    reload stage (bad weights path) must not persist: the previous
+    config.yaml is restored so the next restart still boots."""
+    cfg = tmp_path / "config.yaml"
+    _write_cfg(cfg)
+    sys_obj = TelescopeDetectionSystem(str(cfg), load_weights=True)
+    sys_obj.load_config()
+    sys_obj.validate_config()
+    sys_obj.initialize_components()
+    try:
+        before = cfg.read_text()
+        bad = _cfg_text().replace(
+            "yolox: {model_name: yolox-nano}",
+            "yolox: {model_name: yolox-nano, "
+            "weights: /nonexistent/nope.msgpack}")
+        res = sys_obj.save_config(bad)
+        assert res["success"] is False and res["saved"] is False
+        assert any("restored" in w for w in res.get("warnings", []))
+        assert cfg.read_text() == before
+    finally:
+        sys_obj.stop()
+
+
+def test_save_preserves_file_mode(system):
+    import os
+    sys_obj, cfg = system
+    os.chmod(cfg, 0o644)
+    res = sys_obj.save_config(_cfg_text(conf=0.8))
+    assert res["success"] is True
+    assert (os.stat(cfg).st_mode & 0o777) == 0o644
+
+
 def test_editor_page_served(served_system):
     _, _, port = served_system
     conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)

@@ -74,6 +74,44 @@ def test_deleted_then_recreated_file_triggers(tmp_path):
         w.stop()
 
 
+def test_mark_clean_suppresses_own_write(tmp_path):
+    """A caller that wrote the file through the reload path itself (the
+    web editor's save) rebaselines the watcher so no redundant reload
+    fires."""
+    cfg = tmp_path / "config.yaml"
+    cfg.write_text("a: 1\n")
+    rec = _Recorder()
+    w = ConfigFileWatcher([str(cfg)], rec, poll_interval=0.05)
+    w.start()
+    try:
+        cfg.write_text("a: 2\n")
+        w.mark_clean()
+        time.sleep(0.5)
+        assert rec.calls == 0
+        cfg.write_text("a: 3\n")  # a REAL later edit still triggers
+        assert _wait(lambda: rec.calls >= 1)
+    finally:
+        w.stop()
+
+
+def test_watches_missing_file_until_created(tmp_path):
+    """Watching a not-yet-existing path (the preferred credentials
+    location) must register its later creation as a change."""
+    cfg = tmp_path / "config.yaml"
+    cfg.write_text("a: 1\n")
+    creds = tmp_path / "camera_credentials.yaml"  # does not exist
+    rec = _Recorder()
+    w = ConfigFileWatcher([str(cfg), str(creds)], rec, poll_interval=0.05)
+    w.start()
+    try:
+        time.sleep(0.2)
+        assert rec.calls == 0
+        creds.write_text("credentials: {}\n")
+        assert _wait(lambda: rec.calls >= 1)
+    finally:
+        w.stop()
+
+
 def test_periodic_only_mode(tmp_path):
     rec = _Recorder()
     w = ConfigFileWatcher([], rec, poll_interval=0.05,
