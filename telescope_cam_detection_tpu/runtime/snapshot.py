@@ -45,6 +45,7 @@ class SnapshotSaver:
         fps: float = 30.0,
         jpeg_quality: int = 85,
         face_masker=None,
+        notify_callback=None,
     ):
         self.output_dir = Path(output_dir)
         self.enabled = enabled
@@ -58,6 +59,11 @@ class SnapshotSaver:
         self.fps = fps
         self.jpeg_quality = jpeg_quality
         self.face_masker = face_masker
+        # detection-trigger notifications (the reference's planned
+        # "Email/SMS notifications on trigger", SNAPSHOT_FEATURE.md
+        # "Future Enhancements"): called with a structured event after a
+        # successful save — the snapshot cooldown already bounds the rate
+        self.notify_callback = notify_callback
 
         self._cooldown_lock = threading.Lock()
         self._last_save: Dict[Tuple[str, str], float] = {}
@@ -130,8 +136,34 @@ class SnapshotSaver:
         if trigger is None:
             return None
         if self.save_mode == "clip":
-            return self.save_clip(camera_id, frame, detections, trigger)
-        return self.save_snapshot(camera_id, frame, detections, trigger)
+            path = self.save_clip(camera_id, frame, detections, trigger)
+        else:
+            path = self.save_snapshot(camera_id, frame, detections, trigger)
+        if path is not None and self.notify_callback is not None:
+            counts: Dict[str, int] = {}
+            for d in detections:
+                name = d.get("class_name", "?")
+                counts[name] = counts.get(name, 0) + 1
+            try:
+                self.notify_callback({
+                    # class name in the event key so the alerter's
+                    # per-(camera, event) rate limit is per-class, matching
+                    # the cooldown's granularity
+                    "event": f"detection:{trigger.get('class_name', 'det')}",
+                    "camera_id": camera_id,
+                    "class_name": trigger.get("class_name"),
+                    "confidence": trigger.get("confidence"),
+                    "species": trigger.get("species"),
+                    "species_confidence": trigger.get("species_confidence"),
+                    "detection_counts": counts,
+                    "save_mode": self.save_mode,
+                    "path": path,
+                    "timestamp": time.time(),
+                })
+            except Exception:
+                logger.exception("[%s] snapshot notification failed",
+                                 camera_id)
+        return path
 
     def save_snapshot(self, camera_id: str, frame: np.ndarray,
                       detections: List[Dict[str, Any]],

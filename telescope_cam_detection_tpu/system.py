@@ -155,6 +155,7 @@ class TelescopeDetectionSystem:
         self.face_mask_cache: Optional[FaceMaskingCache] = None
         self.health_monitor: Optional[CameraHealthMonitor] = None
         self.alerter = None  # WebhookAlerter when camera_health.alerts set
+        self.snapshot_notifier = None  # WebhookAlerter for snapshot triggers
         self.web_server: Optional[WebServer] = None
         self.config_watcher = None  # ConfigFileWatcher when system.hot_reload
 
@@ -291,8 +292,16 @@ class TelescopeDetectionSystem:
                 memory_manager=self.memory_manager,
                 pipeline_depth=batching.get("pipeline_depth", 2))
 
-        # snapshots (shared)
+        # snapshots (shared) + detection-trigger notifications (the
+        # reference's planned "Email/SMS notifications on trigger" —
+        # delivered as webhooks, same rate-limited async worker as the
+        # camera-health alerts; snapshot cooldown bounds the event rate)
         snaps = cfg.get("snapshots", {}) or {}
+        from telescope_cam_detection_tpu.utils.alerts import build_alerter
+        self.snapshot_notifier = build_alerter(
+            {**(snaps.get("notifications") or {}),
+             "min_interval_seconds": (snaps.get("notifications") or {}).get(
+                 "min_interval_seconds", 0.0)})
         self.snapshot_saver = SnapshotSaver(
             output_dir=snaps.get("output_dir", "clips"),
             enabled=snaps.get("enabled", True),
@@ -304,7 +313,8 @@ class TelescopeDetectionSystem:
             clip_duration=snaps.get("clip_duration", 10.0),
             pre_buffer_seconds=snaps.get("pre_buffer_seconds", 5.0),
             fps=snaps.get("fps", 30.0),
-            face_masker=self.face_masker)
+            face_masker=self.face_masker,
+            notify_callback=self.snapshot_notifier)
 
         # stage 2 (shared classifier; per-camera pipelines below)
         sc = cfg.get("species_classification", {}) or {}
@@ -796,6 +806,8 @@ class TelescopeDetectionSystem:
                 self.health_monitor.stop()
             if self.alerter is not None:
                 self.alerter.stop()
+            if self.snapshot_notifier is not None:
+                self.snapshot_notifier.stop()
             for processor in self.processors.values():
                 processor.stop()
             for engine in self.engines.values():

@@ -76,6 +76,79 @@ def test_snapshot_image_products(tmp_path):
     assert saver.snapshots_saved == 1
 
 
+def test_snapshot_notification_on_save(tmp_path):
+    """Detection-trigger notifications (the reference's planned
+    'Email/SMS notifications on trigger'): fired after a successful save,
+    never on suppressed triggers, and a failing sink never breaks saving."""
+    events = []
+    saver = SnapshotSaver(output_dir=str(tmp_path), trigger_classes=["cat"],
+                          min_confidence=0.5, cooldown_seconds=100,
+                          notify_callback=events.append)
+    frame = np.random.default_rng(1).integers(0, 256, (120, 160, 3), np.uint8)
+    dets = [_det("cat", 0.9, species="Bobcat"), _det("cat", 0.8)]
+    path = saver.process_detections("cam1", frame, dets)
+    assert path is not None
+    assert len(events) == 1
+    ev = events[0]
+    assert ev["event"] == "detection:cat"
+    assert ev["camera_id"] == "cam1"
+    assert ev["class_name"] == "cat" and ev["confidence"] == 0.9
+    assert ev["species"] == "Bobcat"
+    assert ev["detection_counts"] == {"cat": 2}
+    assert ev["path"] == path and ev["save_mode"] == "image"
+
+    # cooldown-suppressed trigger: no save, no event
+    assert saver.process_detections("cam1", frame, dets) is None
+    assert len(events) == 1
+
+    def _bad(_):
+        raise RuntimeError("sink down")
+    saver.notify_callback = _bad
+    assert saver.process_detections("cam2", frame, dets) is not None
+    assert saver.snapshots_saved == 2  # save succeeded despite the sink
+
+
+def test_snapshot_notification_webhook_end_to_end(tmp_path):
+    """Config -> build_alerter -> real HTTP POST on a snapshot save."""
+    import http.server
+    import threading
+
+    received = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            received.append(json.loads(self.rfile.read(n)))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        from telescope_cam_detection_tpu.utils.alerts import build_alerter
+        notifier = build_alerter(
+            {"webhook_url": f"http://127.0.0.1:{srv.server_port}/hook",
+             "min_interval_seconds": 0.0})
+        saver = SnapshotSaver(output_dir=str(tmp_path),
+                              trigger_classes=["cat"], min_confidence=0.5,
+                              notify_callback=notifier)
+        frame = np.zeros((60, 80, 3), np.uint8)
+        assert saver.process_detections("cam1", frame,
+                                        [_det("cat", 0.9)]) is not None
+        deadline = time.time() + 5
+        while time.time() < deadline and not received:
+            time.sleep(0.05)
+        assert received and received[0]["event"] == "detection:cat"
+        notifier.stop()
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_clip_mode_with_prebuffer(tmp_path):
     saver = SnapshotSaver(output_dir=str(tmp_path), save_mode="clip",
                           trigger_classes=["cat"], min_confidence=0.5,
