@@ -36,6 +36,7 @@ class FaceMasker:
         min_neighbors: int = 5,
         detect_max_dim: int = 480,
         require_backend: bool = False,
+        mask_person_boxes: bool = False,
     ):
         """require_backend: raise at construction when no face detector can
         be loaded — set by the orchestrator whenever privacy masking is
@@ -48,6 +49,7 @@ class FaceMasker:
                 f"unknown detection_backend {detection_backend!r} "
                 "(valid: opencv_haar, mediapipe)")
         self.mask_style = mask_style
+        self.mask_person_boxes = bool(mask_person_boxes)
         self.detection_backend = detection_backend
         self._mp_detector = None
         if detection_backend == "mediapipe":
@@ -198,8 +200,31 @@ class FaceMasker:
                 out[y:y + h, x:x + w] = cv2.GaussianBlur(region, (k, k), 0)
         return out
 
-    def mask_frame(self, frame: np.ndarray, copy: bool = True) -> np.ndarray:
-        return self.apply_mask(frame, self.detect_faces(frame), copy=copy)
+    def person_boxes(self, detections) -> List[Tuple[int, int, int, int]]:
+        """Whole-body regions from person detections, as (x, y, w, h) —
+        the reference's planned "Person detection masking (blur entire
+        body, not just face)" (PRIVACY_MASKING.md Planned Enhancements).
+        Only used when mask_person_boxes is on."""
+        boxes = []
+        for d in detections or []:
+            if d.get("class_name") != "person":
+                continue
+            bb = d.get("bbox") or {}
+            try:
+                x1, y1 = int(bb["x1"]), int(bb["y1"])
+                w, h = int(bb["x2"]) - x1, int(bb["y2"]) - y1
+            except (KeyError, TypeError, ValueError):
+                continue
+            if w > 0 and h > 0:
+                boxes.append((x1, y1, w, h))
+        return boxes
+
+    def mask_frame(self, frame: np.ndarray, copy: bool = True,
+                   detections=None) -> np.ndarray:
+        boxes = self.detect_faces(frame)
+        if self.mask_person_boxes and detections:
+            boxes = boxes + self.person_boxes(detections)
+        return self.apply_mask(frame, boxes, copy=copy)
 
     def get_stats(self) -> Dict[str, Any]:
         return {
@@ -235,7 +260,7 @@ class FaceMaskingCache:
         return bool(override.get("enable_face_masking", True))
 
     def mask_frame(self, camera_id: str, frame: np.ndarray,
-                   copy: bool = True) -> np.ndarray:
+                   copy: bool = True, detections=None) -> np.ndarray:
         if not self.enabled_for(camera_id):
             return frame.copy() if copy else frame
         with self._lock:
@@ -252,6 +277,10 @@ class FaceMaskingCache:
         else:
             with self._lock:
                 faces = self._faces.get(camera_id, [])
+        # person boxes are never cached: they come from the current
+        # frame's detections, which are fresher than the face cache
+        if self.masker.mask_person_boxes and detections:
+            faces = list(faces) + self.masker.person_boxes(detections)
         if not faces:
             return frame.copy() if copy else frame
         return self.masker.apply_mask(frame, faces, copy=copy)

@@ -186,7 +186,8 @@ class SnapshotSaver:
             if self.face_masker is not None:
                 masked_dir = base / "masked"
                 masked_dir.mkdir(parents=True, exist_ok=True)
-                masked = self.face_masker.mask_frame(frame)
+                masked = self.face_masker.mask_frame(frame,
+                                                     detections=detections)
                 cv2.imwrite(str(masked_dir / f"{name}.jpg"), masked,
                             [cv2.IMWRITE_JPEG_QUALITY, self.jpeg_quality])
 

@@ -885,11 +885,12 @@ class _Handler(BaseHTTPRequestHandler):
             while self.web._running.is_set():
                 frame = cap.get_latest_frame()
                 if frame is not None:
-                    if self.web.face_mask_cache is not None:
-                        frame = self.web.face_mask_cache.mask_frame(
-                            camera_id, frame, copy=False)
                     with self.web._latest_lock:
                         latest = self.web.latest_detections.get(camera_id)
+                    if self.web.face_mask_cache is not None:
+                        frame = self.web.face_mask_cache.mask_frame(
+                            camera_id, frame, copy=False,
+                            detections=(latest or {}).get("detections"))
                     if latest and latest.get("detections"):
                         frame = draw_detections(frame, latest["detections"],
                                                 copy=False)

@@ -208,7 +208,10 @@ class TelescopeDetectionSystem:
                 detect_max_dim=privacy.get("detect_max_dim", 480),
                 # masking was promised by config: refuse to start without a
                 # working detector rather than silently serving unmasked faces
-                require_backend=True)
+                require_backend=True,
+                # whole-body masking of person detections (the reference's
+                # planned "Person detection masking", PRIVACY_MASKING.md)
+                mask_person_boxes=privacy.get("mask_person_boxes", False))
             self.face_mask_cache = FaceMaskingCache(
                 self.face_masker,
                 detection_interval=privacy.get("live_feed_detection_interval", 5),

@@ -204,6 +204,50 @@ def test_face_masker_styles():
         FaceMasker(mask_style="nope")
 
 
+def test_person_box_masking():
+    """privacy.mask_person_boxes: whole-body masking of person detections
+    (the reference's planned enhancement, PRIVACY_MASKING.md)."""
+    frame = np.full((100, 100, 3), 200, np.uint8)
+    person = {"class_id": 0, "class_name": "person", "confidence": 0.9,
+              "bbox": {"x1": 20, "y1": 30, "x2": 60, "y2": 80}}
+    cat = _det("cat", 0.9)
+
+    on = FaceMasker(mask_style="black_box", mask_person_boxes=True)
+    out = on.mask_frame(frame, detections=[person, cat])
+    assert (out[30:80, 20:60] == 0).all()        # person region masked
+    assert (out[:30, :] == 200).all()            # outside untouched
+    assert (frame == 200).all()                  # copy semantics
+
+    off = FaceMasker(mask_style="black_box")     # default: faces only
+    out = off.mask_frame(frame, detections=[person])
+    assert (out == 200).all()
+
+    # cat boxes never masked even with the flag on
+    out = on.mask_frame(frame, detections=[cat])
+    assert (out == 200).all()
+
+
+def test_person_box_masking_through_cache_and_snapshot(tmp_path):
+    masker = FaceMasker(mask_style="black_box", mask_person_boxes=True)
+    cache = FaceMaskingCache(masker, detection_interval=5)
+    frame = np.full((100, 100, 3), 200, np.uint8)
+    person = {"class_id": 0, "class_name": "person", "confidence": 0.9,
+              "bbox": {"x1": 10, "y1": 10, "x2": 40, "y2": 90}}
+    out = cache.mask_frame("cam1", frame, detections=[person])
+    assert (out[10:90, 10:40] == 0).all()
+
+    saver = SnapshotSaver(output_dir=str(tmp_path),
+                          trigger_classes=["person"], min_confidence=0.5,
+                          face_masker=masker)
+    assert saver.process_detections("cam1", frame, [person]) is not None
+    import cv2
+    masked_files = list((tmp_path / "cam1" / "masked").glob("*.jpg"))
+    assert len(masked_files) == 1
+    img = cv2.imread(str(masked_files[0]))
+    assert img[15:85, 15:35].max() <= 16   # masked (JPEG ringing tolerance)
+    assert img[:5, :].min() >= 180         # outside region intact
+
+
 def test_face_masking_camera_overrides():
     masker = FaceMasker(mask_style="black_box")
     cache = FaceMaskingCache(masker, camera_overrides={
