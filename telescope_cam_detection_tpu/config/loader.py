@@ -342,27 +342,47 @@ def validate_config(config: Dict[str, Any]) -> List[str]:
     return errors
 
 
-def _validate_collision(errors: List[str], config: Dict[str, Any]) -> None:
-    cc = config.get("collision_detection")
-    if not cc:
+def _validate_zone_list(errors: List[str], zones, where: str) -> None:
+    if not isinstance(zones, list):
+        errors.append(f"{where} must be a list of zones")
         return
-    if not isinstance(cc, dict):
-        errors.append("collision_detection must be a mapping")
-        return
-    for i, zone in enumerate(cc.get("zones") or []):
-        where = f"collision_detection.zones[{i}]"
+    for i, zone in enumerate(zones):
+        here = f"{where}[{i}]"
+        if not isinstance(zone, dict):
+            errors.append(f"{here}: must be a mapping with points")
+            continue
         pts = zone.get("points")
         if not isinstance(pts, list) or len(pts) < 3:
-            errors.append(f"{where}: needs >= 3 [x, y] points")
+            errors.append(f"{here}: needs >= 3 [x, y] points")
             continue
         for p in pts:
             if (not isinstance(p, (list, tuple)) or len(p) != 2
                     or not all(isinstance(v, (int, float)) for v in p)):
-                errors.append(f"{where}: points must be [x, y] numbers")
+                errors.append(f"{here}: points must be [x, y] numbers")
                 break
-    thr = cc.get("danger_threshold", 50.0)
-    if not isinstance(thr, (int, float)) or thr < 0:
-        errors.append("collision_detection.danger_threshold must be >= 0")
+
+
+def _validate_collision(errors: List[str], config: Dict[str, Any]) -> None:
+    cc = config.get("collision_detection")
+    if cc:
+        if not isinstance(cc, dict):
+            errors.append("collision_detection must be a mapping")
+        else:
+            _validate_zone_list(errors, cc.get("zones") or [],
+                                "collision_detection.zones")
+            thr = cc.get("danger_threshold", 50.0)
+            if not isinstance(thr, (int, float)) or thr < 0:
+                errors.append(
+                    "collision_detection.danger_threshold must be >= 0")
+    az = (config.get("snapshots") or {}).get("alert_zones")
+    if az is not None:
+        if not isinstance(az, dict):
+            errors.append("snapshots.alert_zones must map camera_id -> "
+                          "zone list")
+        else:
+            for cam_id, zones in az.items():
+                _validate_zone_list(errors, zones,
+                                    f"snapshots.alert_zones.{cam_id}")
 
 
 def validate_model_files(config: Dict[str, Any], base_dir: str = ".") -> List[str]:

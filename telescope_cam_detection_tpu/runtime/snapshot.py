@@ -46,6 +46,7 @@ class SnapshotSaver:
         jpeg_quality: int = 85,
         face_masker=None,
         notify_callback=None,
+        alert_zones: Optional[Dict[str, List[Dict[str, Any]]]] = None,
     ):
         self.output_dir = Path(output_dir)
         self.enabled = enabled
@@ -64,6 +65,12 @@ class SnapshotSaver:
         # "Future Enhancements"): called with a structured event after a
         # successful save — the snapshot cooldown already bounds the rate
         self.notify_callback = notify_callback
+        # alert zones (another planned item in the same list: "save only
+        # when detection in specific area"): camera_id -> polygons in the
+        # collision-zone schema [{name, points: [[x, y], ...]}]. When a
+        # camera has zones, a detection only triggers if its bbox center
+        # lies inside one; cameras without zones keep the plain rule.
+        self.alert_zones = dict(alert_zones or {})
 
         self._cooldown_lock = threading.Lock()
         self._last_save: Dict[Tuple[str, str], float] = {}
@@ -89,6 +96,10 @@ class SnapshotSaver:
                 continue
             if det.get("confidence", 0.0) < self.min_confidence:
                 continue
+            # zone gate BEFORE the cooldown stamp: an out-of-zone
+            # detection must not consume the class's cooldown window
+            if not self._in_alert_zone(camera_id, det):
+                continue
             key = (camera_id, name)
             with self._cooldown_lock:
                 last = self._last_save.get(key, 0.0)
@@ -98,6 +109,21 @@ class SnapshotSaver:
                 self._last_save[key] = now
             return det
         return None
+
+    def _in_alert_zone(self, camera_id: str, det: Dict[str, Any]) -> bool:
+        zones = self.alert_zones.get(camera_id)
+        if not zones:
+            return True
+        bb = det.get("bbox") or {}
+        try:
+            center = ((float(bb["x1"]) + float(bb["x2"])) / 2.0,
+                      (float(bb["y1"]) + float(bb["y2"])) / 2.0)
+        except (KeyError, TypeError, ValueError):
+            return False
+        from telescope_cam_detection_tpu.pipeline.collision import (
+            point_in_polygon)
+        return any(point_in_polygon(center, z.get("points") or [])
+                   for z in zones)
 
     # -- clip pre-buffer -----------------------------------------------------------
     def add_frame_to_buffer(self, camera_id: str, frame: np.ndarray,
@@ -311,6 +337,11 @@ class SnapshotSaver:
             if new != self.trigger_classes:
                 self.trigger_classes = new
                 updated.append("trigger_classes")
+        if "alert_zones" in settings:
+            new_zones = dict(settings["alert_zones"] or {})
+            if new_zones != self.alert_zones:
+                self.alert_zones = new_zones
+                updated.append("alert_zones")
         return updated
 
     def get_stats(self) -> Dict[str, Any]:

@@ -317,7 +317,8 @@ class TelescopeDetectionSystem:
             pre_buffer_seconds=snaps.get("pre_buffer_seconds", 5.0),
             fps=snaps.get("fps", 30.0),
             face_masker=self.face_masker,
-            notify_callback=self.snapshot_notifier)
+            notify_callback=self.snapshot_notifier,
+            alert_zones=snaps.get("alert_zones") or {})
 
         # stage 2 (shared classifier; per-camera pipelines below)
         sc = cfg.get("species_classification", {}) or {}

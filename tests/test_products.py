@@ -76,6 +76,35 @@ def test_snapshot_image_products(tmp_path):
     assert saver.snapshots_saved == 1
 
 
+def _det_at(name, conf, x1, y1, x2, y2):
+    return {"class_id": 15, "class_name": name, "confidence": conf,
+            "bbox": {"x1": x1, "y1": y1, "x2": x2, "y2": y2}}
+
+
+def test_snapshot_alert_zones(tmp_path):
+    """snapshots.alert_zones (the reference's planned 'Alert zones — save
+    only when detection in specific area'): with zones configured for a
+    camera, only detections whose bbox center is inside trigger; an
+    out-of-zone detection never consumes the class cooldown; cameras
+    without zones keep the plain rule."""
+    square = [{"name": "porch", "points": [[0, 0], [100, 0],
+                                           [100, 100], [0, 100]]}]
+    saver = SnapshotSaver(output_dir=str(tmp_path), trigger_classes=["cat"],
+                          min_confidence=0.5, cooldown_seconds=100,
+                          alert_zones={"cam1": square})
+    outside = _det_at("cat", 0.9, 200, 200, 260, 260)  # center (230, 230)
+    inside = _det_at("cat", 0.9, 20, 20, 60, 60)       # center (40, 40)
+    assert saver.should_save([outside], "cam1") is None
+    # out-of-zone did NOT burn the cooldown: in-zone still triggers
+    assert saver.should_save([inside], "cam1") is not None
+    # camera without configured zones: plain rule applies
+    assert saver.should_save([outside], "cam2") is not None
+    # hot reload: dropping the zones re-opens the whole frame
+    assert saver.update_settings({"alert_zones": {}}) == ["alert_zones"]
+    saver.cooldown_seconds = 0
+    assert saver.should_save([outside], "cam1") is not None
+
+
 def test_snapshot_notification_on_save(tmp_path):
     """Detection-trigger notifications (the reference's planned
     'Email/SMS notifications on trigger'): fired after a successful save,
