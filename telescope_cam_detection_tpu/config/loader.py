@@ -148,7 +148,7 @@ _RANGE_SPECS: Tuple[Tuple[Tuple[str, ...], type, Optional[float], Optional[float
 _VALID_DETECTORS = ("yolox", "rtdetr")
 _VALID_PROTOCOLS = ("rtsp", "rtsp-tcp", "onvif", "h265", "neolink", "file", "synthetic")
 _VALID_SAVE_MODES = ("image", "clip")
-_VALID_ENHANCEMENT = ("none", "clahe", "realesrgan")
+_VALID_ENHANCEMENT = ("none", "clahe", "realesrgan", "auto")
 _VALID_MASK_STYLES = ("gaussian_blur", "pixelate", "black_box", "adaptive_blur")
 _VALID_TRANSFERS = ("auto", "device", "host", "yuv420", "delta")
 _VALID_DELTA_PAYLOADS = ("rgb", "yuv420")

@@ -38,10 +38,24 @@ class ImageEnhancer:
         realesrgan_variables: Optional[Any] = None,
         realesrgan_scale: int = 4,
         seed: int = 0,
+        auto_luma_threshold: float = 90.0,
+        auto_contrast_threshold: float = 35.0,
+        auto_night_boost: float = 1.5,
     ):
-        if method not in ("none", "clahe", "realesrgan"):
+        """method="auto" is the reference's planned "Automatic enhancement
+        selection based on image characteristics" + "Time-based enhancement
+        (more aggressive at night)" (STAGE2_ENHANCEMENT_OPTIONS.md Future
+        Enhancements): each crop's mean luma and contrast (gray stddev)
+        decide none-vs-clahe per crop, and at night/dusk/dawn the decision
+        thresholds and the CLAHE clip limit scale by auto_night_boost."""
+        if method not in ("none", "clahe", "realesrgan", "auto"):
             raise ValueError(f"unknown enhancement method {method!r}")
         self.method = method
+        self.auto_luma_threshold = float(auto_luma_threshold)
+        self.auto_contrast_threshold = float(auto_contrast_threshold)
+        self.auto_night_boost = max(float(auto_night_boost), 1.0)
+        self.auto_enhanced = 0
+        self.auto_passthrough = 0
         self.clahe_clip_limit = clahe_clip_limit
         self.clahe_tile_grid = tuple(clahe_tile_grid)
         self.bilateral_d = bilateral_d
@@ -68,14 +82,36 @@ class ImageEnhancer:
                     jnp.zeros((1, 64, 64, 3), jnp.float32))
         return self._sr_model, self._sr_variables
 
+    def _auto_decide(self, crop: np.ndarray) -> Tuple[bool, float]:
+        """(enhance?, clip_limit) from crop statistics + time of day."""
+        from telescope_cam_detection_tpu.pipeline.time_of_day import (
+            TimeOfDay, classify_time_of_day)
+        # ITU-R 601 luma from BGR without a full cvtColor
+        gray = (0.114 * crop[..., 0].astype(np.float32)
+                + 0.587 * crop[..., 1] + 0.299 * crop[..., 2])
+        luma, contrast = float(gray.mean()), float(gray.std())
+        boost = (self.auto_night_boost
+                 if classify_time_of_day() != TimeOfDay.DAY else 1.0)
+        enhance = (luma < self.auto_luma_threshold * boost
+                   or contrast < self.auto_contrast_threshold * boost)
+        return enhance, self.clahe_clip_limit * boost
+
     def enhance(self, crop_bgr_u8: np.ndarray) -> np.ndarray:
         """(H, W, 3) uint8 BGR -> enhanced uint8 BGR (possibly upscaled)."""
         t0 = time.perf_counter()
         if self.method == "none":
             return crop_bgr_u8
+        clip_limit = self.clahe_clip_limit
+        if self.method == "auto":
+            do_enhance, clip_limit = self._auto_decide(crop_bgr_u8)
+            if not do_enhance:
+                self.auto_passthrough += 1
+                return crop_bgr_u8
+            self.auto_enhanced += 1
         try:
-            if self.method == "clahe":
-                out = self._enhance_clahe(crop_bgr_u8)
+            if self.method in ("clahe", "auto"):
+                out = self._enhance_clahe(crop_bgr_u8,
+                                          clip_limit=clip_limit)
             else:
                 out = self._enhance_realesrgan(crop_bgr_u8)
         except Exception:
@@ -87,7 +123,8 @@ class ImageEnhancer:
             self._enhance_times = self._enhance_times[-200:]
         return out
 
-    def _enhance_clahe(self, crop: np.ndarray) -> np.ndarray:
+    def _enhance_clahe(self, crop: np.ndarray,
+                       clip_limit: Optional[float] = None) -> np.ndarray:
         import jax.numpy as jnp
         from telescope_cam_detection_tpu.ops.enhance import (
             bilateral_filter, clahe_luma)
@@ -102,7 +139,8 @@ class ImageEnhancer:
         padded[h:, :w] = crop[h - 1:, :]    # edge-extend so tiles stay sane
         padded[:, w:] = padded[:, w - 1:w]
         out = clahe_luma(jnp.asarray(padded), tiles=(ty, tx),
-                         clip_limit=self.clahe_clip_limit)
+                         clip_limit=(self.clahe_clip_limit
+                                     if clip_limit is None else clip_limit))
         out = bilateral_filter(out, d=self.bilateral_d,
                                sigma_color=self.bilateral_sigma_color,
                                sigma_space=self.bilateral_sigma_space)
@@ -122,5 +160,10 @@ class ImageEnhancer:
 
     def get_stats(self) -> Dict[str, Any]:
         times = self._enhance_times
-        return {"method": self.method, "total_enhanced": self.total_enhanced,
-                "avg_enhance_ms": float(np.mean(times)) if times else 0.0}
+        stats = {"method": self.method,
+                 "total_enhanced": self.total_enhanced,
+                 "avg_enhance_ms": float(np.mean(times)) if times else 0.0}
+        if self.method == "auto":
+            stats["auto_enhanced"] = self.auto_enhanced
+            stats["auto_passthrough"] = self.auto_passthrough
+        return stats

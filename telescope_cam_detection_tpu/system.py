@@ -605,7 +605,12 @@ class TelescopeDetectionSystem:
                     clahe_tile_grid=tuple(clahe.get("tile_grid_size", (8, 8))),
                     bilateral_d=bila.get("d", 9),
                     bilateral_sigma_color=bila.get("sigma_color", 75),
-                    bilateral_sigma_space=bila.get("sigma_space", 75))
+                    bilateral_sigma_space=bila.get("sigma_space", 75),
+                    auto_luma_threshold=enh_cfg.get(
+                        "auto_luma_threshold", 90.0),
+                    auto_contrast_threshold=enh_cfg.get(
+                        "auto_contrast_threshold", 35.0),
+                    auto_night_boost=enh_cfg.get("auto_night_boost", 1.5))
             # fused Stage-2 bakes the GLOBAL preprocessing into the device
             # program; a camera whose merged stage2_preprocessing diverges
             # must classify host-side with its own settings instead of

@@ -154,6 +154,53 @@ def test_enhancer_none_passthrough():
     assert enh.enhance(crop) is crop
 
 
+def _bright_crop():
+    # bright AND high-contrast: auto must pass it through
+    rng = np.random.default_rng(3)
+    return rng.integers(60, 256, (64, 64, 3), np.uint8)
+
+
+def _dark_crop():
+    ramp = np.linspace(20, 50, 64, dtype=np.float32)
+    return np.broadcast_to(ramp[None, :, None],
+                           (64, 64, 3)).astype(np.uint8).copy()
+
+
+def test_auto_enhancement_selects_by_image_statistics(monkeypatch):
+    """method=auto (the reference's planned SNR-aware tier): dark or
+    low-contrast crops get CLAHE, good crops pass through untouched."""
+    from telescope_cam_detection_tpu.pipeline import time_of_day as tod_mod
+    monkeypatch.setattr(tod_mod, "classify_time_of_day",
+                        lambda now=None: tod_mod.TimeOfDay.DAY)
+    enh = ImageEnhancer(method="auto", bilateral_d=5)
+    bright = _bright_crop()
+    assert enh.enhance(bright) is bright
+    out = enh.enhance(_dark_crop())
+    assert out is not None and not np.array_equal(out, _dark_crop())
+    stats = enh.get_stats()
+    assert stats["auto_passthrough"] == 1 and stats["auto_enhanced"] == 1
+
+
+def test_auto_enhancement_more_aggressive_at_night(monkeypatch):
+    """The planned 'time-based enhancement': a borderline crop that passes
+    in daylight gets enhanced at night (thresholds scale by night boost)."""
+    from telescope_cam_detection_tpu.pipeline import time_of_day as tod_mod
+    # borderline: gray luma ~112 sits between the day threshold (90) and
+    # the night-boosted one (135); gray contrast ~42 between 35 and 52.5
+    rng = np.random.default_rng(5)
+    borderline = rng.normal(110, 66, (64, 64, 3)).clip(0, 255).astype(np.uint8)
+    enh = ImageEnhancer(method="auto", bilateral_d=5)
+
+    monkeypatch.setattr(tod_mod, "classify_time_of_day",
+                        lambda now=None: tod_mod.TimeOfDay.DAY)
+    assert enh.enhance(borderline) is borderline
+
+    monkeypatch.setattr(tod_mod, "classify_time_of_day",
+                        lambda now=None: tod_mod.TimeOfDay.NIGHT)
+    assert enh.enhance(borderline) is not borderline
+    assert enh.auto_enhanced == 1 and enh.auto_passthrough == 1
+
+
 @pytest.mark.slow
 def test_rrdbnet_shapes():
     import jax, jax.numpy as jnp
