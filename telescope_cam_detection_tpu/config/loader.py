@@ -141,6 +141,8 @@ _RANGE_SPECS: Tuple[Tuple[Tuple[str, ...], type, Optional[float], Optional[float
     (("camera_health", "alerts", "timeout_seconds"), float, 0.1, 300.0),
     (("snapshots", "notifications", "min_interval_seconds"), float, 0.0, None),
     (("snapshots", "notifications", "timeout_seconds"), float, 0.1, 300.0),
+    (("snapshots", "post_buffer_seconds"), float, 0.0, 3600.0),
+    (("snapshots", "max_post_seconds"), float, 0.0, 3600.0),
     (("system", "hot_reload", "poll_interval_seconds"), float, 0.05, 3600.0),
     (("system", "hot_reload", "auto_reload_interval_seconds"), float, 0.0, None),
 )

@@ -47,6 +47,9 @@ class SnapshotSaver:
         face_masker=None,
         notify_callback=None,
         alert_zones: Optional[Dict[str, List[Dict[str, Any]]]] = None,
+        post_buffer_seconds: float = 0.0,
+        post_motion_extend: bool = False,
+        max_post_seconds: float = 30.0,
     ):
         self.output_dir = Path(output_dir)
         self.enabled = enabled
@@ -71,6 +74,19 @@ class SnapshotSaver:
         # camera has zones, a detection only triggers if its bbox center
         # lies inside one; cameras without zones keep the plain rule.
         self.alert_zones = dict(alert_zones or {})
+        # true pre+post clip recording. The reference saves the pre-buffer
+        # only and says so in a comment ("for full pre+post recording,
+        # you'd need to continue recording after detection",
+        # snapshot_saver.py:548-550); post_buffer_seconds > 0 builds that:
+        # the clip stays open collecting post-trigger frames and finalizes
+        # at the deadline. post_motion_extend pushes the deadline while
+        # detections keep arriving (the planned "motion detection for clip
+        # post-buffer"), bounded by max_post_seconds.
+        self.post_buffer_seconds = float(post_buffer_seconds)
+        self.post_motion_extend = bool(post_motion_extend)
+        self.max_post_seconds = float(max_post_seconds)
+        self._pending_lock = threading.Lock()
+        self._pending_clips: Dict[str, Dict[str, Any]] = {}
 
         self._cooldown_lock = threading.Lock()
         self._last_save: Dict[Tuple[str, str], float] = {}
@@ -152,12 +168,33 @@ class SnapshotSaver:
             while self._buffer_bytes > MAX_BUFFER_BYTES and ring:
                 _, old = ring.popleft()
                 self._buffer_bytes -= len(old)
+        # feed an open pending clip's post-trigger frames; finalize at the
+        # (possibly extended) deadline
+        finalize = False
+        with self._pending_lock:
+            pending = self._pending_clips.get(camera_id)
+            if pending is not None:
+                pending["post"].append((timestamp, data))
+                finalize = (timestamp >= pending["deadline"]
+                            or timestamp >= pending["hard_deadline"])
+        if finalize:
+            self._finalize_clip(camera_id)
 
     # -- products -------------------------------------------------------------------
     def process_detections(self, camera_id: str, frame: np.ndarray,
                            detections: List[Dict[str, Any]]) -> Optional[str]:
         """Check the trigger and save a snapshot or clip. Returns the saved
         path (or None)."""
+        # an open pending clip extends while detections keep arriving
+        # (the planned "motion detection for clip post-buffer"), capped
+        # at max_post_seconds from the trigger
+        if self.post_motion_extend and detections:
+            now = time.time()
+            with self._pending_lock:
+                p = self._pending_clips.get(camera_id)
+                if p is not None:
+                    p["deadline"] = min(now + self.post_buffer_seconds,
+                                        p["hard_deadline"])
         trigger = self.should_save(detections, camera_id)
         if trigger is None:
             return None
@@ -165,31 +202,36 @@ class SnapshotSaver:
             path = self.save_clip(camera_id, frame, detections, trigger)
         else:
             path = self.save_snapshot(camera_id, frame, detections, trigger)
-        if path is not None and self.notify_callback is not None:
-            counts: Dict[str, int] = {}
-            for d in detections:
-                name = d.get("class_name", "?")
-                counts[name] = counts.get(name, 0) + 1
-            try:
-                self.notify_callback({
-                    # class name in the event key so the alerter's
-                    # per-(camera, event) rate limit is per-class, matching
-                    # the cooldown's granularity
-                    "event": f"detection:{trigger.get('class_name', 'det')}",
-                    "camera_id": camera_id,
-                    "class_name": trigger.get("class_name"),
-                    "confidence": trigger.get("confidence"),
-                    "species": trigger.get("species"),
-                    "species_confidence": trigger.get("species_confidence"),
-                    "detection_counts": counts,
-                    "save_mode": self.save_mode,
-                    "path": path,
-                    "timestamp": time.time(),
-                })
-            except Exception:
-                logger.exception("[%s] snapshot notification failed",
-                                 camera_id)
+        if path is not None:
+            self._notify(camera_id, trigger, detections, path)
         return path
+
+    def _notify(self, camera_id: str, trigger: Dict[str, Any],
+                detections: List[Dict[str, Any]], path: str) -> None:
+        if self.notify_callback is None:
+            return
+        counts: Dict[str, int] = {}
+        for d in detections:
+            name = d.get("class_name", "?")
+            counts[name] = counts.get(name, 0) + 1
+        try:
+            self.notify_callback({
+                # class name in the event key so the alerter's
+                # per-(camera, event) rate limit is per-class, matching
+                # the cooldown's granularity
+                "event": f"detection:{trigger.get('class_name', 'det')}",
+                "camera_id": camera_id,
+                "class_name": trigger.get("class_name"),
+                "confidence": trigger.get("confidence"),
+                "species": trigger.get("species"),
+                "species_confidence": trigger.get("species_confidence"),
+                "detection_counts": counts,
+                "save_mode": self.save_mode,
+                "path": path,
+                "timestamp": time.time(),
+            })
+        except Exception:
+            logger.exception("[%s] snapshot notification failed", camera_id)
 
     def save_snapshot(self, camera_id: str, frame: np.ndarray,
                       detections: List[Dict[str, Any]],
@@ -238,38 +280,93 @@ class SnapshotSaver:
     def save_clip(self, camera_id: str, frame: np.ndarray,
                   detections: List[Dict[str, Any]],
                   trigger: Dict[str, Any]) -> Optional[str]:
-        """Pre-buffer frames + the trigger frame -> mp4
-        (reference snapshot_saver.py:464-576)."""
+        """Pre-buffer + trigger frame -> mp4 (reference
+        snapshot_saver.py:464-576). With post_buffer_seconds > 0 the clip
+        instead stays OPEN collecting post-trigger frames (true pre+post
+        recording — the limitation the reference's own comment concedes)
+        and finalizes from add_frame_to_buffer; this call returns None and
+        the notification fires at finalize time."""
         if cv2 is None:
             return None
         ts = time.time()
         stamp = time.strftime("%Y%m%d_%H%M%S", time.localtime(ts))
         name = f"{camera_id}_{trigger.get('class_name', 'det')}_{stamp}"
-        base = self.output_dir / camera_id
-        base.mkdir(parents=True, exist_ok=True)
-        path = base / f"{name}.mp4"
         with self._buffer_lock:
             ring = list(self._buffers.get(camera_id, ()))
         h, w = frame.shape[:2]
+        ok, buf = cv2.imencode(
+            ".jpg", frame, [cv2.IMWRITE_JPEG_QUALITY, self.jpeg_quality])
+        trigger_jpeg = buf.tobytes() if ok else None
+        if self.post_buffer_seconds > 0:
+            with self._pending_lock:
+                if camera_id in self._pending_clips:
+                    return None  # already recording this camera
+                self._pending_clips[camera_id] = {
+                    "name": name, "ts": ts, "shape": (h, w),
+                    "trigger": dict(trigger),
+                    "detections": list(detections),
+                    "pre": ring,
+                    "post": ([(ts, trigger_jpeg)] if trigger_jpeg else []),
+                    "deadline": ts + self.post_buffer_seconds,
+                    "hard_deadline": ts + self.max_post_seconds,
+                }
+            logger.info("[%s] clip recording opened: %s (+%.1fs post)",
+                        camera_id, name, self.post_buffer_seconds)
+            return None
+        frames = ring + ([(ts, trigger_jpeg)] if trigger_jpeg else [])
+        return self._write_clip(camera_id, name, ts, (h, w), frames,
+                                detections, trigger)
+
+    def _write_clip(self, camera_id: str, name: str, ts: float,
+                    shape: Tuple[int, int],
+                    frames: List[Tuple[float, bytes]],
+                    detections: List[Dict[str, Any]],
+                    trigger: Dict[str, Any]) -> Optional[str]:
+        h, w = shape
+        base = self.output_dir / camera_id
+        path = base / f"{name}.mp4"
         try:
+            base.mkdir(parents=True, exist_ok=True)
             writer = cv2.VideoWriter(
                 str(path), cv2.VideoWriter_fourcc(*"mp4v"), self.fps, (w, h))
-            for _, jpeg in ring:
+            written = 0
+            for _, jpeg in frames:
                 img = cv2.imdecode(np.frombuffer(jpeg, np.uint8),
                                    cv2.IMREAD_COLOR)
                 if img is not None and img.shape[:2] == (h, w):
                     writer.write(img)
-            writer.write(frame)
+                    written += 1
             writer.release()
             self._write_metadata(base / f"{name}.json", camera_id, ts,
                                  detections, trigger, str(path))
             self.clips_saved += 1
-            logger.info("[%s] clip saved: %s (%d pre-buffer frames)",
-                        camera_id, name, len(ring))
+            logger.info("[%s] clip saved: %s (%d frames)",
+                        camera_id, name, written)
             return str(path)
         except (OSError, cv2.error):
             logger.exception("[%s] clip save failed", camera_id)
             return None
+
+    def _finalize_clip(self, camera_id: str) -> Optional[str]:
+        with self._pending_lock:
+            pending = self._pending_clips.pop(camera_id, None)
+        if pending is None:
+            return None
+        path = self._write_clip(
+            camera_id, pending["name"], pending["ts"], pending["shape"],
+            pending["pre"] + pending["post"], pending["detections"],
+            pending["trigger"])
+        if path is not None:
+            self._notify(camera_id, pending["trigger"],
+                         pending["detections"], path)
+        return path
+
+    def close(self) -> None:
+        """Finalize any clips still recording (system shutdown)."""
+        with self._pending_lock:
+            open_cams = list(self._pending_clips)
+        for camera_id in open_cams:
+            self._finalize_clip(camera_id)
 
     def _write_metadata(self, path: Path, camera_id: str, ts: float,
                         detections, trigger, media_path: str) -> None:
@@ -327,6 +424,9 @@ class SnapshotSaver:
             "save_annotated": "save_annotated",
             "clip_duration": "clip_duration",
             "pre_buffer_seconds": "pre_buffer_seconds", "fps": "fps",
+            "post_buffer_seconds": "post_buffer_seconds",
+            "post_motion_extend": "post_motion_extend",
+            "max_post_seconds": "max_post_seconds",
         }
         for key, attr in mapping.items():
             if key in settings and getattr(self, attr) != settings[key]:
@@ -356,4 +456,5 @@ class SnapshotSaver:
             "triggers_suppressed": self.triggers_suppressed,
             "buffered_frames": buffered,
             "buffer_mb": round(buffer_mb, 1),
+            "clips_recording": sorted(self._pending_clips),
         }

@@ -318,7 +318,10 @@ class TelescopeDetectionSystem:
             fps=snaps.get("fps", 30.0),
             face_masker=self.face_masker,
             notify_callback=self.snapshot_notifier,
-            alert_zones=snaps.get("alert_zones") or {})
+            alert_zones=snaps.get("alert_zones") or {},
+            post_buffer_seconds=snaps.get("post_buffer_seconds", 0.0),
+            post_motion_extend=snaps.get("post_motion_extend", False),
+            max_post_seconds=snaps.get("max_post_seconds", 30.0))
 
         # stage 2 (shared classifier; per-camera pipelines below)
         sc = cfg.get("species_classification", {}) or {}
@@ -825,6 +828,8 @@ class TelescopeDetectionSystem:
                 self.coordinator.stop()
             for capture in self.captures.values():
                 capture.stop()
+            if self.snapshot_saver is not None:
+                self.snapshot_saver.close()  # finalize in-flight clips
             logger.info("system stopped")
 
     def restart_camera(self, camera_id: str) -> bool:

@@ -195,6 +195,89 @@ def test_clip_mode_with_prebuffer(tmp_path):
     assert saver.clips_saved == 1
 
 
+def test_clip_post_buffer_records_pre_and_post(tmp_path):
+    """True pre+post clip recording (the reference's save_clip concedes it
+    saves pre-buffer only): with post_buffer_seconds > 0 the clip stays
+    open, collects post-trigger frames, finalizes at the deadline, and the
+    notification fires at finalize time with the final path."""
+    import cv2
+    events = []
+    saver = SnapshotSaver(output_dir=str(tmp_path), save_mode="clip",
+                          trigger_classes=["cat"], min_confidence=0.5,
+                          pre_buffer_seconds=1.0, fps=5,
+                          post_buffer_seconds=2.0,
+                          notify_callback=events.append)
+    frame = np.zeros((48, 64, 3), np.uint8)
+    t0 = time.time()
+    for i in range(3):  # pre-buffer
+        saver.add_frame_to_buffer("cam1", frame, t0 - 1 + 0.1 * i)
+    assert saver.process_detections("cam1", frame,
+                                    [_det("cat", 0.9)]) is None  # pending
+    assert saver.get_stats()["clips_recording"] == ["cam1"]
+    assert not events  # notification deferred to finalize
+    saver.add_frame_to_buffer("cam1", frame, t0 + 0.5)   # post frame
+    assert saver.clips_saved == 0
+    saver.add_frame_to_buffer("cam1", frame, t0 + 2.5)   # past deadline
+    assert saver.clips_saved == 1
+    assert saver.get_stats()["clips_recording"] == []
+    assert len(events) == 1 and events[0]["path"].endswith(".mp4")
+    cap = cv2.VideoCapture(events[0]["path"])
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    cap.release()
+    # 3 pre + trigger + 2 post
+    assert n == 6
+
+
+def test_clip_post_motion_extend_capped(tmp_path, monkeypatch):
+    from telescope_cam_detection_tpu.runtime import snapshot as snap_mod
+    t0 = time.time()
+    fake_now = [t0]
+    monkeypatch.setattr(snap_mod.time, "time", lambda: fake_now[0])
+    saver = SnapshotSaver(output_dir=str(tmp_path), save_mode="clip",
+                          trigger_classes=["cat"], min_confidence=0.5,
+                          cooldown_seconds=0, fps=5,
+                          post_buffer_seconds=1.0, post_motion_extend=True,
+                          max_post_seconds=3.0)
+    frame = np.zeros((48, 64, 3), np.uint8)
+    saver.add_frame_to_buffer("cam1", frame, t0)
+    assert saver.process_detections("cam1", frame,
+                                    [_det("cat", 0.9)]) is None
+    # detections at t0+1.4 extend the deadline to t0+2.4 (the re-trigger
+    # is absorbed by the already-recording guard)...
+    fake_now[0] = t0 + 1.4
+    assert saver.process_detections("cam1", frame,
+                                    [_det("cat", 0.9)]) is None
+    saver.add_frame_to_buffer("cam1", frame, t0 + 1.5)  # < extended deadline
+    assert saver.clips_saved == 0
+    saver.add_frame_to_buffer("cam1", frame, t0 + 2.5)  # past it
+    assert saver.clips_saved == 1
+    # hard cap: extensions can never push past trigger + max_post_seconds
+    fake_now[0] = t0 + 10
+    saver.add_frame_to_buffer("cam2", frame, t0 + 10)
+    assert saver.process_detections("cam2", frame,
+                                    [_det("cat", 0.9)]) is None
+    fake_now[0] = t0 + 12.9
+    saver.process_detections("cam2", frame, [_det("cat", 0.9)])
+    with saver._pending_lock:
+        assert (saver._pending_clips["cam2"]["deadline"]
+                == pytest.approx(t0 + 13.0))  # clamped to hard deadline
+
+
+def test_close_finalizes_open_clips(tmp_path):
+    saver = SnapshotSaver(output_dir=str(tmp_path), save_mode="clip",
+                          trigger_classes=["cat"], min_confidence=0.5,
+                          fps=5, post_buffer_seconds=60.0)
+    frame = np.zeros((48, 64, 3), np.uint8)
+    saver.add_frame_to_buffer("cam1", frame, time.time())
+    assert saver.process_detections("cam1", frame,
+                                    [_det("cat", 0.9)]) is None
+    saver.close()
+    assert saver.clips_saved == 1
+    assert saver.get_stats()["clips_recording"] == []
+
+
 def test_snapshot_hot_reload(tmp_path):
     saver = SnapshotSaver(output_dir=str(tmp_path))
     updated = saver.update_settings({"min_confidence": 0.7,
