@@ -395,6 +395,11 @@ class WebServer:
             },
             "device_memory": (self.memory_manager.get_stats()
                               if self.memory_manager else None),
+            # cameras with a clip currently held open for post-trigger
+            # recording (snapshots.post_buffer_seconds)
+            "clips_recording": (self.snapshot_saver.get_stats()
+                                .get("clips_recording", [])
+                                if self.snapshot_saver else []),
         }
         try:
             import resource

@@ -194,6 +194,7 @@ def test_system_stats_and_health_summary(system):
     status, body = _get(port, "/api/system/stats")
     data = json.loads(body)
     assert status == 200 and "aggregate_fps" in data
+    assert data["clips_recording"] == []  # REC badge source field
     status, body = _get(port, "/api/cameras/health/summary")
     assert status == 200
     assert set(json.loads(body)["cameras"]) == {"cam1", "cam2"}

@@ -405,6 +405,11 @@ class DetectionApp {
       gauge.classList.toggle("crit", frac > 0.9);
       document.getElementById("hbm-label").textContent =
         s.device_memory ? `HBM ${Math.round(frac * 100)}%` : "HBM n/a";
+      // REC badge while a post-trigger clip is held open for a camera
+      const recording = new Set(s.clips_recording || []);
+      for (const [camId, cam] of this.cameras) {
+        cam.badge.classList.toggle("rec", recording.has(camId));
+      }
     } catch { /* server away; WS reconnect handles it */ }
   }
 
