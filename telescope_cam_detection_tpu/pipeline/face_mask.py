@@ -177,27 +177,35 @@ class FaceMasker:
                    faces: List[Tuple[int, int, int, int]],
                    copy: bool = True) -> np.ndarray:
         out = frame.copy() if copy else frame
+        fh, fw = out.shape[:2]
         for (x, y, w, h) in faces:
-            x, y = max(x, 0), max(y, 0)
-            region = out[y:y + h, x:x + w]
-            if region.size == 0:
+            # clamp to frame bounds: Haar boxes are always in-frame, but
+            # person-detection boxes (mask_person_boxes) can extend past
+            # the edges, and a partial region must resize to ITS OWN
+            # shape, not the nominal (w, h)
+            x1, y1 = max(x, 0), max(y, 0)
+            x2, y2 = min(x + w, fw), min(y + h, fh)
+            rw, rh = x2 - x1, y2 - y1
+            if rw <= 0 or rh <= 0:
                 continue
+            region = out[y1:y2, x1:x2]
             if self.mask_style == "gaussian_blur":
                 k = self.blur_strength
-                out[y:y + h, x:x + w] = cv2.GaussianBlur(region, (k, k), 0)
+                out[y1:y2, x1:x2] = cv2.GaussianBlur(region, (k, k), 0)
             elif self.mask_style == "pixelate":
                 b = max(self.pixelate_blocks, 1)
-                small = cv2.resize(region, (max(w // b, 1), max(h // b, 1)),
+                small = cv2.resize(region,
+                                   (max(rw // b, 1), max(rh // b, 1)),
                                    interpolation=cv2.INTER_LINEAR)
-                out[y:y + h, x:x + w] = cv2.resize(
-                    small, (w, h), interpolation=cv2.INTER_NEAREST)
+                out[y1:y2, x1:x2] = cv2.resize(
+                    small, (rw, rh), interpolation=cv2.INTER_NEAREST)
             elif self.mask_style == "black_box":
-                out[y:y + h, x:x + w] = 0
+                out[y1:y2, x1:x2] = 0
             elif self.mask_style == "adaptive_blur":
                 # blur strength scales with face size (bigger face = closer
                 # = needs stronger blur); reference face_masker.py:300-345
-                k = (max(self.blur_strength, int(max(w, h) / 3)) | 1)
-                out[y:y + h, x:x + w] = cv2.GaussianBlur(region, (k, k), 0)
+                k = (max(self.blur_strength, int(max(rw, rh) / 3)) | 1)
+                out[y1:y2, x1:x2] = cv2.GaussianBlur(region, (k, k), 0)
         return out
 
     def person_boxes(self, detections) -> List[Tuple[int, int, int, int]]:

@@ -87,6 +87,8 @@ class SnapshotSaver:
         self.max_post_seconds = float(max_post_seconds)
         self._pending_lock = threading.Lock()
         self._pending_clips: Dict[str, Dict[str, Any]] = {}
+        self._pending_bytes = 0  # post-frame bytes across all open clips
+        self._writer_threads: List[threading.Thread] = []
 
         self._cooldown_lock = threading.Lock()
         self._last_save: Dict[Tuple[str, str], float] = {}
@@ -107,16 +109,11 @@ class SnapshotSaver:
             return None
         now = time.time()
         for det in detections:
-            name = det.get("class_name", "")
-            if self.trigger_classes and name not in self.trigger_classes:
+            # class/conf/zone gates all run BEFORE the cooldown stamp: an
+            # ineligible detection must not consume the cooldown window
+            if not self._trigger_eligible(camera_id, det):
                 continue
-            if det.get("confidence", 0.0) < self.min_confidence:
-                continue
-            # zone gate BEFORE the cooldown stamp: an out-of-zone
-            # detection must not consume the class's cooldown window
-            if not self._in_alert_zone(camera_id, det):
-                continue
-            key = (camera_id, name)
+            key = (camera_id, det.get("class_name", ""))
             with self._cooldown_lock:
                 last = self._last_save.get(key, 0.0)
                 if now - last < self.cooldown_seconds:
@@ -125,6 +122,16 @@ class SnapshotSaver:
                 self._last_save[key] = now
             return det
         return None
+
+    def _trigger_eligible(self, camera_id: str, det: Dict[str, Any]) -> bool:
+        """Class + confidence + alert-zone gates (everything in the
+        trigger rule EXCEPT the cooldown)."""
+        name = det.get("class_name", "")
+        if self.trigger_classes and name not in self.trigger_classes:
+            return False
+        if det.get("confidence", 0.0) < self.min_confidence:
+            return False
+        return self._in_alert_zone(camera_id, det)
 
     def _in_alert_zone(self, camera_id: str, det: Dict[str, Any]) -> bool:
         zones = self.alert_zones.get(camera_id)
@@ -169,14 +176,22 @@ class SnapshotSaver:
                 _, old = ring.popleft()
                 self._buffer_bytes -= len(old)
         # feed an open pending clip's post-trigger frames; finalize at the
-        # (possibly extended) deadline
+        # (possibly extended) deadline, or early if post frames across all
+        # open clips exceed the same byte budget that bounds the ring
         finalize = False
         with self._pending_lock:
             pending = self._pending_clips.get(camera_id)
             if pending is not None:
                 pending["post"].append((timestamp, data))
+                self._pending_bytes += len(data)
                 finalize = (timestamp >= pending["deadline"]
-                            or timestamp >= pending["hard_deadline"])
+                            or timestamp >= pending["hard_deadline"]
+                            or self._pending_bytes > MAX_BUFFER_BYTES)
+                if self._pending_bytes > MAX_BUFFER_BYTES:
+                    logger.warning(
+                        "[%s] post-trigger frames hit the %d MB budget; "
+                        "finalizing clip early", camera_id,
+                        MAX_BUFFER_BYTES // (1024 * 1024))
         if finalize:
             self._finalize_clip(camera_id)
 
@@ -185,16 +200,26 @@ class SnapshotSaver:
                            detections: List[Dict[str, Any]]) -> Optional[str]:
         """Check the trigger and save a snapshot or clip. Returns the saved
         path (or None)."""
-        # an open pending clip extends while detections keep arriving
-        # (the planned "motion detection for clip post-buffer"), capped
-        # at max_post_seconds from the trigger
-        if self.post_motion_extend and detections:
-            now = time.time()
-            with self._pending_lock:
-                p = self._pending_clips.get(camera_id)
-                if p is not None:
-                    p["deadline"] = min(now + self.post_buffer_seconds,
-                                        p["hard_deadline"])
+        # while this camera's clip is still recording: trigger-ELIGIBLE
+        # detections extend the deadline (the planned "motion detection
+        # for clip post-buffer" — an unrelated class or out-of-zone
+        # detection must not balloon the clip), capped at
+        # max_post_seconds; new triggers are absorbed WITHOUT consuming a
+        # class's cooldown window (the open clip is already capturing the
+        # event on video, and the class can trigger normally afterwards)
+        with self._pending_lock:
+            recording = camera_id in self._pending_clips
+        if recording:
+            if self.post_motion_extend and any(
+                    self._trigger_eligible(camera_id, d)
+                    for d in detections):
+                now = time.time()
+                with self._pending_lock:
+                    p = self._pending_clips.get(camera_id)
+                    if p is not None:
+                        p["deadline"] = min(now + self.post_buffer_seconds,
+                                            p["hard_deadline"])
+            return None
         trigger = self.should_save(detections, camera_id)
         if trigger is None:
             return None
@@ -347,26 +372,48 @@ class SnapshotSaver:
             logger.exception("[%s] clip save failed", camera_id)
             return None
 
-    def _finalize_clip(self, camera_id: str) -> Optional[str]:
+    def _finalize_clip(self, camera_id: str, wait: bool = False) -> None:
+        """Hand the finished clip to a writer thread: decoding hundreds of
+        JPEGs + mp4 encode must not stall the detection-processing thread
+        that called add_frame_to_buffer (the webhook alerter applies the
+        same discipline to POSTs)."""
         with self._pending_lock:
             pending = self._pending_clips.pop(camera_id, None)
+            if pending is not None:
+                self._pending_bytes -= sum(len(d) for _, d in pending["post"])
+                self._writer_threads = [t for t in self._writer_threads
+                                        if t.is_alive()]
         if pending is None:
-            return None
-        path = self._write_clip(
-            camera_id, pending["name"], pending["ts"], pending["shape"],
-            pending["pre"] + pending["post"], pending["detections"],
-            pending["trigger"])
-        if path is not None:
-            self._notify(camera_id, pending["trigger"],
-                         pending["detections"], path)
-        return path
+            return
+
+        def _write():
+            path = self._write_clip(
+                camera_id, pending["name"], pending["ts"], pending["shape"],
+                pending["pre"] + pending["post"], pending["detections"],
+                pending["trigger"])
+            if path is not None:
+                self._notify(camera_id, pending["trigger"],
+                             pending["detections"], path)
+
+        t = threading.Thread(target=_write, daemon=True,
+                             name=f"clip-writer-{camera_id}")
+        with self._pending_lock:
+            self._writer_threads.append(t)
+        t.start()
+        if wait:
+            t.join(timeout=30.0)
 
     def close(self) -> None:
-        """Finalize any clips still recording (system shutdown)."""
+        """Finalize any clips still recording and wait for writers
+        (system shutdown)."""
         with self._pending_lock:
             open_cams = list(self._pending_clips)
         for camera_id in open_cams:
-            self._finalize_clip(camera_id)
+            self._finalize_clip(camera_id, wait=True)
+        with self._pending_lock:
+            writers = list(self._writer_threads)
+        for t in writers:
+            t.join(timeout=30.0)
 
     def _write_metadata(self, path: Path, camera_id: str, ts: float,
                         detections, trigger, media_path: str) -> None:
@@ -456,5 +503,9 @@ class SnapshotSaver:
             "triggers_suppressed": self.triggers_suppressed,
             "buffered_frames": buffered,
             "buffer_mb": round(buffer_mb, 1),
-            "clips_recording": sorted(self._pending_clips),
+            "clips_recording": self.clips_recording_now(),
         }
+
+    def clips_recording_now(self) -> List[str]:
+        with self._pending_lock:
+            return sorted(self._pending_clips)

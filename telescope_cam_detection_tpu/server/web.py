@@ -397,8 +397,7 @@ class WebServer:
                               if self.memory_manager else None),
             # cameras with a clip currently held open for post-trigger
             # recording (snapshots.post_buffer_seconds)
-            "clips_recording": (self.snapshot_saver.get_stats()
-                                .get("clips_recording", [])
+            "clips_recording": (self.snapshot_saver.clips_recording_now()
                                 if self.snapshot_saver else []),
         }
         try:

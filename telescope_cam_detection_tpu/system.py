@@ -301,10 +301,11 @@ class TelescopeDetectionSystem:
         # camera-health alerts; snapshot cooldown bounds the event rate)
         snaps = cfg.get("snapshots", {}) or {}
         from telescope_cam_detection_tpu.utils.alerts import build_alerter
+        # default min_interval 0 (the snapshot cooldown already bounds the
+        # rate); user config wins
         self.snapshot_notifier = build_alerter(
-            {**(snaps.get("notifications") or {}),
-             "min_interval_seconds": (snaps.get("notifications") or {}).get(
-                 "min_interval_seconds", 0.0)})
+            {"min_interval_seconds": 0.0,
+             **(snaps.get("notifications") or {})})
         self.snapshot_saver = SnapshotSaver(
             output_dir=snaps.get("output_dir", "clips"),
             enabled=snaps.get("enabled", True),
@@ -816,10 +817,6 @@ class TelescopeDetectionSystem:
                 self.config_watcher.stop()
             if self.health_monitor is not None:
                 self.health_monitor.stop()
-            if self.alerter is not None:
-                self.alerter.stop()
-            if self.snapshot_notifier is not None:
-                self.snapshot_notifier.stop()
             for processor in self.processors.values():
                 processor.stop()
             for engine in self.engines.values():
@@ -830,6 +827,13 @@ class TelescopeDetectionSystem:
                 capture.stop()
             if self.snapshot_saver is not None:
                 self.snapshot_saver.close()  # finalize in-flight clips
+            # alerters stop LAST: events from processors draining above
+            # and from clip finalization must still reach the webhook
+            # workers (stopping earlier silently drops the final posts)
+            if self.alerter is not None:
+                self.alerter.stop()
+            if self.snapshot_notifier is not None:
+                self.snapshot_notifier.stop()
             logger.info("system stopped")
 
     def restart_camera(self, camera_id: str) -> bool:

@@ -76,6 +76,15 @@ def test_snapshot_image_products(tmp_path):
     assert saver.snapshots_saved == 1
 
 
+def _wait_for(predicate, timeout=10.0):
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        if predicate():
+            return True
+        time.sleep(0.02)
+    return False
+
+
 def _det_at(name, conf, x1, y1, x2, y2):
     return {"class_id": 15, "class_name": name, "confidence": conf,
             "bbox": {"x1": x1, "y1": y1, "x2": x2, "y2": y2}}
@@ -218,9 +227,11 @@ def test_clip_post_buffer_records_pre_and_post(tmp_path):
     saver.add_frame_to_buffer("cam1", frame, t0 + 0.5)   # post frame
     assert saver.clips_saved == 0
     saver.add_frame_to_buffer("cam1", frame, t0 + 2.5)   # past deadline
-    assert saver.clips_saved == 1
+    # finalization runs on a writer thread (must not stall the processor)
+    assert _wait_for(lambda: saver.clips_saved == 1)
     assert saver.get_stats()["clips_recording"] == []
-    assert len(events) == 1 and events[0]["path"].endswith(".mp4")
+    assert _wait_for(lambda: len(events) == 1)
+    assert events[0]["path"].endswith(".mp4")
     cap = cv2.VideoCapture(events[0]["path"])
     n = 0
     while cap.read()[0]:
@@ -252,7 +263,7 @@ def test_clip_post_motion_extend_capped(tmp_path, monkeypatch):
     saver.add_frame_to_buffer("cam1", frame, t0 + 1.5)  # < extended deadline
     assert saver.clips_saved == 0
     saver.add_frame_to_buffer("cam1", frame, t0 + 2.5)  # past it
-    assert saver.clips_saved == 1
+    assert _wait_for(lambda: saver.clips_saved == 1)
     # hard cap: extensions can never push past trigger + max_post_seconds
     fake_now[0] = t0 + 10
     saver.add_frame_to_buffer("cam2", frame, t0 + 10)
@@ -263,6 +274,69 @@ def test_clip_post_motion_extend_capped(tmp_path, monkeypatch):
     with saver._pending_lock:
         assert (saver._pending_clips["cam2"]["deadline"]
                 == pytest.approx(t0 + 13.0))  # clamped to hard deadline
+
+
+def test_trigger_during_open_clip_does_not_burn_cooldown(tmp_path,
+                                                         monkeypatch):
+    """A distinct class appearing while a clip is recording is absorbed
+    (it's on the open clip's video) WITHOUT consuming its cooldown — it
+    can trigger its own clip as soon as the current one closes."""
+    from telescope_cam_detection_tpu.runtime import snapshot as snap_mod
+    t0 = time.time()
+    fake_now = [t0]
+    monkeypatch.setattr(snap_mod.time, "time", lambda: fake_now[0])
+    saver = SnapshotSaver(output_dir=str(tmp_path), save_mode="clip",
+                          trigger_classes=["cat", "dog"],
+                          min_confidence=0.5, cooldown_seconds=45, fps=5,
+                          post_buffer_seconds=2.0)
+    frame = np.zeros((48, 64, 3), np.uint8)
+    saver.add_frame_to_buffer("cam1", frame, t0)
+    assert saver.process_detections("cam1", frame,
+                                    [_det("cat", 0.9)]) is None  # open
+    fake_now[0] = t0 + 1.0
+    saver.process_detections("cam1", frame, [_det("dog", 0.9)])  # absorbed
+    saver.add_frame_to_buffer("cam1", frame, t0 + 2.5)           # finalize
+    assert _wait_for(lambda: saver.clips_saved == 1)
+    fake_now[0] = t0 + 3.0  # well inside dog's 45s cooldown IF it burned
+    assert saver.process_detections("cam1", frame,
+                                    [_det("dog", 0.9)]) is None  # new clip
+    assert saver.get_stats()["clips_recording"] == ["cam1"]
+
+
+def test_extension_requires_trigger_eligible_detection(tmp_path,
+                                                       monkeypatch):
+    """An unrelated class must not extend the recording deadline."""
+    from telescope_cam_detection_tpu.runtime import snapshot as snap_mod
+    t0 = time.time()
+    fake_now = [t0]
+    monkeypatch.setattr(snap_mod.time, "time", lambda: fake_now[0])
+    saver = SnapshotSaver(output_dir=str(tmp_path), save_mode="clip",
+                          trigger_classes=["cat"], min_confidence=0.5,
+                          fps=5, post_buffer_seconds=1.0,
+                          post_motion_extend=True, max_post_seconds=10.0)
+    frame = np.zeros((48, 64, 3), np.uint8)
+    saver.add_frame_to_buffer("cam1", frame, t0)
+    assert saver.process_detections("cam1", frame,
+                                    [_det("cat", 0.9)]) is None
+    fake_now[0] = t0 + 0.9
+    saver.process_detections("cam1", frame, [_det("car", 0.9)])  # ineligible
+    with saver._pending_lock:
+        assert (saver._pending_clips["cam1"]["deadline"]
+                == pytest.approx(t0 + 1.0))  # NOT extended
+
+
+def test_person_mask_clamps_edge_boxes():
+    """Pixelate on a person box extending past the frame edge must not
+    crash (detector boxes are unclamped, unlike Haar faces)."""
+    masker = FaceMasker(mask_style="pixelate", mask_person_boxes=True)
+    frame = np.random.default_rng(9).integers(0, 256, (100, 100, 3),
+                                              np.uint8)
+    person = {"class_id": 0, "class_name": "person", "confidence": 0.9,
+              "bbox": {"x1": 80, "y1": -10, "x2": 150, "y2": 120}}
+    out = masker.mask_frame(frame, detections=[person])
+    assert out.shape == frame.shape
+    assert not np.array_equal(out[:, 80:], frame[:, 80:])  # region masked
+    np.testing.assert_array_equal(out[:, :80], frame[:, :80])
 
 
 def test_close_finalizes_open_clips(tmp_path):

@@ -66,6 +66,16 @@ def mask_clip(masker, src: Path, dst: Path, dry_run: bool) -> bool:
     h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
     writer = cv2.VideoWriter(str(dst), cv2.VideoWriter_fourcc(*"mp4v"),
                              fps, (w, h))
+    if not writer.isOpened():
+        # a silently-unopened writer would report success while writing
+        # nothing — the one failure mode a privacy tool must not have
+        logger.warning("VideoWriter failed to open (codec?): %s", dst)
+        cap.release()
+        try:
+            dst.unlink()
+        except OSError:
+            pass
+        return False
     frames = 0
     try:
         while True:
