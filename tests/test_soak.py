@@ -82,7 +82,28 @@ def soak_system(tmp_path):
           empty_frame_filter: {{enabled: false}}
           sparse_detection: {{enabled: false}}
         motion_filter: {{enabled: false}}
-        snapshots: {{enabled: false}}
+        # round-3 features soak together: file watcher thread + clip-mode
+        # saver with post-trigger recording (min_confidence 0.99 keeps
+        # random-weight triggers rare; the buffer/writer machinery still
+        # runs per frame) + person-box masking in the mask path
+        system:
+          hot_reload: {{enabled: true, poll_interval_seconds: 1.0}}
+        privacy:
+          enable_face_masking: true
+          mask_person_boxes: true
+          live_feed_detection_interval: 10
+        snapshots:
+          enabled: true
+          save_mode: clip
+          output_dir: {tmp_path}/clips
+          trigger_classes: []
+          min_confidence: 0.99
+          cooldown_seconds: 10
+          pre_buffer_seconds: 1
+          fps: 10
+          post_buffer_seconds: 2
+          post_motion_extend: true
+          max_post_seconds: 5
         web: {{host: 127.0.0.1, port: {_free_port()}}}
         camera_health:
           enabled: true
