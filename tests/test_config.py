@@ -133,7 +133,7 @@ def test_example_configs_validate():
     from telescope_cam_detection_tpu.config.loader import validate_config
     root = os.path.join(os.path.dirname(__file__), "..", "examples")
     paths = sorted(glob.glob(os.path.join(root, "config_*.yaml")))
-    assert len(paths) == 4, paths
+    assert len(paths) == 5, paths
     for p in paths:
         with open(p) as f:
             cfg = yaml.safe_load(f)
