@@ -75,6 +75,11 @@ RESTART_REQUIRED_KEYS = (
     "species_classification.fused",
     "species_classification.fused_max_crops",
     "species_classification.inat_classifier.precision",
+    # built at init, not rebuilt by reload (the reference silently ignores
+    # these on reload; flagging beats ignoring)
+    "privacy",
+    "system.hot_reload",
+    "snapshots.notifications",
 )
 
 # compiled into the fused program ONLY when gates='device' (hot-reloadable
