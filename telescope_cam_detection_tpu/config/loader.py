@@ -143,6 +143,9 @@ _RANGE_SPECS: Tuple[Tuple[Tuple[str, ...], type, Optional[float], Optional[float
     (("snapshots", "notifications", "timeout_seconds"), float, 0.1, 300.0),
     (("snapshots", "post_buffer_seconds"), float, 0.0, 3600.0),
     (("snapshots", "max_post_seconds"), float, 0.0, 3600.0),
+    (("snapshots", "retention", "max_age_days"), float, 0.01, None),
+    (("snapshots", "retention", "unmasked_max_age_days"), float, 0.01, None),
+    (("snapshots", "retention", "interval_hours"), float, 0.1, 168.0),
     (("system", "hot_reload", "poll_interval_seconds"), float, 0.05, 3600.0),
     (("system", "hot_reload", "auto_reload_interval_seconds"), float, 0.0, None),
 )

@@ -89,6 +89,8 @@ class SnapshotSaver:
         self._pending_clips: Dict[str, Dict[str, Any]] = {}
         self._pending_bytes = 0  # post-frame bytes across all open clips
         self._writer_threads: List[threading.Thread] = []
+        self._retention_thread: Optional[threading.Thread] = None
+        self._retention_stop = threading.Event()
 
         self._cooldown_lock = threading.Lock()
         self._last_save: Dict[Tuple[str, str], float] = {}
@@ -404,8 +406,8 @@ class SnapshotSaver:
             t.join(timeout=30.0)
 
     def close(self) -> None:
-        """Finalize any clips still recording and wait for writers
-        (system shutdown)."""
+        """Finalize any clips still recording, wait for writers, stop the
+        retention thread (system shutdown)."""
         with self._pending_lock:
             open_cams = list(self._pending_clips)
         for camera_id in open_cams:
@@ -414,6 +416,10 @@ class SnapshotSaver:
             writers = list(self._writer_threads)
         for t in writers:
             t.join(timeout=30.0)
+        if self._retention_thread is not None:
+            self._retention_stop.set()
+            self._retention_thread.join(timeout=5.0)
+            self._retention_thread = None
 
     def _write_metadata(self, path: Path, camera_id: str, ts: float,
                         detections, trigger, media_path: str) -> None:
@@ -445,21 +451,64 @@ class SnapshotSaver:
         return keep
 
     # -- maintenance -------------------------------------------------------------
-    def cleanup_old_files(self, max_age_days: float = 30.0) -> int:
+    def cleanup_old_files(self, max_age_days: float = 30.0,
+                          unmasked_max_age_days: Optional[float] = None,
+                          ) -> int:
         """Delete products older than max_age_days
-        (reference snapshot_saver.py:664-724)."""
-        cutoff = time.time() - max_age_days * 86400
+        (reference snapshot_saver.py:664-724 — defined there but never
+        called; here the retention thread schedules it).
+
+        unmasked_max_age_days: separate (shorter) window for the UNMASKED
+        raw/ tree — the privacy retention policy the reference's own best
+        practices recommend ("delete unmasked clips after investigation
+        period", PRIVACY_MASKING.md) but never implement. Masked/
+        annotated/ products and clips keep the default window."""
+        now = time.time()
+        cutoff = now - max_age_days * 86400
+        raw_cutoff = (now - unmasked_max_age_days * 86400
+                      if unmasked_max_age_days is not None else cutoff)
         removed = 0
         if not self.output_dir.exists():
             return 0
         for p in self.output_dir.rglob("*"):
-            if p.is_file() and p.stat().st_mtime < cutoff:
+            if not p.is_file():
+                continue
+            limit = raw_cutoff if "raw" in p.parent.parts[-1:] else cutoff
+            if p.stat().st_mtime < limit:
                 try:
                     p.unlink()
                     removed += 1
                 except OSError:
                     pass
         return removed
+
+    # -- scheduled retention -----------------------------------------------------
+    def start_retention(self, max_age_days: float = 30.0,
+                        unmasked_max_age_days: Optional[float] = None,
+                        interval_hours: float = 6.0) -> None:
+        """Background thread running cleanup_old_files on a cadence (runs
+        once immediately so restarts don't defer an overdue sweep)."""
+        if self._retention_thread is not None:
+            return
+        self._retention_stop.clear()
+
+        def _loop():
+            while True:
+                removed = self.cleanup_old_files(max_age_days,
+                                                 unmasked_max_age_days)
+                if removed:
+                    logger.info("retention sweep removed %d product(s) "
+                                "(default %.1fd, unmasked %s)", removed,
+                                max_age_days,
+                                f"{unmasked_max_age_days:.1f}d"
+                                if unmasked_max_age_days is not None
+                                else "same")
+                if self._retention_stop.wait(interval_hours * 3600.0):
+                    return
+
+        self._retention_thread = threading.Thread(
+            target=_loop, name="snapshot-retention", daemon=True)
+        self._retention_thread.start()
 
     def update_settings(self, settings: Dict[str, Any]) -> List[str]:
         """Hot-reload (reference snapshot_saver.py:606-662)."""

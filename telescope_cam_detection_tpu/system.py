@@ -800,6 +800,16 @@ class TelescopeDetectionSystem:
                 self.health_monitor.start()
             if self.config_watcher is not None:
                 self.config_watcher.start()
+            # scheduled product retention (separate shorter window for the
+            # unmasked raw/ tree — the privacy best practice the reference
+            # documents; its cleanup_old_files is never called)
+            ret = ((self.config.get("snapshots", {}) or {})
+                   .get("retention") or {})
+            if self.snapshot_saver is not None and ret.get("enabled"):
+                self.snapshot_saver.start_retention(
+                    max_age_days=ret.get("max_age_days", 30.0),
+                    unmasked_max_age_days=ret.get("unmasked_max_age_days"),
+                    interval_hours=ret.get("interval_hours", 6.0))
             self._started = True
             for cam_id in self.captures:
                 if self.web_server:

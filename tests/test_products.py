@@ -362,6 +362,48 @@ def test_snapshot_hot_reload(tmp_path):
     assert saver.trigger_classes == {"dog"}
 
 
+def test_cleanup_unmasked_retention_window(tmp_path):
+    """Privacy retention: the unmasked raw/ tree uses a SHORTER window
+    than masked/annotated products (the reference's own best-practice
+    doc recommends this but its cleanup is never even called)."""
+    import os
+    saver = SnapshotSaver(output_dir=str(tmp_path))
+    ten_days_ago = time.time() - 10 * 86400
+    for rel in ("cam1/raw/old.jpg", "cam1/masked/old.jpg",
+                "cam1/annotated/old.jpg", "cam1/old_clip.mp4"):
+        p = tmp_path / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(b"x")
+        os.utime(p, (ten_days_ago, ten_days_ago))
+    fresh = tmp_path / "cam1" / "raw" / "new.jpg"
+    fresh.write_bytes(b"x")
+
+    removed = saver.cleanup_old_files(max_age_days=30,
+                                      unmasked_max_age_days=7)
+    assert removed == 1
+    assert not (tmp_path / "cam1" / "raw" / "old.jpg").exists()
+    assert (tmp_path / "cam1" / "masked" / "old.jpg").exists()
+    assert (tmp_path / "cam1" / "annotated" / "old.jpg").exists()
+    assert (tmp_path / "cam1" / "old_clip.mp4").exists()
+    assert fresh.exists()
+
+
+def test_retention_thread_sweeps_and_stops(tmp_path):
+    import os
+    saver = SnapshotSaver(output_dir=str(tmp_path))
+    old = tmp_path / "cam1" / "raw" / "stale.jpg"
+    old.parent.mkdir(parents=True)
+    old.write_bytes(b"x")
+    two_days_ago = time.time() - 2 * 86400
+    os.utime(old, (two_days_ago, two_days_ago))
+    saver.start_retention(max_age_days=30, unmasked_max_age_days=1,
+                          interval_hours=24)
+    # the thread sweeps once immediately on start
+    assert _wait_for(lambda: not old.exists())
+    saver.close()
+    assert saver._retention_thread is None
+
+
 def test_cleanup_old_files(tmp_path):
     saver = SnapshotSaver(output_dir=str(tmp_path))
     old = tmp_path / "cam1" / "raw"
