@@ -39,8 +39,12 @@ def main():
     from telescope_cam_detection_tpu.utils.frames import SyntheticFrameSource
 
     gates = os.environ.get("TRACE_GATES", "device")
+    stage2 = os.environ.get("TRACE_STAGE2") == "1"
+    if stage2:
+        gates = "device"  # attach_classifier requires the gated program
     out_dir = os.environ.get(
-        "TRACE_OUT", f"docs/traces/latency_b4_gates-{gates}")
+        "TRACE_OUT", ("docs/traces/latency_b4_stage2-fused" if stage2
+                      else f"docs/traces/latency_b4_gates-{gates}"))
     n_iters = int(os.environ.get("TRACE_ITERS", "12"))
 
     spec = ProgramSpec(detector_type="yolox", variant="yolox-s",
@@ -48,7 +52,23 @@ def main():
                        readback_topk=64, gates=gates, gate_lanes=4)
     prog = DetectorProgram(spec, seed=0)
     prog.variables = sharpen_random_variables(prog.variables)
-    prog.update_filters(FilterSettings(conf_threshold=0.25))
+    if stage2:
+        # fused Stage-2 as served (config 4f): EVA02-L bf16, window 4,
+        # classified INSIDE the same dispatch. Low threshold so detections
+        # fire and the lax.cond actually takes the classifier branch —
+        # an empty-path trace would prove nothing about the fused cost.
+        import jax.numpy as jnp
+        from telescope_cam_detection_tpu.models.eva02 import (
+            build_eva02, init_eva02)
+        _, s2_vars = init_eva02("eva02-large", 10000, 336, seed=1,
+                                dtype=jnp.bfloat16)
+        s2_model = build_eva02("eva02-large", 10000, 336,
+                               dtype=jnp.bfloat16)
+        prog.attach_classifier(s2_model, s2_vars, input_size=336,
+                               max_crops=4)
+        prog.update_filters(FilterSettings(conf_threshold=0.05))
+    else:
+        prog.update_filters(FilterSettings(conf_threshold=0.25))
 
     srcs = [SyntheticFrameSource(width=2560, height=1440, seed=c)
             for c in range(4)]
@@ -84,6 +104,7 @@ def main():
     summary = {
         "name": "latency_decomposition_batch4_1440p",
         "gates": gates,
+        "stage2": "fused-eva02L-bf16-w4" if stage2 else "none",
         "iters": n_iters,
         "p50_dispatch_ms": round(p50(dispatch_ms), 2),
         "p50_readback_wait_ms": round(p50(readback_ms), 2),
