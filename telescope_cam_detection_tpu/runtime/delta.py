@@ -206,6 +206,9 @@ def pack_batch(
              else (b, k, tile, tile, 3))
     tiles = np.zeros(shape, np.uint8)
     for i, (idx, rows) in enumerate(encoded):
+        if len(idx) == 0:
+            continue   # nothing-to-send entries (mesh layout pads) keep
+            # the all-drop tile_idx row; rows may be shapeless-empty
         tile_idx[i, :len(idx)] = idx
         tiles[i, :len(idx)] = rows
     return (np.asarray(lanes, np.int32), tile_idx, tiles, k)

@@ -71,7 +71,7 @@ RESTART_REQUIRED_KEYS = (
     "detection.delta_refresh_tiles", "detection.delta_payload",
     "detection.readback_topk", "detection.precision",
     "detection.mesh_devices", "detection.nms_threshold",
-    "detection.batching", "detection.gates",
+    "detection.batching", "detection.gates", "detection.artifact_dir",
     "species_classification.fused",
     "species_classification.fused_max_crops",
     "species_classification.inat_classifier.precision",
@@ -231,6 +231,17 @@ class TelescopeDetectionSystem:
         gates_mode = detection.get("gates", "none")
         n_lanes = len([c for c in cfg.get("cameras", [])
                        if c.get("enabled", True)]) + 1
+        mesh = None
+        mesh_devices = detection.get("mesh_devices", 0)
+        if mesh_devices and mesh_devices > 1:
+            from telescope_cam_detection_tpu.parallel.mesh import (
+                DATA_AXIS, create_mesh)
+            mesh = create_mesh(mesh_devices)
+            logger.info("sharding inference over %d devices", mesh_devices)
+            # per-stream device state (gates / delta reference frames)
+            # shards its lane axis over dp — round lanes up so it divides
+            dp = int(mesh.shape[DATA_AXIS])
+            n_lanes += (-n_lanes) % dp
         spec = ProgramSpec(
             detector_type=det_type,
             variant=model_cfg.get("model_name",
@@ -260,14 +271,30 @@ class TelescopeDetectionSystem:
         precision = detection.get("precision", "fp32")
         param_dtype = jnp.bfloat16 if precision in ("bf16", "bfloat16") \
             else jnp.float32
-        mesh = None
-        mesh_devices = detection.get("mesh_devices", 0)
-        if mesh_devices and mesh_devices > 1:
-            from telescope_cam_detection_tpu.parallel.mesh import create_mesh
-            mesh = create_mesh(mesh_devices)
-            logger.info("sharding inference over %d devices", mesh_devices)
-        self.program = DetectorProgram(spec, param_dtype=param_dtype,
-                                       mesh=mesh)
+        self.program = None
+        artifact_dir = detection.get("artifact_dir")
+        if artifact_dir:
+            # serve from a frozen jax.export artifact (the reference's
+            # "load the prebuilt TensorRT engine" path,
+            # yolox_detector.py:152-184). Validation already rejects
+            # gates/delta/mesh/fused combinations (config/loader.py); any
+            # load failure here falls back LOUDLY to the live-traced program
+            # so a stale artifact never takes the service down
+            try:
+                from telescope_cam_detection_tpu.runtime.aot import (
+                    AotDetectorProgram)
+                self.program = AotDetectorProgram(artifact_dir, spec=spec)
+                logger.info(
+                    "serving from AOT artifact %s (batch buckets %s)",
+                    artifact_dir, self.program.aot.batches)
+            except Exception:
+                logger.critical(
+                    "AOT artifact %s failed to load — falling back to the "
+                    "live-traced program (first dispatches pay compilation)",
+                    artifact_dir, exc_info=True)
+        if self.program is None:
+            self.program = DetectorProgram(spec, param_dtype=param_dtype,
+                                           mesh=mesh)
         self.program.update_filters(
             self._compute_filter_floor(detection, cfg.get("cameras") or []))
         if gates_mode == "device":
@@ -275,10 +302,11 @@ class TelescopeDetectionSystem:
         weights = model_cfg.get("weights")
         if self.load_weights and weights:
             from telescope_cam_detection_tpu.models.convert import (
-                load_variables)
+                cast_tree_like, load_variables, trees_compatible)
             loaded = load_variables(
                 weights, reference_variables=self.program.variables)
-            if loaded is None:
+            if loaded is None or not trees_compatible(
+                    loaded, self.program.variables):
                 # configured weights that fail to load are FATAL, like the
                 # reference (its detector load_model raises after retries) —
                 # silently serving random weights would emit garbage
@@ -286,7 +314,9 @@ class TelescopeDetectionSystem:
                 # explicit opt-in (--no-weights / no weights key).
                 raise RuntimeError(
                     f"configured detector weights failed to load: {weights}")
-            self.program.variables = loaded
+            # fp16/fp32 checkpoints serve at the configured precision
+            self.program.variables = cast_tree_like(
+                loaded, self.program.variables)
             logger.info("loaded detector weights from %s", weights)
         # memory + coordinator
         self.memory_manager = MemoryManager()
