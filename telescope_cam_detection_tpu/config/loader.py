@@ -291,6 +291,24 @@ def validate_config(config: Dict[str, Any]) -> List[str]:
     if nms_impl is not None and nms_impl not in _VALID_IMPLS:
         errors.append(f"detection.nms_impl must be one of {_VALID_IMPLS}, "
                       f"got {nms_impl!r}")
+    artifact_dir = detection.get("artifact_dir")
+    if artifact_dir:
+        # AOT artifacts freeze the PLAIN program variants (runtime/aot.py
+        # scope): the stateful features live in the host runtime + traced
+        # program, so they cannot serve from a frozen graph
+        if (detection.get("gates") or "none") == "device":
+            errors.append("detection.artifact_dir cannot serve "
+                          "gates: device (HBM gate state is runtime-managed)")
+        if (detection.get("transfer") or "auto") in ("delta", "yuv420"):
+            errors.append("detection.artifact_dir cannot serve "
+                          f"transfer: {detection.get('transfer')} "
+                          "(host-side codec state)")
+        if (detection.get("mesh_devices") or 0) > 1:
+            errors.append("detection.artifact_dir is single-chip "
+                          "(exported programs carry no mesh shardings)")
+        if _lookup(config, ("species_classification", "fused")):
+            errors.append("detection.artifact_dir cannot serve the fused "
+                          "Stage-2 classifier (requires device gates)")
     precision = detection.get("precision")
     if precision is not None and precision not in _VALID_DET_PRECISION:
         errors.append(f"detection.precision must be one of "

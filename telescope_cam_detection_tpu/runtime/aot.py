@@ -176,3 +176,162 @@ class AotDetector:
         rows = self._fns[bucket](variables, frames_u8, class_conf,
                                  min_area, max_area, class_allowed)
         return rows[:n]
+
+
+class AotDetectorProgram:
+    """DetectorProgram-compatible serving front over an exported artifact —
+    the deployment path behind config ``detection.artifact_dir`` (the analog
+    of the reference loading a prebuilt TensorRT engine at startup,
+    yolox_detector.py:152-184): the engines/coordinator drive the frozen
+    program exactly like a live-traced one, including hot-reloadable filter
+    arrays and weight hot-swap (weights stay call arguments).
+
+    Plain-variant scope (matching export_detector): no device gates, no
+    delta/yuv transfer, single chip. Host resize still applies when capture
+    resolution exceeds the model input (transfer auto/host); rows scale back
+    to capture coordinates on readback, so the detection contract is
+    identical to the live program's.
+    """
+
+    _SCALED_MARK = "aot-rows"
+
+    def __init__(self, artifact_dir: str, spec=None, variables=None,
+                 seed: int = 0):
+        from telescope_cam_detection_tpu.runtime.program import (
+            FilterSettings, ProgramSpec)
+        self.aot = AotDetector(artifact_dir)
+        man = self.aot.manifest
+        self.spec = ProgramSpec(
+            detector_type=man["detector_type"], variant=man["variant"],
+            num_classes=int(man["num_classes"]),
+            input_hw=tuple(man["input_hw"]), max_det=int(man["max_det"]),
+            transfer=man["transfer"])
+        if spec is not None:
+            # compiled-in fields of the configured spec must match the
+            # artifact — serving a 640-program for a 1280 config would emit
+            # silently wrong boxes
+            for field in ("detector_type", "variant", "num_classes",
+                          "input_hw", "max_det"):
+                want, have = getattr(spec, field), getattr(self.spec, field)
+                if tuple(np.atleast_1d(want)) != tuple(np.atleast_1d(have)):
+                    raise ValueError(
+                        f"artifact/config mismatch on {field}: artifact has "
+                        f"{have!r}, config wants {want!r}")
+        self.frames_hw = tuple(man["frames_hw"])
+        if variables is None:
+            variables = self.aot.variables
+        if variables is None:
+            # weight-agnostic artifact and no checkpoint configured: random
+            # init (explicit opt-in, same warning contract as
+            # DetectorProgram) — needs the model code, which this framework
+            # install has even though the frozen graph doesn't
+            logger.warning("AotDetectorProgram: random-init weights "
+                           "(artifact bundles none, no checkpoint given)")
+            if self.spec.detector_type == "yolox":
+                from telescope_cam_detection_tpu.models import yolox as ylib
+                _, variables = ylib.init_yolox(
+                    self.spec.variant, self.spec.num_classes,
+                    self.spec.input_hw, seed)
+            else:
+                from telescope_cam_detection_tpu.models import rtdetr as rlib
+                _, variables = rlib.init_rtdetr(
+                    self.spec.variant, self.spec.num_classes,
+                    self.spec.input_hw, seed)
+        self.variables = variables
+        self.mesh = None
+        self._filters = FilterSettings()
+        self._filter_arrays = self._filters.to_arrays(self.spec.num_classes)
+        self.stats: Dict[str, Any] = {"compilations": 0, "batches": 0,
+                                      "frames": 0, "last_infer_ms": 0.0,
+                                      "artifact_batches": self.aot.batches}
+
+    # -- hot reload (same contract as DetectorProgram) -----------------------
+    def update_filters(self, settings) -> None:
+        self._filters = settings
+        self._filter_arrays = settings.to_arrays(self.spec.num_classes)
+
+    @property
+    def filters(self):
+        return self._filters
+
+    def lane_for_stream(self, stream_id: str) -> int:
+        return 0   # plain variants carry no per-stream device state
+
+    # -- dispatch -------------------------------------------------------------
+    def dispatch_batch(self, frames, lanes=None, capture_hw=None):
+        if isinstance(frames, (list, tuple)):
+            frames = np.stack(frames)
+        if frames.ndim != 4 or frames.shape[-1] != 3:
+            raise ValueError(
+                f"expected (B,H,W,3) uint8 frames, got {frames.shape}")
+        hw = (frames.shape[1], frames.shape[2])
+        if capture_hw is None:
+            capture_hw = hw
+        scale = None
+        if self.spec.transfer == "device":
+            if hw != self.frames_hw:
+                raise ValueError(
+                    f"device-transfer artifact is frozen for capture "
+                    f"{self.frames_hw}, got {hw}")
+        elif hw != self.spec.input_hw:
+            import cv2
+            ih, iw = self.spec.input_hw
+            frames = np.stack([
+                cv2.resize(f, (iw, ih), interpolation=cv2.INTER_LINEAR)
+                for f in frames])
+            capture_hw = hw
+        if tuple(capture_hw) != self.spec.input_hw \
+                and self.spec.transfer != "device":
+            ch, cw = capture_hw
+            ih, iw = self.spec.input_hw
+            # frozen graph reports input-coord boxes; restore capture coords
+            scale = np.asarray([cw / iw, ch / ih, cw / iw, ch / ih],
+                               np.float32)
+        f = self._filter_arrays
+        rows = self.aot.call(self.variables, frames, f["class_conf"],
+                             f["min_area"], f["max_area"],
+                             f["class_allowed"])
+        self.stats["batches"] += 1
+        self.stats["frames"] += frames.shape[0]
+        return (self._SCALED_MARK, rows, scale)
+
+    def materialize(self, handle, n: int):
+        _, rows, scale = handle
+        rows = np.asarray(rows)[:n]
+        if scale is not None:
+            valid = rows[..., 5] >= 0
+            rows = rows.copy()
+            rows[..., :4] = np.where(valid[..., None],
+                                     rows[..., :4] * scale, rows[..., :4])
+        return rows, None
+
+    def detect_batch_gated(self, frames, lanes=None, capture_hw=None):
+        import time
+        t0 = time.perf_counter()
+        n = len(frames)
+        rows, aux = self.materialize(
+            self.dispatch_batch(frames, lanes=lanes, capture_hw=capture_hw),
+            n)
+        self.stats["last_infer_ms"] = (time.perf_counter() - t0) * 1000.0
+        return rows, aux
+
+    def detect_batch_rows(self, frames, lanes=None):
+        return self.detect_batch_gated(frames, lanes=lanes)[0]
+
+    def detect_batch(self, frames, lanes=None):
+        from telescope_cam_detection_tpu.runtime.program import (
+            rows_to_detections)
+        return [rows_to_detections(r)
+                for r in self.detect_batch_rows(frames, lanes=lanes)]
+
+    def detect(self, frame):
+        return self.detect_batch(frame[None])[0]
+
+    def warmup(self, batches: Sequence[int] = (1,),
+               capture_hw: Optional[Tuple[int, int]] = None) -> None:
+        hw = capture_hw or self.frames_hw
+        for b in batches:
+            self.detect_batch_rows(np.zeros((b, *hw, 3), np.uint8))
+
+    def get_stats(self) -> Dict[str, Any]:
+        return dict(self.stats)

@@ -135,6 +135,136 @@ def test_export_rejects_stateful_variants():
         export_detector(prog, "/tmp/never")
 
 
+# ---------------------------------------------------------------------------
+# Config-served artifacts (VERDICT r3 #4): detection.artifact_dir boots the
+# deployment from the frozen program — the reference's "serve the prebuilt
+# TensorRT engine" path (yolox_detector.py:152-184).
+# ---------------------------------------------------------------------------
+
+def test_aot_program_adapter_matches_live(plain_program, artifact):
+    """The DetectorProgram-compatible adapter returns IDENTICAL rows to the
+    live-traced program, including the dispatch/materialize split the
+    pipelined coordinator drives and the hot-reloadable filter arrays."""
+    from telescope_cam_detection_tpu.runtime.aot import AotDetectorProgram
+    out, _ = artifact
+    prog = AotDetectorProgram(out, variables=plain_program.variables)
+    prog.update_filters(plain_program.filters)
+    frames = _frames(2, seed=4)
+    live, _ = plain_program.materialize(
+        plain_program.dispatch_batch(frames), 2)
+    rows, aux = prog.materialize(prog.dispatch_batch(frames), 2)
+    assert aux is None
+    np.testing.assert_array_equal(live, rows)
+    # detection-dict surface
+    assert prog.detect(frames[0]) == plain_program.detect(frames[0])
+
+
+def test_aot_program_host_resize_capture_coords(plain_program, artifact):
+    """Capture frames above the model input resize on host and come back in
+    CAPTURE coordinates, exactly like the live program."""
+    from telescope_cam_detection_tpu.runtime.aot import AotDetectorProgram
+    out, _ = artifact
+    prog = AotDetectorProgram(out, variables=plain_program.variables)
+    prog.update_filters(plain_program.filters)
+    frames = _frames(2, seed=5)
+    big = np.stack([np.kron(f, np.ones((2, 2, 1))).astype(np.uint8)
+                    for f in frames])   # 2x capture resolution
+    rows = prog.detect_batch_rows(big)
+    live = plain_program.detect_batch_rows(big)
+    np.testing.assert_allclose(rows, live, rtol=1e-5, atol=1e-4)
+
+
+def test_aot_program_rejects_spec_mismatch(artifact):
+    from telescope_cam_detection_tpu.runtime.aot import AotDetectorProgram
+    out, _ = artifact
+    bad = ProgramSpec(detector_type="yolox", variant="yolox-nano",
+                      input_hw=(2 * HW[0], 2 * HW[1]), max_det=16)
+    with pytest.raises(ValueError, match="mismatch"):
+        AotDetectorProgram(out, spec=bad)
+
+
+@pytest.mark.slow
+def test_system_boots_from_artifact(plain_program, artifact, tmp_path):
+    """detection.artifact_dir end to end: the system initializes, serves the
+    frozen program through the coordinator, and its rows match the live
+    program's on the same frame."""
+    import socket
+    import textwrap
+    from telescope_cam_detection_tpu.models.convert import save_variables
+    from telescope_cam_detection_tpu.system import TelescopeDetectionSystem
+    out, _ = artifact
+    wpath = tmp_path / "weights.msgpack"
+    save_variables(plain_program.variables, str(wpath))
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    cfg = textwrap.dedent(f"""
+        cameras:
+          - id: cam1
+            protocol: synthetic
+            target_width: {HW[1]}
+            target_height: {HW[0]}
+            fps: 5
+        detection:
+          detector_type: yolox
+          yolox: {{model_name: yolox-nano, weights: {wpath}}}
+          input_size: [{HW[0]}, {HW[1]}]
+          conf_threshold: 0.0
+          wildlife_only: false
+          min_box_area: 0
+          max_detections: 16
+          artifact_dir: {out}
+          batching: {{enabled: true, max_batch_size: 2, max_batch_wait_ms: 20.0}}
+        motion_filter: {{enabled: false}}
+        time_of_day_filter: {{enabled: false}}
+        snapshots: {{enabled: false}}
+        web: {{host: 127.0.0.1, port: {port}}}
+        camera_health: {{enabled: false}}
+    """)
+    cfg_path = tmp_path / "config.yaml"
+    cfg_path.write_text(cfg)
+    sys_obj = TelescopeDetectionSystem(str(cfg_path))
+    sys_obj.load_config()
+    sys_obj.validate_config()
+    sys_obj.initialize_components()
+    try:
+        from telescope_cam_detection_tpu.runtime.aot import AotDetectorProgram
+        assert isinstance(sys_obj.program, AotDetectorProgram)
+        frames = _frames(2, seed=6)
+        np.testing.assert_array_equal(
+            sys_obj.program.detect_batch_rows(frames),
+            plain_program.detect_batch_rows(frames))
+    finally:
+        sys_obj.stop()
+
+
+def test_config_rejects_artifact_with_stateful_features(tmp_path):
+    """Validation refuses artifact_dir + gates/delta/mesh/fused — the frozen
+    plain program cannot serve them (config/loader.py)."""
+    import textwrap
+    from telescope_cam_detection_tpu.system import TelescopeDetectionSystem
+    cfg = textwrap.dedent("""
+        cameras:
+          - id: cam1
+            protocol: synthetic
+        detection:
+          detector_type: yolox
+          artifact_dir: /tmp/somewhere
+          gates: device
+          transfer: delta
+          mesh_devices: 4
+    """)
+    cfg_path = tmp_path / "config.yaml"
+    cfg_path.write_text(cfg)
+    sys_obj = TelescopeDetectionSystem(str(cfg_path))
+    sys_obj.load_config()
+    with pytest.raises(Exception) as ei:
+        sys_obj.validate_config()
+    msg = str(ei.value)
+    assert "artifact_dir" in msg
+
+
 def test_export_rejects_capture_hw_without_device_transfer(plain_program):
     # plain_program fixture uses the default transfer (not "device"):
     # capture_hw would bake a lie into the artifact
