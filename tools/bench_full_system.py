@@ -11,6 +11,12 @@ Env knobs:
   FS_WARMUP=45       warmup seconds (compiles + cache fill)
   FS_GATES=device    detection.gates (device|none)
   FS_PROFILE=1       sample all serving threads' stacks during the window
+  FS_WS_CLIENTS=4    concurrent WebSocket /ws/detections clients
+  FS_MJPEG_CLIENTS=4 concurrent MJPEG /video/feed/{cam} pullers (per-client
+                     encode is the reference's real serving load,
+                     web_server.py:875-947) — per-client fps is recorded so
+                     serving-plane fan-out regressions are visible
+  FS_TRAINED=1       serve weights/yolox_s_scene640.npz when present
 """
 import json
 import os
@@ -42,6 +48,16 @@ def main():
     depth = int(os.environ.get("FS_DEPTH", "2"))
     port = _free_port()
 
+    n_ws = int(os.environ.get("FS_WS_CLIENTS", "4"))
+    n_mjpeg = int(os.environ.get("FS_MJPEG_CLIENTS", "4"))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    trained = os.path.join(repo, "weights", "yolox_s_scene640.npz")
+    weights_kind = "random"
+    yolox_cfg = "{model_name: yolox-s}"
+    if os.environ.get("FS_TRAINED", "1") != "0" and os.path.exists(trained):
+        yolox_cfg = f"{{model_name: yolox-s, weights: {trained}}}"
+        weights_kind = "trained"
+
     cams = "\n".join(
         f"  - {{id: cam{i}, name: Synth {i}, protocol: synthetic, "
         f"target_width: 2560, target_height: 1440, fps: {cam_fps}, "
@@ -50,7 +66,7 @@ def main():
     cfg = "cameras:\n" + cams + "\n" + textwrap.dedent(f"""\
         detection:
           detector_type: yolox
-          yolox: {{model_name: yolox-s}}
+          yolox: {yolox_cfg}
           input_size: [640, 640]
           conf_threshold: 0.25
           transfer: delta
@@ -80,25 +96,24 @@ def main():
         cfg_path = f.name
 
     from telescope_cam_detection_tpu.system import TelescopeDetectionSystem
-    sys_obj = TelescopeDetectionSystem(cfg_path, load_weights=False)
+    sys_obj = TelescopeDetectionSystem(cfg_path,
+                                       load_weights=(weights_kind == "trained"))
     sys_obj.load_config()
     sys_obj.validate_config()
     sys_obj.initialize_components()
     sys_obj.start(block=False)
 
-    # live WS client draining detections (part of the serving load)
-    ws_messages = [0]
+    # concurrent serving clients (the reference's real load is N browsers
+    # each pulling MJPEG + WS, web_server.py:875-947 per-client encode):
+    # N WS clients draining detections + N MJPEG clients pulling frames,
+    # all counted per client
+    ws_messages = [0] * n_ws
+    mjpeg_frames = [0] * n_mjpeg
 
-    def ws_client():
-        import urllib.request
-        time.sleep(5)
-        try:
-            from examples.ws_client import connect_ws  # if provided
-        except Exception:
-            connect_ws = None
+    def ws_client(slot):
         # minimal raw WS client: handshake + read frames, count messages
         import base64
-        import hashlib
+        time.sleep(5)
         try:
             s = socket.create_connection(("127.0.0.1", port), timeout=10)
             key = base64.b64encode(os.urandom(16)).decode()
@@ -117,11 +132,35 @@ def main():
                     continue
                 if not data:
                     return
-                ws_messages[0] += data.count(b"\x81")
+                ws_messages[slot] += data.count(b"\x81")
         except Exception:
             pass
 
-    threading.Thread(target=ws_client, daemon=True).start()
+    def mjpeg_client(slot):
+        # raw HTTP puller on /video/feed/{cam}: counts JPEG SOI markers in
+        # the multipart stream (one per delivered frame)
+        time.sleep(5)
+        cam = f"cam{slot % n_cams}"
+        try:
+            s = socket.create_connection(("127.0.0.1", port), timeout=10)
+            s.sendall((f"GET /video/feed/{cam} HTTP/1.1\r\nHost: x\r\n"
+                       f"Connection: keep-alive\r\n\r\n").encode())
+            s.settimeout(5)
+            while True:
+                try:
+                    data = s.recv(1 << 16)
+                except socket.timeout:
+                    continue
+                if not data:
+                    return
+                mjpeg_frames[slot] += data.count(b"\xff\xd8\xff")
+        except Exception:
+            pass
+
+    for i in range(n_ws):
+        threading.Thread(target=ws_client, args=(i,), daemon=True).start()
+    for i in range(n_mjpeg):
+        threading.Thread(target=mjpeg_client, args=(i,), daemon=True).start()
 
     def engine_frames():
         return sum(e.frames_processed for e in sys_obj.engines.values())
@@ -138,9 +177,11 @@ def main():
         prof.start()
     f0, t0 = engine_frames(), time.time()
     d0 = sum(p.results_processed for p in sys_obj.processors.values())
+    ws0, mj0 = list(ws_messages), list(mjpeg_frames)
     time.sleep(seconds)
     f1, t1 = engine_frames(), time.time()
     d1 = sum(p.results_processed for p in sys_obj.processors.values())
+    ws1, mj1 = list(ws_messages), list(mjpeg_frames)
     if prof:
         prof.stop()
         sys.stderr.write(prof.format_report(30) + "\n")
@@ -158,7 +199,16 @@ def main():
         "coordinator_avg_batch": round(coord.get("avg_batch_size", 0), 2),
         "coordinator_dropped": coord.get("total_dropped", 0),
         "coordinator_avg_infer_ms": round(coord.get("avg_infer_ms", 0), 1),
-        "ws_messages": ws_messages[0],
+        "weights": weights_kind,
+        "ws_clients": n_ws,
+        "mjpeg_clients": n_mjpeg,
+        # per-client rates over the window: serving-plane fan-out must not
+        # starve individual clients (or the coordinator — compare
+        # fps_inferred against a 0-client run)
+        "ws_msgs_per_client_per_s": [
+            round((b - a) / (t1 - t0), 2) for a, b in zip(ws0, ws1)],
+        "mjpeg_fps_per_client": [
+            round((b - a) / (t1 - t0), 2) for a, b in zip(mj0, mj1)],
         "window_s": round(t1 - t0, 1),
     }
     sys_obj.stop()

@@ -58,12 +58,9 @@ def main():
         # fire and the lax.cond actually takes the classifier branch —
         # an empty-path trace would prove nothing about the fused cost.
         import jax.numpy as jnp
-        from telescope_cam_detection_tpu.models.eva02 import (
-            build_eva02, init_eva02)
-        _, s2_vars = init_eva02("eva02-large", 10000, 336, seed=1,
-                                dtype=jnp.bfloat16)
-        s2_model = build_eva02("eva02-large", 10000, 336,
-                               dtype=jnp.bfloat16)
+        from telescope_cam_detection_tpu.models.eva02 import init_eva02
+        s2_model, s2_vars = init_eva02("eva02-large", 10000, 336, seed=1,
+                                       dtype=jnp.bfloat16)
         prog.attach_classifier(s2_model, s2_vars, input_size=336,
                                max_crops=4)
         prog.update_filters(FilterSettings(conf_threshold=0.05))
