@@ -35,7 +35,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np  # noqa: E402
 
 
+TRAINED_CKPT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "weights", "yolox_s_scene640.npz")
+
+
 def build_program(batch, transfer, n_cams):
+    """Returns (program, weights_kind): weights_kind is "file"
+    (BENCH_WEIGHTS override), "trained" (the committed bench-scene
+    checkpoint — tools/train_bench_weights.py — so throughput numbers ride
+    a detector that actually detects, with mAP50 recorded alongside), or
+    "sharpened-random" (neither available)."""
     from telescope_cam_detection_tpu.runtime.program import (
         DetectorProgram, FilterSettings, ProgramSpec)
     spec = ProgramSpec(detector_type="yolox", variant="yolox-s",
@@ -47,26 +56,34 @@ def build_program(batch, transfer, n_cams):
                                                         "64")) or None)
     program = DetectorProgram(spec, seed=0)
     weights = os.environ.get("BENCH_WEIGHTS")
+    weights_kind = "file" if weights else None
+    if not weights and os.path.exists(TRAINED_CKPT) \
+            and os.environ.get("BENCH_TRAINED", "1") != "0":
+        weights, weights_kind = TRAINED_CKPT, "trained"
     if weights:
-        from telescope_cam_detection_tpu.models.convert import load_variables
+        from telescope_cam_detection_tpu.models.convert import (
+            cast_tree_like, load_variables, trees_compatible)
         loaded = load_variables(weights,
                                 reference_variables=program.variables)
-        if loaded is None:
-            raise RuntimeError(f"BENCH_WEIGHTS failed to load: {weights}")
-        program.variables = loaded
-        print(f"bench: loaded weights from {weights}", file=sys.stderr)
+        if loaded is None or not trees_compatible(loaded, program.variables):
+            raise RuntimeError(f"bench weights failed to load: {weights}")
+        # committed checkpoints are fp16 (artifact size); serve at fp32
+        program.variables = cast_tree_like(loaded, program.variables)
+        print(f"bench: loaded {weights_kind} weights from {weights}",
+              file=sys.stderr)
     else:
-        # zero-egress: no real checkpoint reachable. Sharpen the random init
-        # so NMS/top-k/readback-compaction see trained-like score spreads
+        # zero-egress fallback: sharpen the random init so
+        # NMS/top-k/readback-compaction see trained-like score spreads
         # (sparse confident positives) instead of a sea of ~0.25 scores
         from telescope_cam_detection_tpu.models.convert import (
             sharpen_random_variables)
         program.variables = sharpen_random_variables(program.variables)
+        weights_kind = "sharpened-random"
         print("bench: sharpened random-init weights (no checkpoint; "
               "realistic score distribution)", file=sys.stderr)
     program.update_filters(FilterSettings(conf_threshold=0.25,
                                           wildlife_only=True))
-    return program
+    return program, weights_kind
 
 
 def make_stream(n_cams, frames_per_cam, capture_hw, input_hw):
@@ -96,22 +113,32 @@ def make_stream(n_cams, frames_per_cam, capture_hw, input_hw):
 
 
 def measure_device_exec(program, frames_640, batch=4, iters=50):
-    """Per-dispatch execution cost of the fused detect program (preprocess
-    -> forward -> decode -> NMS -> filter -> compact) with the relay/link
-    excluded: every argument is already device-resident, `iters` dispatches
-    chain asynchronously, and ONE true readback at the end amortizes the
-    relay round trip to <1 ms/iter (np.asarray, not block_until_ready —
-    the axon relay returns the latter without a device round trip, the
-    under-measurement documented in docs/PERFORMANCE.md "On-device
-    gates"). Slight UPPER bound: the amortized final-readback RTT and any
-    host dispatch overhead not hidden under device execution are included.
+    """Per-dispatch execution cost of the PLAIN fused detect program
+    (preprocess -> forward -> decode -> NMS -> filter -> compact) with the
+    relay/link excluded: every argument is already device-resident, `iters`
+    dispatches chain asynchronously, and ONE true readback at the end
+    amortizes the relay round trip to <1 ms/iter (np.asarray, not
+    block_until_ready — the axon relay returns the latter without a device
+    round trip, the under-measurement documented in docs/PERFORMANCE.md
+    "On-device gates"). Slight UPPER bound: the amortized final-readback RTT
+    and any host dispatch overhead not hidden under device execution are
+    included. Scope: this times the non-delta, ungated variant — the delta
+    program's on-device tile reconstruction and any fused gates/Stage-2
+    tails are EXCLUDED (they add ~a scatter and the gate mixtures on top).
     Recorded in the bench JSON so the latency north-star decomposition
     (docs/traces/) travels with the artifact instead of living only in
     docs."""
     import jax.numpy as jnp
+    if not frames_640:
+        raise ValueError("measure_device_exec needs at least one frame")
+    # precondition for the hand-built call below: the plain program variant
+    # takes (variables, frames, 4x filter arrays) and returns one array —
+    # gates/mesh change both, so fail loudly instead of mis-timing
+    assert program.spec.gates == "none" and program.mesh is None
     sub = list(frames_640[:batch])
-    while len(sub) < batch:
-        sub.append(sub[len(sub) % max(len(sub), 1)])
+    orig = len(sub)
+    while len(sub) < batch:   # short cycle: repeat frames to fill the batch
+        sub.append(sub[len(sub) % orig])
     frames_dev = jnp.asarray(np.stack(sub))
     fn = program._get_program(batch, program.spec.input_hw)
     f = program._filter_arrays
@@ -124,6 +151,52 @@ def measure_device_exec(program, frames_640, batch=4, iters=50):
         r = fn(*args)
     np.asarray(r)
     return (time.perf_counter() - t0) * 1000.0 / iters
+
+
+def serial_latency_probe(program, stream_frames, stream_lanes, capture_hw,
+                         n_cams, iters=24):
+    """Strictly-serial dispatch -> blocking readback p50 at the
+    latency-representative batch (one frame per camera) — the number
+    BENCH_MODE=latency measures, now carried in the DEFAULT artifact so one
+    JSON line tells the whole north-star latency story: throughput-mode p50
+    (queueing included), this serial p50 (one batch end to end through the
+    relay), device_exec_ms_b4 (pure device compute)."""
+    total = len(stream_frames)
+    lat = []
+    for i in range(iters):
+        idx = [(i * n_cams + j) % total for j in range(n_cams)]
+        frames = np.stack([stream_frames[k] for k in idx])
+        lanes = [stream_lanes[k] for k in idx]
+        t0 = time.perf_counter()
+        handle = program.dispatch_batch(frames, lanes=lanes,
+                                        capture_hw=capture_hw)
+        program.materialize(handle, n_cams)
+        lat.append((time.perf_counter() - t0) * 1000.0)
+    lat.sort()
+    return lat[len(lat) // 2]
+
+
+def eval_scene_map50(program, n_cams, n=48):
+    """mAP50 of the SERVED program (its live weights, NMS, conf-0.25
+    wildlife filter) on held-out bench-distribution scenes with generator
+    ground truth (train.data.SceneDetectionDataset, val split seed) — the
+    quality metric that rides next to fps in the artifact (VERDICT r3 #2)."""
+    from telescope_cam_detection_tpu.runtime.program import rows_to_detections
+    from telescope_cam_detection_tpu.train.data import SceneDetectionDataset
+    from telescope_cam_detection_tpu.train.evaluate import evaluate_detections
+    ds = SceneDetectionDataset(n=n, input_hw=program.spec.input_hw, seed=777)
+    preds, gts = [], []
+    for i in range(0, n, n_cams):
+        imgs, lbls = [], []
+        for j in range(i, min(i + n_cams, n)):
+            img, lbl = ds.load(j)
+            imgs.append(img.astype(np.uint8))
+            lbls.append(lbl)
+        rows = program.detect_batch_rows(
+            np.stack(imgs), lanes=list(range(len(imgs))))
+        preds.extend(rows_to_detections(r) for r in rows)
+        gts.extend(lbls)
+    return evaluate_detections(preds, gts)["mAP50"]
 
 
 def main() -> None:
@@ -141,7 +214,7 @@ def main() -> None:
         pipeline_depth = int(os.environ.get("BENCH_PIPELINE", "2"))
     warmup = int(os.environ.get("BENCH_WARMUP", "4"))
 
-    program = build_program(batch, transfer, n_cams)
+    program, weights_kind = build_program(batch, transfer, n_cams)
 
     # a cycle of distinct content; reused round-robin across iterations
     cycle_per_cam = int(os.environ.get("BENCH_CYCLE", "32"))
@@ -248,8 +321,7 @@ def main() -> None:
         "capture_hw": list(capture_hw),
         "input_hw": [640, 640],
         "capture_resize_ms": round(resize_ms, 2),
-        "weights": ("file" if os.environ.get("BENCH_WEIGHTS")
-                    else "sharpened-random"),
+        "weights": weights_kind,
         # mean surviving (valid) rows per frame after on-device NMS+filter —
         # evidence the selection/compaction paths saw non-degenerate scores
         "valid_rows_per_frame": round(valid_rows[0] / (batch * iters), 2),
@@ -270,6 +342,23 @@ def main() -> None:
                 measure_device_exec(program, stream_frames), 2)
         except Exception as e:  # noqa: BLE001
             print(f"bench: device-exec measure failed: {e}", file=sys.stderr)
+    if mode != "latency" and os.environ.get("BENCH_SERIAL_PROBE", "1") != "0":
+        # the serial end-to-end latency (one batch-4 dispatch through the
+        # relay, nothing pipelined): throughput p50 minus this is queueing,
+        # this minus device_exec_ms_b4 is link cost. Advisory.
+        try:
+            out["p50_serial_dispatch_ms"] = round(serial_latency_probe(
+                program, stream_frames, stream_lanes, capture_hw, n_cams), 2)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: serial probe failed: {e}", file=sys.stderr)
+    if weights_kind in ("trained", "file") \
+            and os.environ.get("BENCH_MAP", "1") != "0":
+        # quality next to throughput: the same served program must DETECT
+        # (held-out bench-distribution scenes, generator ground truth)
+        try:
+            out["mAP50_scene"] = round(eval_scene_map50(program, n_cams), 4)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: scene mAP eval failed: {e}", file=sys.stderr)
     if mode == "latency":
         out["metric"] = "p50_frame_latency_ms_4cam_1440p"
         out["value"] = round(p50, 2)

@@ -245,6 +245,25 @@ def save_variables(variables: Any, path: str) -> None:
         f.write(data)
 
 
+def save_variables_npz(variables: Any, path: str,
+                       float_dtype=np.float16) -> None:
+    """Compressed-npz checkpoint ('/'-joined flax paths, readable by
+    load_variables). float32 leaves optionally downcast (fp16 halves the
+    committed artifact; consumers restore serving precision with
+    cast_tree_like against their reference tree)."""
+    import jax
+    host = jax.device_get(variables)
+    out = {}
+    for k, v in _flatten(host).items():
+        v = np.asarray(v)
+        if float_dtype is not None and v.dtype == np.float32:
+            v = v.astype(float_dtype)
+        out["/".join(k)] = v
+    p = Path(path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(str(p), **out)
+
+
 def load_variables(path: str, reference_variables: Optional[Any] = None) -> Optional[Any]:
     """Load weights from .msgpack (native), .npz, or torch .pth/.pt
     (Megvii YOLOX layout; needs reference_variables for structure)."""

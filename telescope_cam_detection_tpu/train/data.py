@@ -221,6 +221,58 @@ class ShardedBatchLoader:
             t.join(timeout=5)
 
 
+class SceneDetectionDataset(DetectionDataset):
+    """Bench-scene detection dataset: frames from the SAME generator the
+    benchmark's camera streams use (utils.frames.SyntheticFrameSource —
+    low-frequency outdoor-like background, sensor noise, one moving bright
+    subject), with ground truth derived from the source's own object
+    trajectory. Training on this couples the bench's throughput numbers to
+    a detection-quality metric without egress: bench.py serves the trained
+    checkpoint and reports mAP50 on held-out scenes next to fps.
+
+    Labels carry a single COCO class id (default 14 = bird, a wildlife
+    class, so the serving wildlife-only filter passes it unchanged);
+    object sizes vary per source for scale diversity. Frames generate at
+    capture resolution and resize to input_hw exactly like the serving
+    capture threads (reference stream_capture.py:211-213), so the trained
+    weights see the deployment's pixel statistics, including the
+    anisotropic 2560x1440 -> 640x640 squeeze."""
+
+    def __init__(self, n: int = 256, capture_hw: Tuple[int, int] = (1440, 2560),
+                 input_hw: Tuple[int, int] = (640, 640), class_id: int = 14,
+                 n_sources: int = 8, sizes: Sequence[int] = (40, 60, 80, 110, 140),
+                 seed: int = 0, max_gt: int = 5):
+        from telescope_cam_detection_tpu.utils.frames import SyntheticFrameSource
+        self.n = n
+        self.capture_hw = capture_hw
+        self.input_hw = input_hw
+        self.class_id = class_id
+        self.max_gt = max_gt
+        self.sources = [
+            SyntheticFrameSource(width=capture_hw[1], height=capture_hw[0],
+                                 seed=seed * 1009 + s,
+                                 object_size=sizes[s % len(sizes)])
+            for s in range(n_sources)
+        ]
+        self.pairs = [(Path(f"scene_{i}"), Path("x")) for i in range(n)]
+
+    def load(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        import cv2
+        src = self.sources[idx % len(self.sources)]
+        frame_id = (idx // len(self.sources)) * 7 + idx % 5
+        raw = src.frame_at(frame_id)
+        ih, iw = self.input_hw
+        img = cv2.resize(raw, (iw, ih), interpolation=cv2.INTER_LINEAR)
+        x, y = src.object_position(frame_id)
+        s = src.object_size
+        sx = iw / self.capture_hw[1]
+        sy = ih / self.capture_hw[0]
+        labels = np.full((self.max_gt, 5), -1.0, np.float32)
+        labels[0] = [x * sx, y * sy, (x + s) * sx, (y + s) * sy,
+                     self.class_id]
+        return img.astype(np.float32), labels
+
+
 class SyntheticDetectionDataset(DetectionDataset):
     """Procedural blobs-on-background dataset for hermetic training tests
     and smoke fine-tunes (no image files needed)."""

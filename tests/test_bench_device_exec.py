@@ -30,3 +30,44 @@ def test_measure_device_exec_on_delta_program():
     # and a frame list shorter than the batch must be cycled, not crash
     ms2 = bench.measure_device_exec(program, frames[:1], batch=2, iters=2)
     assert ms2 > 0.0
+    # an empty frame list is a caller bug, reported as such
+    with pytest.raises(ValueError, match="at least one frame"):
+        bench.measure_device_exec(program, [], batch=2)
+
+
+@pytest.mark.slow
+def test_serial_latency_probe_and_scene_map():
+    """The two artifact additions (VERDICT r3 #2/#3): strictly-serial batch
+    p50 and served-program mAP50 on held-out bench scenes both run against
+    a live program and return sane values."""
+    from telescope_cam_detection_tpu.runtime.program import FilterSettings
+    spec = ProgramSpec(detector_type="yolox", variant="yolox-nano",
+                       input_hw=(128, 128), max_det=20, pre_nms_topk=50,
+                       transfer="delta", delta_lanes=4, readback_topk=8)
+    program = DetectorProgram(spec, seed=0)
+    program.update_filters(FilterSettings(conf_threshold=0.25,
+                                          wildlife_only=True))
+    rng = np.random.default_rng(0)
+    frames = [rng.integers(0, 256, (128, 128, 3), dtype=np.uint8)
+              for _ in range(8)]
+    lanes = [i % 4 for i in range(8)]
+    p50 = bench.serial_latency_probe(program, frames, lanes, (128, 128),
+                                     n_cams=4, iters=3)
+    assert p50 > 0.0
+    m = bench.eval_scene_map50(program, n_cams=4, n=8)
+    assert 0.0 <= m <= 1.0   # random weights: ~0, but the path must run
+
+
+def test_scene_dataset_ground_truth_marks_the_object():
+    """SceneDetectionDataset labels must frame the generator's bright blob:
+    mean intensity inside the GT box far exceeds the background."""
+    from telescope_cam_detection_tpu.train.data import SceneDetectionDataset
+    ds = SceneDetectionDataset(n=6, input_hw=(160, 160), seed=3)
+    for i in range(len(ds)):
+        img, lbl = ds.load(i)
+        x1, y1, x2, y2, cls = lbl[0]
+        assert cls == 14
+        assert x2 > x1 and y2 > y1
+        box = img[int(y1):max(int(np.ceil(y2)), int(y1) + 1),
+                  int(x1):max(int(np.ceil(x2)), int(x1) + 1)]
+        assert box.mean() > img.mean() + 40   # blob is bright vs background
