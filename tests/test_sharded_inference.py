@@ -107,6 +107,35 @@ def _assert_gated_match(sharded, single, frames, lanes):
                                    rtol=1e-3, atol=1e-3, err_msg=k)
 
 
+def test_shard_layout_invariants(dp4_mesh):
+    """Pure-host checks of the dp grouping: every entry lands in the group
+    of the shard owning its lane, same-lane order is preserved, groups are
+    equal pow2 length, sel round-trips, caller pads fill light groups."""
+    prog = DetectorProgram(_gated_spec(), seed=0, mesh=dp4_mesh)
+    dp, per_shard = 4, 2   # 8 lanes / dp=4
+
+    def check(lanes):
+        order, sel = prog._shard_layout(lanes)
+        per = len(order) // dp
+        assert per & (per - 1) == 0   # pow2 group size
+        for j, pos in enumerate(order):
+            if pos >= 0 and lanes[pos] >= 0:
+                assert lanes[pos] // per_shard == j // per  # owner shard
+        for i, lane in enumerate(lanes):
+            assert order[sel[i]] == i          # sel round-trips
+        # same-lane relative order preserved within the layout
+        for lane in set(l for l in lanes if l >= 0):
+            src = [i for i, l in enumerate(lanes) if l == lane]
+            laid = [sel[i] for i in src]
+            assert laid == sorted(laid)
+        return order
+
+    assert check(list(range(8))) == list(range(8))   # balanced = identity
+    check([0, 0, 1, 7, 7, 7])                        # ragged chains
+    order = check([0, 1, -1, -1])                    # caller pads reused
+    assert sum(1 for p in order if p < 0) == 0 or len(order) >= 4
+
+
 @pytest.mark.slow
 def test_gated_sharded_matches_single(gated_pair):
     """Device-gate decisions (empty-frame + MOG2 aux) are identical whether
