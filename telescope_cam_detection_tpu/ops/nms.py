@@ -35,7 +35,10 @@ def iou_matrix(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray:
     wh = jnp.clip(rb - lt, 0)
     inter = wh[..., 0] * wh[..., 1]
     union = area_a[:, None] + area_b[None, :] - inter
-    return jnp.where(union > 0, inter / union, 0.0)
+    # safe divide: zero-area pairs (invalid -1 rows) make union exactly 0;
+    # the where masks the value either way, but dividing by 1 keeps the
+    # graph clean under jax_debug_nans (0/0 in the untaken branch trips it)
+    return jnp.where(union > 0, inter / jnp.where(union > 0, union, 1.0), 0.0)
 
 
 def _greedy_suppress(iou: jnp.ndarray, valid: jnp.ndarray,

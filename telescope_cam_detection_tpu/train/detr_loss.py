@@ -50,7 +50,13 @@ def iou_xyxy(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     area_a = jnp.clip(a[..., 2] - a[..., 0], 0) * jnp.clip(a[..., 3] - a[..., 1], 0)
     area_b = jnp.clip(b[..., 2] - b[..., 0], 0) * jnp.clip(b[..., 3] - b[..., 1], 0)
     union = area_a + area_b - inter
-    return jnp.where(union > 0, inter / union, 0.0), union
+    # double-where safe division: zero-area pairs (padding targets vs
+    # degenerate boxes) make union exactly 0, and a naked inter/union NaNs
+    # BOTH the forward (0/0, masked by where) and the VJP (cotangent/union
+    # is 0/0 even when this term's weight is zero) — see the measured
+    # failure note in train/loss.py _pairwise_iou_xyxy
+    safe_union = jnp.where(union > 0, union, 1.0)
+    return jnp.where(union > 0, inter / safe_union, 0.0), union
 
 
 def generalized_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -61,7 +67,8 @@ def generalized_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     erb = jnp.maximum(a[..., 2:], b[..., 2:])
     ewh = jnp.clip(erb - elt, 0)
     enc = ewh[..., 0] * ewh[..., 1]
-    return iou - jnp.where(enc > 0, (enc - union) / enc, 0.0)
+    safe_enc = jnp.where(enc > 0, enc, 1.0)   # same safe-div pattern
+    return iou - jnp.where(enc > 0, (enc - union) / safe_enc, 0.0)
 
 
 def _targets_to_cxcywh_norm(targets: jnp.ndarray,

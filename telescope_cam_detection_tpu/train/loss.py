@@ -43,7 +43,16 @@ def _pairwise_iou_xyxy(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     area_a = jnp.clip(a[..., 2] - a[..., 0], 0) * jnp.clip(a[..., 3] - a[..., 1], 0)
     area_b = jnp.clip(b[..., 2] - b[..., 0], 0) * jnp.clip(b[..., 3] - b[..., 1], 0)
     union = area_a + area_b - inter
-    return jnp.where(union > 0, inter / union, 0.0)
+    # double-where safe division: union CAN be exactly 0 — padding GTs are
+    # zero-area, and an early-training predicted box with tiny wh at huge
+    # |cx| cancels to zero width in f32 ((cx+w/2)-(cx-w/2) == 0). A naked
+    # inter/union then emits 0/0 inside the division, and its VJP divides
+    # the (already-masked-to-0) cotangent by union — 0/0 again — so ONE
+    # such pair poisons every upstream gradient with NaN even when this
+    # IoU's loss weight is zero (measured: yolox-s@640 step-0 grads all-NaN
+    # from 8 pad-GT x degenerate-box pairs; finite with the safe divide).
+    safe_union = jnp.where(union > 0, union, 1.0)
+    return jnp.where(union > 0, inter / safe_union, 0.0)
 
 
 def _assign_single(targets: jnp.ndarray, level_hw: Sequence[Tuple[int, int]],

@@ -132,6 +132,43 @@ def test_loss_jits_finite_and_differentiable(assigner):
     assert any(np.abs(np.asarray(g)).max() > 0 for g in flat)
 
 
+def test_grads_finite_with_degenerate_zero_area_boxes():
+    """Regression (yolox-s@640 step-0 all-NaN grads): a predicted box whose
+    huge |cx| cancels its tiny wh to ZERO width in f32 meets a zero-area
+    padding GT -> union == 0 -> 0/0 inside the IoU division, whose VJP
+    poisons every upstream gradient even at loss weight 0. The safe-divide
+    in _pairwise_iou_xyxy must keep gradients finite."""
+    from telescope_cam_detection_tpu.train.loss import yolox_loss as _loss
+    rng = np.random.default_rng(0)
+    outs = []
+    for li, (h, w) in enumerate(LEVEL_HW):
+        reg = rng.normal(0, 0.1, (1, h, w, 4)).astype(np.float32)
+        # engineer one anchor into the degenerate regime: center pushed
+        # ~exp(reg_wh)/eps_f32 away, wh tiny -> x1 == x2 after f32 rounding
+        reg[0, 0, 0] = [4e6, 4e6, -14.0, -14.0]
+        outs.append((jnp.asarray(reg),
+                     jnp.asarray(rng.normal(0, 0.1, (1, h, w, 1)),
+                                 jnp.float32),
+                     jnp.asarray(rng.normal(0, 0.1, (1, h, w, 4)),
+                                 jnp.float32)))
+    targets = np.full((1, 5, 5), -1.0, np.float32)   # row 0 real, rest pads
+    targets[0, 0] = [8, 8, 30, 30, 1]
+    targets = jnp.asarray(targets)
+
+    # the degenerate anchor really has zero f32 area (guards the setup)
+    from telescope_cam_detection_tpu.models.yolox import decode_outputs
+    boxes, _, _ = decode_outputs(outs)
+    areas = np.clip(np.asarray(boxes[0, :, 2] - boxes[0, :, 0]), 0, None) * \
+        np.clip(np.asarray(boxes[0, :, 3] - boxes[0, :, 1]), 0, None)
+    assert (areas == 0).any()
+
+    grads = jax.grad(
+        lambda o: _loss(o, targets, num_classes=4, assigner="simota")[0]
+    )(outs)
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+
+
 @pytest.mark.slow  # ~16s; dynamic-k behavior also covered by the quick test
 def test_simota_assigns_more_anchors_than_center_when_preds_good():
     """The point of dynamic k: good predictions recruit more positives,
