@@ -54,6 +54,13 @@ def main() -> None:
     ap.add_argument("--val-n", type=int, default=48)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=DEFAULT_OUT)
+    ap.add_argument("--save-every", type=int, default=100,
+                    help="checkpoint every N steps (the relay between this "
+                         "host and the chip stalls unpredictably; periodic "
+                         "saves make a killed run salvageable)")
+    ap.add_argument("--eval-only", action="store_true",
+                    help="skip training; evaluate + write metadata for the "
+                         "existing --out checkpoint")
     args = ap.parse_args()
 
     import numpy as np
@@ -72,34 +79,53 @@ def main() -> None:
           file=sys.stderr)
 
     t0 = time.perf_counter()
-    train_ds = SceneDetectionDataset(n=args.train_n, input_hw=input_hw,
-                                     class_id=CLASS_ID, seed=args.seed)
     val_ds = SceneDetectionDataset(n=args.val_n, input_hw=input_hw,
                                    class_id=CLASS_ID, seed=777)
-    train_imgs, train_lbls = preload(train_ds)
     val_imgs, val_lbls = preload(val_ds)
-    print(f"dataset ready ({time.perf_counter() - t0:.1f}s)", file=sys.stderr)
-
-    model, state, step_fn = build_training(
-        variant=args.variant, num_classes=80, input_hw=input_hw,
-        learning_rate=args.lr, seed=args.seed, assigner="simota",
-        total_steps=args.steps, warmup_steps=max(args.steps // 12, 10))
-
-    rng = np.random.default_rng(args.seed)
-    t0 = time.perf_counter()
     loss = float("nan")
-    for step in range(args.steps):
-        idx = rng.choice(len(train_imgs), size=args.batch, replace=False)
-        state, metrics = step_fn(state,
-                                 jnp.asarray(train_imgs[idx], jnp.float32),
-                                 jnp.asarray(train_lbls[idx]))
-        if step % 50 == 0 or step == args.steps - 1:
-            loss = float(jax.device_get(metrics["loss"]))
-            print(f"step {step}: loss {loss:.3f} "
-                  f"({time.perf_counter() - t0:.1f}s)", file=sys.stderr)
+    if args.eval_only:
+        from telescope_cam_detection_tpu.models.convert import load_variables
+        variables = load_variables(args.out)
+        if variables is None:
+            raise SystemExit(f"--eval-only: no checkpoint at {args.out}")
+        variables = jax.tree.map(
+            lambda a: np.asarray(a, np.float32)
+            if np.asarray(a).dtype == np.float16 else np.asarray(a),
+            variables)
+    else:
+        train_ds = SceneDetectionDataset(n=args.train_n, input_hw=input_hw,
+                                         class_id=CLASS_ID, seed=args.seed)
+        train_imgs, train_lbls = preload(train_ds)
+        print(f"dataset ready ({time.perf_counter() - t0:.1f}s)",
+              file=sys.stderr)
 
-    variables = {"params": jax.device_get(state.params),
-                 "batch_stats": jax.device_get(state.batch_stats)}
+        model, state, step_fn = build_training(
+            variant=args.variant, num_classes=80, input_hw=input_hw,
+            learning_rate=args.lr, seed=args.seed, assigner="simota",
+            total_steps=args.steps, warmup_steps=max(args.steps // 12, 10))
+
+        rng = np.random.default_rng(args.seed)
+        t0 = time.perf_counter()
+        for step in range(args.steps):
+            idx = rng.choice(len(train_imgs), size=args.batch, replace=False)
+            state, metrics = step_fn(state,
+                                     jnp.asarray(train_imgs[idx],
+                                                 jnp.float32),
+                                     jnp.asarray(train_lbls[idx]))
+            if step % 50 == 0 or step == args.steps - 1:
+                loss = float(jax.device_get(metrics["loss"]))
+                print(f"step {step}: loss {loss:.3f} "
+                      f"({time.perf_counter() - t0:.1f}s)", file=sys.stderr)
+            if args.save_every and step and step % args.save_every == 0:
+                snap = {"params": jax.device_get(state.params),
+                        "batch_stats": jax.device_get(state.batch_stats)}
+                save_variables_npz(snap, args.out)
+                print(f"checkpoint @ step {step} -> {args.out}",
+                      file=sys.stderr)
+
+        variables = {"params": jax.device_get(state.params),
+                     "batch_stats": jax.device_get(state.batch_stats)}
+        save_variables_npz(variables, args.out)
 
     # held-out eval THROUGH the serving program (same preprocess/NMS/filter
     # path the bench dispatches) at both the mAP-standard low threshold and
@@ -122,7 +148,6 @@ def main() -> None:
     print(f"mAP50@0.05 {m_low['mAP50']:.4f}  mAP50-95 {m_low['mAP50_95']:.4f}"
           f"  mAP50@0.25 {m_served['mAP50']:.4f}", file=sys.stderr)
 
-    save_variables_npz(variables, args.out)
     meta = {
         "variant": args.variant, "input_hw": list(input_hw),
         "num_classes": 80, "class_id": CLASS_ID, "steps": args.steps,
