@@ -153,6 +153,25 @@ def measure_device_exec(program, frames_640, batch=4, iters=50):
     return (time.perf_counter() - t0) * 1000.0 / iters
 
 
+def measure_device_health(n: int = 2048, iters: int = 10) -> float:
+    """Achieved f32 matmul TFLOP/s right now — a shared-tenant health probe
+    recorded in the artifact. The relay-attached chip's delivered compute
+    swings >100x hour to hour (measured 0.4 TFLOP/s during one window vs
+    ~40+ healthy); without this field a congested run's fps reads as a
+    regression instead of an environment artifact."""
+    import jax.numpy as jnp
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((n, n)),
+                    jnp.float32)
+    np.asarray(x @ x)   # compile + sync
+    t0 = time.perf_counter()
+    r = None
+    for _ in range(iters):
+        r = x @ x
+    np.asarray(r)
+    dt = (time.perf_counter() - t0) / iters
+    return 2 * n ** 3 / dt / 1e12
+
+
 def serial_latency_probe(program, stream_frames, stream_lanes, capture_hw,
                          n_cams, iters=24):
     """Strictly-serial dispatch -> blocking readback p50 at the
@@ -332,6 +351,11 @@ def main() -> None:
         sent = program.stats.get("delta_tiles_sent", 0) - warm_tiles
         n_frames = program.stats["frames"] - warm_frames
         out["delta_tiles_per_frame"] = round(sent / max(n_frames, 1), 1)
+    if os.environ.get("BENCH_HEALTH", "1") != "0":
+        try:   # advisory, like every secondary field
+            out["device_matmul_tflops"] = round(measure_device_health(), 2)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: health probe failed: {e}", file=sys.stderr)
     if os.environ.get("BENCH_DEVICE_EXEC", "1") != "0":
         # device-compute evidence for the latency north star: the fused
         # program's pure execution cost at the latency-representative
