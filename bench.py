@@ -247,12 +247,33 @@ def main() -> None:
                 [stream_lanes[i] for i in idx])
 
     for w in range(warmup):
+        t_w = time.perf_counter()
         frames, lanes = batch_at(w)
         np.asarray(program.dispatch_batch(frames, lanes=lanes,
                                           capture_hw=capture_hw))
+        last_warm_s = time.perf_counter() - t_w
     # steady-state tile stats only (warm-up includes the full refresh)
     warm_tiles = program.stats.get("delta_tiles_sent", 0)
     warm_frames = program.stats.get("frames", 0)
+
+    # degraded-window guard: the shared chip's delivered compute swings
+    # >100x (see device_matmul_tflops); when the LAST warm dispatch (post
+    # compile) projects the measurement past ~6 minutes, shrink the
+    # iteration budget so the artifact still gets produced — an honest low
+    # number with reduced_iters+tflops context beats a driver timeout and
+    # no artifact at all. BENCH_ADAPT=0 opts out.
+    n_passes = int(os.environ.get("BENCH_PASSES",
+                                  "1" if mode == "latency" else "3"))
+    reduced = False
+    if os.environ.get("BENCH_ADAPT", "1") != "0" and warmup:
+        budget_s = float(os.environ.get("BENCH_BUDGET_S", "360"))
+        projected = last_warm_s * iters * n_passes
+        if projected > budget_s:
+            iters = max(int(budget_s / max(last_warm_s, 1e-6)), 6)
+            n_passes = 1
+            reduced = True
+            print(f"bench: degraded device ({last_warm_s:.1f}s/dispatch); "
+                  f"reducing to {iters} iters x 1 pass", file=sys.stderr)
 
     # Pipelined measurement: a drainer thread reads back batch k while the
     # main thread encodes/transfers/dispatches batch k+1. Queue capacity
@@ -310,8 +331,7 @@ def main() -> None:
     # sustain", so run BENCH_PASSES independent measurement passes and
     # report the best SUSTAINED pass (all pass values are included in the
     # JSON as fps_passes — the spread IS the congestion evidence).
-    n_passes = int(os.environ.get("BENCH_PASSES",
-                                  "1" if mode == "latency" else "3"))
+    # (n_passes resolved above, possibly reduced by the degraded guard.)
     passes = []
     for p in range(n_passes):
         passes.append(run_pass(warmup + p * iters))
@@ -335,6 +355,9 @@ def main() -> None:
         "p95_batch_latency_ms": round(p95, 2),
         "mode": mode,
         "fps_passes": fps_passes,  # every pass; value = best sustained
+        # degraded-window guard fired: iteration budget was shrunk so the
+        # artifact could finish; read device_matmul_tflops for context
+        "reduced_iters": reduced,
         "batch": batch,
         "transfer": transfer,
         "capture_hw": list(capture_hw),
