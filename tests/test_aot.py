@@ -239,6 +239,43 @@ def test_system_boots_from_artifact(plain_program, artifact, tmp_path):
         sys_obj.stop()
 
 
+@pytest.mark.slow
+def test_aot_program_through_pipelined_coordinator(plain_program, artifact):
+    """The adapter's dispatch/materialize split works under the pipelined
+    coordinator (drainer thread forces readbacks in dispatch order)."""
+    import threading
+    from telescope_cam_detection_tpu.runtime.aot import AotDetectorProgram
+    from telescope_cam_detection_tpu.runtime.coordinator import (
+        SharedInferenceCoordinator)
+    out, _ = artifact
+    prog = AotDetectorProgram(out, variables=plain_program.variables)
+    prog.update_filters(plain_program.filters)
+    coord = SharedInferenceCoordinator(prog, max_batch_size=2,
+                                       max_batch_wait_ms=30.0,
+                                       pipeline_depth=2)
+    done = threading.Event()
+    got = []
+
+    def cb(rows):
+        got.append(np.asarray(rows))
+        if len(got) == 4:
+            done.set()
+
+    frames = _frames(4, seed=7)
+    for i in range(4):
+        assert coord.infer_async(frames[i], cb, f"cam{i % 2}")
+    coord.start()
+    try:
+        assert done.wait(timeout=120.0)
+    finally:
+        coord.stop()
+    assert len(got) == 4
+    live = plain_program.detect_batch_rows(frames)
+    # per-camera order holds; match each callback row against the live rows
+    for rows in got:
+        assert any(np.allclose(rows, live[i], atol=1e-4) for i in range(4))
+
+
 def test_config_rejects_artifact_with_stateful_features(tmp_path):
     """Validation refuses artifact_dir + gates/delta/mesh/fused — the frozen
     plain program cannot serve them (config/loader.py)."""
