@@ -195,15 +195,28 @@ def serial_latency_probe(program, stream_frames, stream_lanes, capture_hw,
     return lat[len(lat) // 2]
 
 
-def eval_scene_map50(program, n_cams, n=48):
+def eval_scene_map50(program, n_cams, n=48, hard=False):
     """mAP50 of the SERVED program (its live weights, NMS, conf-0.25
-    wildlife filter) on held-out bench-distribution scenes with generator
-    ground truth (train.data.SceneDetectionDataset, val split seed) — the
-    quality metric that rides next to fps in the artifact (VERDICT r3 #2)."""
+    wildlife filter) on held-out scenes with generator ground truth — the
+    quality metric that rides next to fps in the artifact (VERDICT r3 #2).
+
+    hard=False: bench-distribution scenes (SceneDetectionDataset, one
+    bright subject — proves the serving path end to end, saturates ~1.0).
+    hard=True: adversarial wild scenes (HardSceneDetectionDataset:
+    multi-target, camouflage alpha 0.35+, unlabeled swaying distractors,
+    illumination drift) — the number that has to be EARNED; reported as
+    mAP50_scene_hard so the artifact's quality claim survives the "it only
+    detects a bright blob" objection."""
     from telescope_cam_detection_tpu.runtime.program import rows_to_detections
-    from telescope_cam_detection_tpu.train.data import SceneDetectionDataset
+    from telescope_cam_detection_tpu.train.data import (
+        HardSceneDetectionDataset, SceneDetectionDataset)
     from telescope_cam_detection_tpu.train.evaluate import evaluate_detections
-    ds = SceneDetectionDataset(n=n, input_hw=program.spec.input_hw, seed=777)
+    if hard:
+        ds = HardSceneDetectionDataset(n=n, input_hw=program.spec.input_hw,
+                                       seed=778)
+    else:
+        ds = SceneDetectionDataset(n=n, input_hw=program.spec.input_hw,
+                                   seed=777)
     preds, gts = [], []
     for i in range(0, n, n_cams):
         imgs, lbls = [], []
@@ -404,6 +417,8 @@ def main() -> None:
         # (held-out bench-distribution scenes, generator ground truth)
         try:
             out["mAP50_scene"] = round(eval_scene_map50(program, n_cams), 4)
+            out["mAP50_scene_hard"] = round(
+                eval_scene_map50(program, n_cams, hard=True), 4)
         except Exception as e:  # noqa: BLE001
             print(f"bench: scene mAP eval failed: {e}", file=sys.stderr)
     if mode == "latency":

@@ -273,6 +273,67 @@ class SceneDetectionDataset(DetectionDataset):
         return img.astype(np.float32), labels
 
 
+class HardSceneDetectionDataset(DetectionDataset):
+    """Adversarial bench-scene dataset (utils.frames.WildSceneSource):
+    0..4 textured, variably camouflaged targets per frame, unlabeled
+    swaying-foliage distractors, illumination drift. SceneDetectionDataset
+    saturates mAP50 at 1.0 (one uniform bright square); this is the metric
+    that has to be EARNED — bench.py reports it as mAP50_scene_hard next
+    to the easy number, so the artifact's quality claim survives the
+    "it only detects a bright blob" objection.
+
+    Same deployment pixel path as the easy set: frames generate at capture
+    resolution and resize anisotropically to input_hw (reference
+    stream_capture.py:211-213)."""
+
+    def __init__(self, n: int = 256, capture_hw: Tuple[int, int] = (1440, 2560),
+                 input_hw: Tuple[int, int] = (640, 640), class_id: int = 14,
+                 n_sources: int = 16, seed: int = 0, max_gt: int = 6,
+                 frames_per_source: int = 4):
+        from telescope_cam_detection_tpu.utils.frames import WildSceneSource
+        self.n = n
+        self.capture_hw = capture_hw
+        self.input_hw = input_hw
+        self.class_id = class_id
+        self.max_gt = max_gt
+        self.frames_per_source = frames_per_source
+        # lazy per-source construction: building a 1440p WildSceneSource
+        # costs ~100 ms; a 48-sample eval should not pay for 16 of them
+        # unless it draws from all 16
+        self._seed = seed
+        self._sources: dict = {}
+        self.pairs = [(Path(f"wild_{i}"), Path("x")) for i in range(n)]
+
+    def _source(self, idx: int):
+        from telescope_cam_detection_tpu.utils.frames import WildSceneSource
+        key = idx % max(self.n // self.frames_per_source, 1)
+        src = self._sources.get(key)
+        if src is None:
+            src = WildSceneSource(width=self.capture_hw[1],
+                                  height=self.capture_hw[0],
+                                  seed=self._seed * 7919 + key)
+            self._sources[key] = src
+        return src, key
+
+    def load(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        import cv2
+        src, key = self._source(idx)
+        # widely-spaced frame ids: Lissajous trajectories decorrelate, so
+        # the same scene contributes distinct layouts
+        frame_id = (idx // max(self.n // self.frames_per_source, 1)) * 37 + key
+        raw = src.frame_at(frame_id)
+        ih, iw = self.input_hw
+        img = cv2.resize(raw, (iw, ih), interpolation=cv2.INTER_LINEAR)
+        sx = iw / self.capture_hw[1]
+        sy = ih / self.capture_hw[0]
+        labels = np.full((self.max_gt, 5), -1.0, np.float32)
+        for j, (x1, y1, x2, y2) in enumerate(src.boxes_at(frame_id)):
+            if j >= self.max_gt:
+                break
+            labels[j] = [x1 * sx, y1 * sy, x2 * sx, y2 * sy, self.class_id]
+        return img.astype(np.float32), labels
+
+
 class SyntheticDetectionDataset(DetectionDataset):
     """Procedural blobs-on-background dataset for hermetic training tests
     and smoke fine-tunes (no image files needed)."""

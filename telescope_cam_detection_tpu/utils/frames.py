@@ -32,6 +32,26 @@ def make_frame_dict(
     }
 
 
+def _smooth_background(rng: np.random.Generator, width: int,
+                       height: int) -> np.ndarray:
+    """Smooth low-frequency background (like a real outdoor scene), not
+    per-pixel noise: real camera frames are spatially correlated, which
+    matters for anything measuring transfer/encode behavior."""
+    coarse = rng.integers(60, 140, size=(max(height // 32, 1),
+                                         max(width // 32, 1), 3))
+    ys = np.linspace(0, coarse.shape[0] - 1, height)
+    xs = np.linspace(0, coarse.shape[1] - 1, width)
+    yi, xi = np.floor(ys).astype(int), np.floor(xs).astype(int)
+    yf, xf = (ys - yi)[:, None, None], (xs - xi)[None, :, None]
+    y1 = np.minimum(yi + 1, coarse.shape[0] - 1)
+    x1 = np.minimum(xi + 1, coarse.shape[1] - 1)
+    base = ((1 - yf) * (1 - xf) * coarse[np.ix_(yi, xi)]
+            + (1 - yf) * xf * coarse[np.ix_(yi, x1)]
+            + yf * (1 - xf) * coarse[np.ix_(y1, xi)]
+            + yf * xf * coarse[np.ix_(y1, x1)])
+    return np.clip(base, 0, 255).astype(np.uint8)
+
+
 class SyntheticFrameSource:
     """Deterministic frame generator: static desert-like background with an
     optional moving bright blob (the "animal"). Seeded so golden traces are
@@ -52,22 +72,7 @@ class SyntheticFrameSource:
         self.object_size = object_size
         self.noise_sigma = noise_sigma
         rng = np.random.default_rng(seed)
-        # Smooth low-frequency background (like a real outdoor scene), not
-        # per-pixel noise: real camera frames are spatially correlated, which
-        # matters for anything measuring transfer/encode behavior.
-        coarse = rng.integers(60, 140, size=(max(height // 32, 1),
-                                             max(width // 32, 1), 3))
-        ys = np.linspace(0, coarse.shape[0] - 1, height)
-        xs = np.linspace(0, coarse.shape[1] - 1, width)
-        yi, xi = np.floor(ys).astype(int), np.floor(xs).astype(int)
-        yf, xf = (ys - yi)[:, None, None], (xs - xi)[None, :, None]
-        y1 = np.minimum(yi + 1, coarse.shape[0] - 1)
-        x1 = np.minimum(xi + 1, coarse.shape[1] - 1)
-        base = ((1 - yf) * (1 - xf) * coarse[np.ix_(yi, xi)]
-                + (1 - yf) * xf * coarse[np.ix_(yi, x1)]
-                + yf * (1 - xf) * coarse[np.ix_(y1, xi)]
-                + yf * xf * coarse[np.ix_(y1, x1)])
-        self._background = np.clip(base, 0, 255).astype(np.uint8)
+        self._background = _smooth_background(rng, width, height)
         # Sensor noise: one precomputed plane, spatially rolled per frame.
         # rng.normal over the full frame cost ~1.5 s at 1440p (it throttled
         # every consumer pretending to be a 30 fps camera); a rolled plane is
@@ -112,6 +117,198 @@ class SyntheticFrameSource:
         d = make_frame_dict(frame, self._frame_id)
         self._frame_id += 1
         return d
+
+
+def _box_blur(a: np.ndarray, k: int, axis: int) -> np.ndarray:
+    """Vectorized 1-D box blur via cumsum (edge-padded)."""
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (k // 2, k - k // 2)
+    c = np.cumsum(np.pad(a, pad, mode="edge"), axis=axis)
+    return (np.take(c, np.arange(k, k + a.shape[axis]), axis=axis)
+            - np.take(c, np.arange(a.shape[axis]), axis=axis)) / k
+
+
+def _paste_blended(frame: np.ndarray, tex: np.ndarray, mask: np.ndarray,
+                   alpha: float, x: int, y: int) -> None:
+    """Alpha-blend a masked texture patch onto frame at (x, y), clipping to
+    frame bounds. alpha < 1 blends toward the underlying background —
+    camouflage, the thing that makes detection non-trivial."""
+    h, w = mask.shape
+    fh, fw = frame.shape[:2]
+    x0, y0 = max(x, 0), max(y, 0)
+    x1, y1 = min(x + w, fw), min(y + h, fh)
+    if x1 <= x0 or y1 <= y0:
+        return
+    tx, ty = x0 - x, y0 - y
+    m = mask[ty:ty + (y1 - y0), tx:tx + (x1 - x0), None]
+    sub = frame[y0:y1, x0:x1].astype(np.float32)
+    t = tex[ty:ty + (y1 - y0), tx:tx + (x1 - x0)].astype(np.float32)
+    out = np.where(m, alpha * t + (1.0 - alpha) * sub, sub)
+    frame[y0:y1, x0:x1] = np.clip(out, 0, 255).astype(np.uint8)
+
+
+class WildSceneSource:
+    """Harder deterministic scene generator for honest quality metrics.
+
+    SyntheticFrameSource draws ONE uniform bright square — a detector that
+    thresholds brightness solves it (its held-out mAP50 saturates at 1.0,
+    which proves the serving path works but says little about detection).
+    This source makes the task earn its metric while staying hermetic and
+    pure in (seed, frame_id):
+
+      * 0..max_targets textured elliptical "animals" per scene (speckled
+        two-tone bodies), sizes spanning ~6x, moving on independent
+        Lissajous trajectories that carry them partially off-frame;
+      * per-target camouflage: body alpha-blends toward the local
+        background (alpha 0.35..1.0), so low-contrast targets exist;
+      * unlabeled moving distractors ("foliage"): ragged textured clumps
+        swaying a few pixels around fixed anchors — motion and texture
+        that must NOT be detected;
+      * slow global illumination drift (scene-wide gain), so brightness
+        alone cannot separate targets;
+      * the same rolled sensor-noise plane as SyntheticFrameSource.
+
+    Ground truth comes from the generator: boxes_at(frame_id) returns the
+    clipped boxes of targets with >=30% of their body area visible.
+    """
+
+    def __init__(
+        self,
+        width: int = 2560,
+        height: int = 1440,
+        seed: int = 0,
+        max_targets: int = 4,
+        n_distractors: int = 3,
+        size_range: Tuple[int, int] = (56, 340),
+        alpha_range: Tuple[float, float] = (0.35, 1.0),
+        noise_sigma: float = 2.0,
+        illumination_drift: float = 0.10,
+        min_visible_fraction: float = 0.30,
+    ):
+        self.width = width
+        self.height = height
+        self.min_visible_fraction = min_visible_fraction
+        self.illumination_drift = illumination_drift
+        rng = np.random.default_rng(seed)
+        self._background = _smooth_background(rng, width, height)
+        if noise_sigma > 0:
+            self._noise = rng.normal(0.0, noise_sigma,
+                                     size=(height, width, 3)).astype(np.int16)
+        else:
+            self._noise = None
+        # illumination phase: slow scene-wide gain cycle (~every 90 frames)
+        self._illum_phase = float(rng.uniform(0, 2 * np.pi))
+
+        # -- targets ----------------------------------------------------------
+        animal_palette = np.array([  # BGR earth tones
+            [96, 112, 140], [70, 90, 120], [110, 130, 150],
+            [60, 70, 90], [130, 150, 170], [85, 105, 95],
+        ], np.float32)
+        self.targets = []
+        n_targets = int(rng.integers(0, max_targets + 1))
+        for _ in range(n_targets):
+            s = int(rng.integers(size_range[0], size_range[1] + 1))
+            h = max(int(s * rng.uniform(0.55, 0.95)), 8)
+            color = animal_palette[rng.integers(len(animal_palette))]
+            # speckled two-tone body: base color + coarse dark patches +
+            # fine speckle (real pelts/feathers are textured, not flat)
+            patch = rng.normal(0, 1, ((h + 7) // 8, (s + 7) // 8, 1))
+            patch = np.kron(patch, np.ones((8, 8, 1)))[:h, :s]
+            tex = (color[None, None, :]
+                   + 24.0 * patch
+                   + rng.normal(0, 14, (h, s, 3)))
+            yy, xx = np.mgrid[0:h, 0:s]
+            ry, rx = h / 2.0, s / 2.0
+            mask = (((yy - ry) / ry) ** 2 + ((xx - rx) / rx) ** 2) <= 1.0
+            lo_x, hi_x = -s // 3, self.width - s + s // 3
+            lo_y, hi_y = -h // 3, self.height - h + h // 3
+            self.targets.append({
+                "w": s, "h": h,
+                "tex": np.clip(tex, 0, 255).astype(np.uint8),
+                "mask": mask,
+                "alpha": float(rng.uniform(*alpha_range)),
+                "wx": float(rng.uniform(0.035, 0.22)),
+                "wy": float(rng.uniform(0.035, 0.22)),
+                "px": float(rng.uniform(0, 2 * np.pi)),
+                "py": float(rng.uniform(0, 2 * np.pi)),
+                "span_x": (lo_x, hi_x), "span_y": (lo_y, hi_y),
+            })
+
+        # -- distractors (unlabeled swaying foliage) ---------------------------
+        foliage_palette = np.array(
+            [[60, 110, 70], [50, 95, 85], [75, 120, 95]], np.float32)
+        self.distractors = []
+        for _ in range(n_distractors):
+            s = int(rng.integers(90, 320))
+            h = int(s * rng.uniform(0.6, 1.1))
+            color = foliage_palette[rng.integers(len(foliage_palette))]
+            tex = color[None, None, :] + rng.normal(0, 22, (h, s, 3))
+            # ragged clump mask: blurred noise thresholded inside an ellipse
+            blob = rng.normal(0, 1, (h, s))
+            k = max(min(h, s) // 10, 3)
+            blob = _box_blur(_box_blur(blob, k, axis=1), k, axis=0)
+            yy, xx = np.mgrid[0:h, 0:s]
+            ell = (((yy - h / 2) / (h / 2)) ** 2
+                   + ((xx - s / 2) / (s / 2)) ** 2) <= 1.0
+            mask = ell & (blob > np.median(blob[ell]) - 0.3)
+            self.distractors.append({
+                "tex": np.clip(tex, 0, 255).astype(np.uint8),
+                "mask": mask,
+                "alpha": float(rng.uniform(0.75, 1.0)),
+                "x": int(rng.integers(0, max(self.width - s, 1))),
+                "y": int(rng.integers(0, max(self.height - h, 1))),
+                "amp": float(rng.uniform(3, 14) * self.width / 640.0),
+                "wd": float(rng.uniform(0.15, 0.5)),
+                "pd": float(rng.uniform(0, 2 * np.pi)),
+            })
+
+    def _target_pos(self, t: dict, frame_id: int) -> Tuple[int, int]:
+        lo_x, hi_x = t["span_x"]
+        lo_y, hi_y = t["span_y"]
+        x = lo_x + (hi_x - lo_x) * (0.5 + 0.5 * np.sin(
+            t["wx"] * frame_id + t["px"]))
+        y = lo_y + (hi_y - lo_y) * (0.5 + 0.5 * np.sin(
+            t["wy"] * frame_id + t["py"]))
+        return int(round(x)), int(round(y))
+
+    def boxes_at(self, frame_id: int) -> List[Tuple[float, float, float, float]]:
+        """Clipped (x1, y1, x2, y2) boxes of targets with >=
+        min_visible_fraction of their body area on-frame."""
+        boxes = []
+        for t in self.targets:
+            x, y = self._target_pos(t, frame_id)
+            x1, y1 = max(x, 0), max(y, 0)
+            x2 = min(x + t["w"], self.width)
+            y2 = min(y + t["h"], self.height)
+            if x2 <= x1 or y2 <= y1:
+                continue
+            visible = (x2 - x1) * (y2 - y1) / float(t["w"] * t["h"])
+            if visible >= self.min_visible_fraction:
+                boxes.append((float(x1), float(y1), float(x2), float(y2)))
+        return boxes
+
+    def frame_at(self, frame_id: int) -> np.ndarray:
+        if self._noise is not None:
+            dy = (frame_id * 31 + 7) % self.height
+            dx = (frame_id * 57 + 3) % self.width
+            noise = np.roll(self._noise, (dy, dx), axis=(0, 1))
+            frame = np.clip(self._background.astype(np.int16) + noise,
+                            0, 255).astype(np.uint8)
+        else:
+            frame = self._background.copy()
+        for d in self.distractors:
+            off = int(round(d["amp"] * np.sin(d["wd"] * frame_id + d["pd"])))
+            _paste_blended(frame, d["tex"], d["mask"], d["alpha"],
+                           d["x"] + off, d["y"])
+        for t in self.targets:
+            x, y = self._target_pos(t, frame_id)
+            _paste_blended(frame, t["tex"], t["mask"], t["alpha"], x, y)
+        if self.illumination_drift > 0:
+            gain = 1.0 + self.illumination_drift * np.sin(
+                0.07 * frame_id + self._illum_phase)
+            frame = np.clip(frame.astype(np.float32) * gain,
+                            0, 255).astype(np.uint8)
+        return frame
 
 
 class RecordedTrace:

@@ -69,3 +69,64 @@ def test_compare_detections_iou_gate():
     assert report.matched == 1
     assert report.min_iou < 0.999
     assert report.passes(0.95) and not report.passes(0.999)
+
+
+# -- WildSceneSource (hard quality-metric scenes) -----------------------------
+
+def test_wild_scene_deterministic():
+    from telescope_cam_detection_tpu.utils.frames import WildSceneSource
+    a = WildSceneSource(width=320, height=240, seed=11,
+                        size_range=(24, 80)).frame_at(9)
+    b = WildSceneSource(width=320, height=240, seed=11,
+                        size_range=(24, 80)).frame_at(9)
+    assert a.shape == (240, 320, 3) and a.dtype == np.uint8
+    assert np.array_equal(a, b)
+
+
+def test_wild_scene_boxes_valid_and_clipped():
+    from telescope_cam_detection_tpu.utils.frames import WildSceneSource
+    # seeds cover 0..max_targets target counts; every returned box must be
+    # in-frame, positive-area, and correspond to >=30% visible body
+    for seed in range(6):
+        src = WildSceneSource(width=320, height=240, seed=seed,
+                              size_range=(24, 80))
+        for fid in (0, 13, 50):
+            for x1, y1, x2, y2 in src.boxes_at(fid):
+                assert 0 <= x1 < x2 <= 320
+                assert 0 <= y1 < y2 <= 240
+
+
+def test_wild_scene_target_count_varies_by_seed():
+    from telescope_cam_detection_tpu.utils.frames import WildSceneSource
+    counts = {len(WildSceneSource(width=160, height=120, seed=s,
+                                  size_range=(16, 48)).targets)
+              for s in range(12)}
+    assert len(counts) >= 3, counts   # not all scenes identical difficulty
+
+
+def test_wild_scene_targets_move_and_distractors_sway():
+    from telescope_cam_detection_tpu.utils.frames import WildSceneSource
+    src = WildSceneSource(width=320, height=240, seed=1, noise_sigma=0,
+                          size_range=(24, 80), illumination_drift=0)
+    assert src.targets, "seed 1 must have targets for this test"
+    f0, f1 = src.frame_at(0), src.frame_at(3)
+    assert not np.array_equal(f0, f1)
+    b0, b1 = src.boxes_at(0), src.boxes_at(5)
+    if b0 and b1:
+        assert b0 != b1   # trajectories advance
+
+
+def test_hard_scene_dataset_contract():
+    from telescope_cam_detection_tpu.train.data import HardSceneDetectionDataset
+    ds = HardSceneDetectionDataset(n=8, capture_hw=(240, 320),
+                                   input_hw=(128, 128), class_id=14)
+    assert len(ds) == 8
+    img, lbl = ds.load(3)
+    assert img.shape == (128, 128, 3) and lbl.shape == (6, 5)
+    valid = lbl[lbl[:, 4] >= 0]
+    for x1, y1, x2, y2, cls in valid:
+        assert cls == 14.0
+        assert 0 <= x1 < x2 <= 128 and 0 <= y1 < y2 <= 128
+    # deterministic reload
+    img2, lbl2 = ds.load(3)
+    assert np.array_equal(img, img2) and np.array_equal(lbl, lbl2)

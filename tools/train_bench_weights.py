@@ -51,6 +51,11 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--train-n", type=int, default=256)
+    ap.add_argument("--hard-n", type=int, default=256,
+                    help="adversarial WildSceneSource samples mixed into "
+                         "training (HardSceneDetectionDataset: multi-target, "
+                         "camouflage, unlabeled distractors); 0 restores the "
+                         "easy-only round-4 behavior")
     ap.add_argument("--val-n", type=int, default=48)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=DEFAULT_OUT)
@@ -70,7 +75,8 @@ def main() -> None:
     from telescope_cam_detection_tpu.models.convert import save_variables_npz
     from telescope_cam_detection_tpu.runtime.program import (
         DetectorProgram, FilterSettings, ProgramSpec, rows_to_detections)
-    from telescope_cam_detection_tpu.train.data import SceneDetectionDataset
+    from telescope_cam_detection_tpu.train.data import (
+        HardSceneDetectionDataset, SceneDetectionDataset)
     from telescope_cam_detection_tpu.train.evaluate import evaluate_detections
     from telescope_cam_detection_tpu.train.trainer import build_training
 
@@ -80,8 +86,11 @@ def main() -> None:
 
     t0 = time.perf_counter()
     val_ds = SceneDetectionDataset(n=args.val_n, input_hw=input_hw,
-                                   class_id=CLASS_ID, seed=777)
+                                   class_id=CLASS_ID, seed=777, max_gt=6)
     val_imgs, val_lbls = preload(val_ds)
+    hard_val = HardSceneDetectionDataset(n=args.val_n, input_hw=input_hw,
+                                         class_id=CLASS_ID, seed=778)
+    hard_val_imgs, hard_val_lbls = preload(hard_val)
     loss = float("nan")
     if args.eval_only:
         from telescope_cam_detection_tpu.models.convert import load_variables
@@ -94,8 +103,16 @@ def main() -> None:
             variables)
     else:
         train_ds = SceneDetectionDataset(n=args.train_n, input_hw=input_hw,
-                                         class_id=CLASS_ID, seed=args.seed)
+                                         class_id=CLASS_ID, seed=args.seed,
+                                         max_gt=6)
         train_imgs, train_lbls = preload(train_ds)
+        if args.hard_n:
+            hard_ds = HardSceneDetectionDataset(
+                n=args.hard_n, input_hw=input_hw, class_id=CLASS_ID,
+                seed=args.seed + 1)
+            h_imgs, h_lbls = preload(hard_ds)
+            train_imgs = np.concatenate([train_imgs, h_imgs])
+            train_lbls = np.concatenate([train_lbls, h_lbls])
         print(f"dataset ready ({time.perf_counter() - t0:.1f}s)",
               file=sys.stderr)
 
@@ -137,27 +154,42 @@ def main() -> None:
             variables=variables)
         prog.update_filters(FilterSettings(conf_threshold=conf,
                                            wildlife_only=True))
-        preds = []
-        for i in range(0, len(val_imgs), 8):
-            rows = prog.detect_batch_rows(val_imgs[i:i + 8])
-            preds.extend(rows_to_detections(r) for r in rows)
-        return evaluate_detections(preds, list(val_lbls))
 
-    m_low = eval_at(0.05)
-    m_served = eval_at(0.25)
-    print(f"mAP50@0.05 {m_low['mAP50']:.4f}  mAP50-95 {m_low['mAP50_95']:.4f}"
-          f"  mAP50@0.25 {m_served['mAP50']:.4f}", file=sys.stderr)
+        def run(imgs, lbls):
+            preds = []
+            for i in range(0, len(imgs), 8):
+                rows = prog.detect_batch_rows(imgs[i:i + 8])
+                preds.extend(rows_to_detections(r) for r in rows)
+            return evaluate_detections(preds, list(lbls))
+
+        return run(val_imgs, val_lbls), run(hard_val_imgs, hard_val_lbls)
+
+    m_low, m_low_hard = eval_at(0.05)
+    m_served, m_served_hard = eval_at(0.25)
+    print(f"easy: mAP50@0.05 {m_low['mAP50']:.4f} "
+          f"mAP50-95 {m_low['mAP50_95']:.4f} "
+          f"mAP50@0.25 {m_served['mAP50']:.4f}\n"
+          f"hard: mAP50@0.05 {m_low_hard['mAP50']:.4f} "
+          f"mAP50-95 {m_low_hard['mAP50_95']:.4f} "
+          f"mAP50@0.25 {m_served_hard['mAP50']:.4f}", file=sys.stderr)
 
     meta = {
         "variant": args.variant, "input_hw": list(input_hw),
         "num_classes": 80, "class_id": CLASS_ID, "steps": args.steps,
         "batch": args.batch, "lr": args.lr, "seed": args.seed,
+        "hard_n": args.hard_n,
         "final_loss": round(loss, 4),
         "mAP50": round(m_low["mAP50"], 4),
         "mAP50_95": round(m_low["mAP50_95"], 4),
         "mAP50_conf25": round(m_served["mAP50"], 4),
+        "mAP50_hard": round(m_low_hard["mAP50"], 4),
+        "mAP50_95_hard": round(m_low_hard["mAP50_95"], 4),
+        "mAP50_hard_conf25": round(m_served_hard["mAP50"], 4),
         "trained_backend": jax.default_backend(),
-        "dataset": "SceneDetectionDataset (bench-distribution scenes)",
+        "dataset": ("SceneDetectionDataset + HardSceneDetectionDataset "
+                    "(bench-distribution + adversarial wild scenes)"
+                    if args.hard_n else
+                    "SceneDetectionDataset (bench-distribution scenes)"),
     }
     with open(os.path.splitext(args.out)[0] + ".json", "w") as f:
         json.dump(meta, f, indent=1)
