@@ -1,0 +1,174 @@
+"""Compositional vocabulary scenes for open-vocabulary training/eval.
+
+The reference's open-vocabulary engines (GroundingDINO
+``src/inference_engine.py``, YOLO-World ``src/two_stage_pipeline.py``) ride
+pretrained web-scale vision-language weights. This environment has zero
+egress, so open-vocabulary behavior must be *learned and proven
+hermetically*: scenes contain parametric objects named by attribute
+composition ("red square", "green circle"); training sees a subset of
+(color, shape) combinations; evaluation prompts HELD-OUT combinations.
+A detector that scores well on held-out prompts is doing real
+open-vocabulary transfer — its text tower composes attribute embeddings it
+never saw together — not memorizing a class list.
+
+Deterministic in (seed, index) like every generator in this repo.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from telescope_cam_detection_tpu.utils.frames import _smooth_background
+
+# BGR fills; names are single tokens so 2-word phrases tokenize cleanly
+OV_COLORS: Dict[str, Tuple[int, int, int]] = {
+    "red": (40, 40, 220),
+    "green": (60, 180, 75),
+    "blue": (220, 130, 40),
+    "yellow": (50, 220, 230),
+    "white": (235, 235, 235),
+    "purple": (180, 60, 140),
+}
+OV_SHAPES: Tuple[str, ...] = ("square", "circle", "triangle", "cross")
+
+
+def all_phrases() -> List[str]:
+    return [f"{c} {s}" for c in OV_COLORS for s in OV_SHAPES]
+
+
+def split_phrases(holdout_every: int = 5, seed: int = 0
+                  ) -> Tuple[List[str], List[str]]:
+    """Deterministic compositional split: every color and every shape
+    appears in training, but ~1/holdout_every (color, shape) PAIRS are held
+    out entirely — the eval prompts the tower must compose unseen."""
+    rng = np.random.default_rng(seed)
+    phrases = all_phrases()
+    order = rng.permutation(len(phrases))
+    held = sorted(int(i) for i in order[: len(phrases) // holdout_every])
+    train = [p for i, p in enumerate(phrases) if i not in held]
+    heldout = [phrases[i] for i in held]
+    # composition guarantee: every attribute must survive in training
+    for attr in list(OV_COLORS) + list(OV_SHAPES):
+        assert any(attr in p for p in train), attr
+    return train, heldout
+
+
+def _shape_mask(shape: str, s: int) -> np.ndarray:
+    yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
+    c = (s - 1) / 2.0
+    if shape == "square":
+        return np.ones((s, s), bool)
+    if shape == "circle":
+        return ((yy - c) ** 2 + (xx - c) ** 2) <= c * c
+    if shape == "triangle":   # apex up, base down
+        return np.abs(xx - c) <= (yy / 2.0 + 0.5)
+    if shape == "cross":
+        arm = max(s // 6, 1)
+        return (np.abs(xx - c) <= arm) | (np.abs(yy - c) <= arm)
+    raise ValueError(f"unknown shape {shape!r}")
+
+
+def _iou(a, b) -> float:
+    ix = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
+    iy = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
+    inter = ix * iy
+    ua = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter
+    return inter / ua if ua > 0 else 0.0
+
+
+def render_vocab_scene(
+    rng: np.random.Generator,
+    phrases: Sequence[str],
+    width: int = 256,
+    height: int = 256,
+    n_objects: Tuple[int, int] = (1, 3),
+    size_range: Tuple[int, int] = (28, 72),
+    noise_sigma: float = 3.0,
+    distractor_phrases: Optional[Sequence[str]] = None,
+    n_distractors: Tuple[int, int] = (0, 0),
+) -> Tuple[np.ndarray, List[Tuple[Tuple[float, float, float, float], int]]]:
+    """One scene: smooth background + labeled objects drawn from `phrases`
+    (+ optional UNLABELED objects drawn from `distractor_phrases` — objects
+    outside the prompted vocabulary that the detector must not fire on).
+    Returns (uint8 BGR image, [(xyxy box, phrase_index)])."""
+    frame = _smooth_background(rng, width, height).astype(np.int16)
+    if noise_sigma > 0:
+        frame = frame + rng.normal(0, noise_sigma,
+                                   (height, width, 3)).astype(np.int16)
+    frame = np.clip(frame, 0, 255).astype(np.uint8)
+
+    boxes: List[Tuple[float, float, float, float]] = []
+    labels: List[Tuple[Tuple[float, float, float, float], int]] = []
+
+    def place(phrase: str, label_idx: Optional[int]) -> None:
+        color_name, shape_name = phrase.split()
+        color = np.asarray(OV_COLORS[color_name], np.float32)
+        s = int(rng.integers(size_range[0], size_range[1] + 1))
+        mask = _shape_mask(shape_name, s)
+        for _ in range(12):   # rejection-sample a low-overlap position
+            x = int(rng.integers(0, max(width - s, 1)))
+            y = int(rng.integers(0, max(height - s, 1)))
+            box = (float(x), float(y), float(x + s), float(y + s))
+            if all(_iou(box, b) < 0.15 for b in boxes):
+                break
+        else:
+            return   # crowded scene: skip rather than stack objects
+        tex = color[None, None, :] + rng.normal(0, 8, (s, s, 3))
+        region = frame[y:y + s, x:x + s].astype(np.float32)
+        frame[y:y + s, x:x + s] = np.clip(
+            np.where(mask[..., None], tex, region), 0, 255).astype(np.uint8)
+        boxes.append(box)
+        if label_idx is not None:
+            labels.append((box, label_idx))
+
+    n = int(rng.integers(n_objects[0], n_objects[1] + 1))
+    for _ in range(n):
+        idx = int(rng.integers(len(phrases)))
+        place(phrases[idx], idx)
+    if distractor_phrases:
+        nd = int(rng.integers(n_distractors[0], n_distractors[1] + 1))
+        for _ in range(nd):
+            place(distractor_phrases[int(rng.integers(
+                len(distractor_phrases)))], None)
+    return frame, labels
+
+
+class VocabSceneDataset:
+    """Static-shape (image, labels) pairs over a phrase vocabulary; label
+    class ids are INDICES INTO `phrases` (the contrastive head's class axis
+    is the prompt axis). Optional distractors render objects from outside
+    the vocabulary that must stay undetected."""
+
+    def __init__(self, phrases: Sequence[str], n: int = 256,
+                 width: int = 256, height: int = 256, seed: int = 0,
+                 max_gt: int = 6,
+                 n_objects: Tuple[int, int] = (1, 3),
+                 size_range: Tuple[int, int] = (28, 72),
+                 distractor_phrases: Optional[Sequence[str]] = None,
+                 n_distractors: Tuple[int, int] = (0, 0)):
+        self.phrases = list(phrases)
+        self.n = n
+        self.width, self.height = width, height
+        self.seed = seed
+        self.max_gt = max_gt
+        self.n_objects = n_objects
+        self.size_range = size_range
+        self.distractor_phrases = (list(distractor_phrases)
+                                   if distractor_phrases else None)
+        self.n_distractors = n_distractors
+
+    def __len__(self) -> int:
+        return self.n
+
+    def load(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        rng = np.random.default_rng(self.seed * 100_003 + idx)
+        img, labels = render_vocab_scene(
+            rng, self.phrases, self.width, self.height, self.n_objects,
+            self.size_range,
+            distractor_phrases=self.distractor_phrases,
+            n_distractors=self.n_distractors)
+        out = np.full((self.max_gt, 5), -1.0, np.float32)
+        for j, (box, cls) in enumerate(labels[: self.max_gt]):
+            out[j] = [*box, float(cls)]
+        return img.astype(np.float32), out

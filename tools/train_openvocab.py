@@ -1,0 +1,171 @@
+"""Train + hermetically prove the open-vocabulary detector.
+
+The reference's open-vocab engines (GroundingDINO, YOLO-World) arrive as
+frozen pretrained torch checkpoints; with zero egress this repo instead
+PROVES open-vocabulary behavior end to end on its own:
+
+  1. train the region-text contrastive detector + text tower jointly
+     (train/ov.py) on compositional vocabulary scenes whose prompts are
+     attribute pairs ("red square"), with ~1/5 of all (color, shape)
+     combinations HELD OUT of training entirely;
+  2. evaluate mAP50 on the training vocabulary AND on the held-out
+     compositions — prompts the tower has never seen together. Held-out
+     transfer is the open-vocabulary claim, measured, not asserted;
+  3. measure prompt selectivity through the SERVING engine
+     (runtime/openvocab.OpenVocabEngine): scenes containing off-vocabulary
+     objects must not fire when the prompt list excludes them;
+  4. save an fp16 checkpoint {det, txt} the engine boots from.
+
+Usage:
+    python tools/train_openvocab.py [--steps 1500] [--hw 160]
+    python tools/train_openvocab.py --eval-only   # re-verify a checkpoint
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT_OUT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "weights", "openvocab_nano.npz")
+
+
+def preload(ds):
+    import numpy as np
+    pairs = [ds.load(i) for i in range(len(ds))]
+    return (np.stack([p[0] for p in pairs]).astype(np.uint8),
+            np.stack([p[1] for p in pairs]))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variant", default="ov-nano")
+    ap.add_argument("--hw", type=int, default=160,
+                    help="square train/eval resolution")
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--train-n", type=int, default=768)
+    ap.add_argument("--val-n", type=int, default=64)
+    ap.add_argument("--holdout-every", type=int, default=5,
+                    help="hold out 1/N of (color, shape) compositions")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default=DEFAULT_OUT)
+    ap.add_argument("--save-every", type=int, default=200)
+    ap.add_argument("--eval-only", action="store_true")
+    args = ap.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from telescope_cam_detection_tpu.models.convert import (
+        load_variables, save_variables_npz)
+    from telescope_cam_detection_tpu.runtime.openvocab import OpenVocabEngine
+    from telescope_cam_detection_tpu.train.evaluate import evaluate_detections
+    from telescope_cam_detection_tpu.train.ov import build_ov_training
+    from telescope_cam_detection_tpu.train.ov_data import (
+        VocabSceneDataset, split_phrases)
+
+    hw = (args.hw, args.hw)
+    train_p, held_p = split_phrases(args.holdout_every, seed=args.seed)
+    print(f"backend={jax.default_backend()}  train vocab {len(train_p)}, "
+          f"held-out {held_p}", file=sys.stderr)
+
+    loss = float("nan")
+    if not args.eval_only:
+        det, txt, state, step_fn = build_ov_training(
+            train_p, variant=args.variant, input_hw=hw,
+            learning_rate=args.lr, seed=args.seed, total_steps=args.steps,
+            warmup_steps=max(args.steps // 15, 10))
+        step_fn = jax.jit(step_fn, donate_argnums=0)
+
+        ds = VocabSceneDataset(train_p, n=args.train_n, width=hw[1],
+                               height=hw[0], seed=args.seed)
+        t0 = time.perf_counter()
+        imgs, lbls = preload(ds)
+        print(f"dataset {imgs.shape} in {time.perf_counter()-t0:.1f}s",
+              file=sys.stderr)
+
+        def snapshot():
+            return {
+                "det": {"params": jax.device_get(state.params["det"]),
+                        "batch_stats": jax.device_get(
+                            state.batch_stats["det"])},
+                "txt": {"params": jax.device_get(state.params["txt"])},
+            }
+
+        rng = np.random.default_rng(args.seed)
+        t0 = time.perf_counter()
+        for s in range(args.steps):
+            idx = rng.choice(len(imgs), args.batch, replace=False)
+            state, m = step_fn(state, jnp.asarray(imgs[idx], jnp.float32),
+                               jnp.asarray(lbls[idx]))
+            if s % 50 == 0 or s == args.steps - 1:
+                loss = float(jax.device_get(m["loss"]))
+                print(f"step {s}: loss {loss:.3f} "
+                      f"({time.perf_counter()-t0:.0f}s)", file=sys.stderr,
+                      flush=True)
+            if args.save_every and s and s % args.save_every == 0:
+                save_variables_npz(snapshot(), args.out)
+        save_variables_npz(snapshot(), args.out)
+    elif load_variables(args.out) is None:
+        raise SystemExit(f"--eval-only: no checkpoint at {args.out}")
+
+    # -- evaluation through the SERVING engine ------------------------------
+    def make_engine(prompts):
+        eng = OpenVocabEngine(prompts, weights=args.out,
+                              variant=args.variant, input_hw=hw,
+                              box_threshold=0.05, text_threshold=0.0,
+                              max_det=20, pre_nms_topk=200)
+        if not eng.load_model():
+            raise SystemExit("engine failed to load the checkpoint")
+        return eng
+
+    def eval_vocab(prompts, seed, **ds_kw):
+        eng = make_engine(prompts)
+        vds = VocabSceneDataset(prompts, n=args.val_n, width=hw[1],
+                                height=hw[0], seed=seed, **ds_kw)
+        imgs, lbls = preload(vds)
+        preds = []
+        for i in range(0, len(imgs), 8):
+            batch = [imgs[j] for j in range(i, min(i + 8, len(imgs)))]
+            for dets in eng.detect_batch(batch):
+                preds.append([{**d, "class_id": d["prompt_index"]}
+                              for d in dets])
+        return eng, evaluate_detections(preds, list(lbls))
+
+    _, m_train = eval_vocab(train_p, seed=31337)
+    _, m_held = eval_vocab(held_p, seed=31338)
+
+    # -- prompt selectivity: off-vocabulary objects must stay silent --------
+    # scenes draw ONLY held-out-composition objects, prompts = train vocab:
+    # every detection is a false fire on an unprompted object
+    eng = make_engine(train_p)
+    off = VocabSceneDataset(held_p, n=32, width=hw[1], height=hw[0],
+                            seed=424242)
+    imgs, _ = preload(off)
+    fires = sum(len([d for d in dets if d["confidence"] >= 0.25])
+                for dets in eng.detect_batch(list(imgs)))
+    selectivity_fpr = fires / len(imgs)
+
+    meta = {
+        "variant": args.variant, "input_hw": list(hw),
+        "steps": args.steps, "batch": args.batch, "lr": args.lr,
+        "seed": args.seed, "final_loss": round(loss, 4),
+        "train_vocab": len(train_p), "heldout_vocab": held_p,
+        "mAP50_train_vocab": round(m_train["mAP50"], 4),
+        "mAP50_heldout_vocab": round(m_held["mAP50"], 4),
+        "offvocab_fires_per_image_conf25": round(selectivity_fpr, 3),
+        "trained_backend": jax.default_backend(),
+        "dataset": "VocabSceneDataset (compositional color x shape)",
+    }
+    with open(os.path.splitext(args.out)[0] + ".json", "w") as f:
+        json.dump(meta, f, indent=1)
+    print(json.dumps(meta))
+
+
+if __name__ == "__main__":
+    main()
