@@ -159,15 +159,19 @@ def measure_device_health(n: int = 2048, iters: int = 10) -> float:
     swings >100x hour to hour (measured 0.4 TFLOP/s during one window vs
     ~40+ healthy); without this field a congested run's fps reads as a
     regression instead of an environment artifact."""
+    import jax
     import jax.numpy as jnp
     x = jnp.asarray(np.random.default_rng(0).standard_normal((n, n)),
                     jnp.float32)
-    np.asarray(x @ x)   # compile + sync
-    t0 = time.perf_counter()
-    r = None
-    for _ in range(iters):
-        r = x @ x
-    np.asarray(r)
+    # true-f32 multiplies: without this the TPU default silently runs
+    # bf16-multiply for f32 arrays and the field's label would lie
+    with jax.default_matmul_precision("float32"):
+        np.asarray(x @ x)   # compile + sync
+        t0 = time.perf_counter()
+        r = None
+        for _ in range(iters):
+            r = x @ x
+        np.asarray(r)
     dt = (time.perf_counter() - t0) / iters
     return 2 * n ** 3 / dt / 1e12
 
@@ -392,6 +396,14 @@ def main() -> None:
             out["device_matmul_tflops"] = round(measure_device_health(), 2)
         except Exception as e:  # noqa: BLE001
             print(f"bench: health probe failed: {e}", file=sys.stderr)
+    # degraded-window guard, part 2: the advisory probes below dispatch
+    # real device work too (serial probe = 24 blocking round trips, device
+    # exec = 50 chained dispatches, mAP = 2x48 frames); unbounded they can
+    # blow the budget the headline guard just enforced. Shrink them in the
+    # same proportion and skip the expensive mAP pass entirely.
+    exec_iters, serial_iters = 50, 24
+    if reduced:
+        exec_iters, serial_iters = 6, 4
     if os.environ.get("BENCH_DEVICE_EXEC", "1") != "0":
         # device-compute evidence for the latency north star: the fused
         # program's pure execution cost at the latency-representative
@@ -399,7 +411,8 @@ def main() -> None:
         # failure here must never cost the headline measurement above.
         try:
             out["device_exec_ms_b4"] = round(
-                measure_device_exec(program, stream_frames), 2)
+                measure_device_exec(program, stream_frames,
+                                    iters=exec_iters), 2)
         except Exception as e:  # noqa: BLE001
             print(f"bench: device-exec measure failed: {e}", file=sys.stderr)
     if mode != "latency" and os.environ.get("BENCH_SERIAL_PROBE", "1") != "0":
@@ -408,13 +421,17 @@ def main() -> None:
         # this minus device_exec_ms_b4 is link cost. Advisory.
         try:
             out["p50_serial_dispatch_ms"] = round(serial_latency_probe(
-                program, stream_frames, stream_lanes, capture_hw, n_cams), 2)
+                program, stream_frames, stream_lanes, capture_hw, n_cams,
+                iters=serial_iters), 2)
         except Exception as e:  # noqa: BLE001
             print(f"bench: serial probe failed: {e}", file=sys.stderr)
-    if weights_kind in ("trained", "file") \
+    if weights_kind in ("trained", "file") and not reduced \
             and os.environ.get("BENCH_MAP", "1") != "0":
         # quality next to throughput: the same served program must DETECT
-        # (held-out bench-distribution scenes, generator ground truth)
+        # (held-out bench-distribution scenes, generator ground truth).
+        # mAP50_scene saturates by design (one bright subject — it proves
+        # the serving path); mAP50_scene_hard is the earned number
+        # (camouflage, distractors, multi-target WildSceneSource).
         try:
             out["mAP50_scene"] = round(eval_scene_map50(program, n_cams), 4)
             out["mAP50_scene_hard"] = round(

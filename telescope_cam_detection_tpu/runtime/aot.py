@@ -29,6 +29,8 @@ import logging
 import os
 from typing import Any, Dict, Optional, Sequence, Tuple
 
+from telescope_cam_detection_tpu.runtime.program import DetectorDispatchTail
+
 import jax
 import numpy as np
 
@@ -178,7 +180,7 @@ class AotDetector:
         return rows[:n]
 
 
-class AotDetectorProgram:
+class AotDetectorProgram(DetectorDispatchTail):
     """DetectorProgram-compatible serving front over an exported artifact —
     the deployment path behind config ``detection.artifact_dir`` (the analog
     of the reference loading a prebuilt TensorRT engine at startup,
@@ -305,33 +307,5 @@ class AotDetectorProgram:
                                      rows[..., :4] * scale, rows[..., :4])
         return rows, None
 
-    def detect_batch_gated(self, frames, lanes=None, capture_hw=None):
-        import time
-        t0 = time.perf_counter()
-        n = len(frames)
-        rows, aux = self.materialize(
-            self.dispatch_batch(frames, lanes=lanes, capture_hw=capture_hw),
-            n)
-        self.stats["last_infer_ms"] = (time.perf_counter() - t0) * 1000.0
-        return rows, aux
-
-    def detect_batch_rows(self, frames, lanes=None):
-        return self.detect_batch_gated(frames, lanes=lanes)[0]
-
-    def detect_batch(self, frames, lanes=None):
-        from telescope_cam_detection_tpu.runtime.program import (
-            rows_to_detections)
-        return [rows_to_detections(r)
-                for r in self.detect_batch_rows(frames, lanes=lanes)]
-
-    def detect(self, frame):
-        return self.detect_batch(frame[None])[0]
-
-    def warmup(self, batches: Sequence[int] = (1,),
-               capture_hw: Optional[Tuple[int, int]] = None) -> None:
-        hw = capture_hw or self.frames_hw
-        for b in batches:
-            self.detect_batch_rows(np.zeros((b, *hw, 3), np.uint8))
-
-    def get_stats(self) -> Dict[str, Any]:
-        return dict(self.stats)
+    def _warmup_hw(self):
+        return self.frames_hw

@@ -197,18 +197,27 @@ class OpenVocabEngine:
         return fn
 
     def _infer_rows(self, frames: np.ndarray) -> np.ndarray:
+        rows, _ = self._infer_rows_prompts(frames)
+        return rows
+
+    def _infer_rows_prompts(self, frames: np.ndarray):
+        """Infer rows AND return the prompt list the embedding was built
+        from, captured under ONE lock acquisition — update_prompts() racing
+        between inference and labeling must never relabel old-vocabulary
+        class indices with new phrases."""
         with self._prompt_lock:
             emb = self._text_emb
+            prompts = list(self.text_prompts)
         fn = self._program(frames.shape[0], frames.shape[1:3],
                            int(emb.shape[0]))
         variables = self.det_vars
-        return np.asarray(fn(variables, emb, frames))
+        return np.asarray(fn(variables, emb, frames)), prompts
 
     def detect(self, frame: np.ndarray) -> List[Dict[str, Any]]:
         """BGR uint8 frame (any resolution) -> phrase detection dicts in
         FRAME coordinates."""
-        rows = self._infer_rows(frame[None].astype(np.uint8))[0]
-        return self._rows_to_detections(rows, frame.shape[:2])
+        rows, prompts = self._infer_rows_prompts(frame[None].astype(np.uint8))
+        return self._rows_to_detections(rows[0], frame.shape[:2], prompts)
 
     def detect_batch(self, frames: Sequence[np.ndarray]
                      ) -> List[List[Dict[str, Any]]]:
@@ -222,14 +231,13 @@ class OpenVocabEngine:
         if bucket > n:
             arr = np.concatenate(
                 [arr, np.zeros((bucket - n, *arr.shape[1:]), np.uint8)])
-        rows = self._infer_rows(arr)
-        return [self._rows_to_detections(rows[i], frames[i].shape[:2])
+        rows, prompts = self._infer_rows_prompts(arr)
+        return [self._rows_to_detections(rows[i], frames[i].shape[:2],
+                                         prompts)
                 for i in range(n)]
 
-    def _rows_to_detections(self, rows: np.ndarray,
-                            frame_hw) -> List[Dict[str, Any]]:
-        with self._prompt_lock:
-            prompts = self.text_prompts
+    def _rows_to_detections(self, rows: np.ndarray, frame_hw,
+                            prompts: Sequence[str]) -> List[Dict[str, Any]]:
         dets = rows_to_phrase_detections(rows, prompts,
                                          text_threshold=self.text_threshold)
         # rows are in input_hw coords; scale to frame coords (the reference

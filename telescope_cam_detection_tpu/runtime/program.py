@@ -172,7 +172,58 @@ def _compact_rows(rows: jnp.ndarray, k: int) -> jnp.ndarray:
     _, order = jax.lax.top_k(score, k)
     return jnp.take_along_axis(rows, order[..., None], axis=1)
 
-class DetectorProgram:
+class DetectorDispatchTail:
+    """Blocking-call surface shared by every detector program flavor.
+
+    Implemented purely over the duck-typed ``dispatch_batch``/
+    ``materialize`` pair plus a ``stats`` dict and ``_warmup_hw()`` hook,
+    so the live-traced ``DetectorProgram`` and the frozen
+    ``runtime.aot.AotDetectorProgram`` present one contract to the
+    coordinator/engine without duplicating (and drifting) these tails."""
+
+    def detect_batch_rows(self, frames: np.ndarray,
+                          lanes: Optional[Sequence[int]] = None) -> np.ndarray:
+        """(B, H, W, 3) uint8 BGR -> (B, max_det, 7) numpy rows in capture
+        coords; invalid rows are all -1. (Gate aux, if any, is dropped —
+        use detect_batch_gated to consume it.)"""
+        return self.detect_batch_gated(frames, lanes=lanes)[0]
+
+    def detect_batch_gated(
+        self, frames: np.ndarray,
+        lanes: Optional[Sequence[int]] = None,
+        capture_hw: Optional[Tuple[int, int]] = None,
+    ) -> Tuple[np.ndarray, Optional[Dict[str, np.ndarray]]]:
+        """Blocking dispatch returning (rows, gate aux or None)."""
+        t0 = time.perf_counter()
+        n = len(frames)
+        rows, aux = self.materialize(
+            self.dispatch_batch(frames, lanes=lanes, capture_hw=capture_hw),
+            n)
+        self.stats["last_infer_ms"] = (time.perf_counter() - t0) * 1000.0
+        return rows, aux
+
+    def detect_batch(self, frames: np.ndarray,
+                     lanes: Optional[Sequence[int]] = None,
+                     ) -> List[List[Dict[str, Any]]]:
+        """Detection-dict output, reference contract
+        (yolox_detector._format_model_output_to_detections:222-282)."""
+        rows = self.detect_batch_rows(frames, lanes=lanes)
+        return [rows_to_detections(r) for r in rows]
+
+    def detect(self, frame: np.ndarray) -> List[Dict[str, Any]]:
+        return self.detect_batch(frame[None])[0]
+
+    def warmup(self, batches: Sequence[int] = (1,),
+               capture_hw: Optional[Tuple[int, int]] = None) -> None:
+        hw = capture_hw or self._warmup_hw()
+        for b in batches:
+            self.detect_batch_rows(np.zeros((b, *hw, 3), np.uint8))
+
+    def get_stats(self) -> Dict[str, Any]:
+        return dict(self.stats)
+
+
+class DetectorProgram(DetectorDispatchTail):
     """Host-facing detector: owns model variables and a cache of jitted
     programs keyed by (batch, capture_hw). Thread-safe for concurrent
     detect_batch calls (jax dispatch is)."""
@@ -1338,46 +1389,8 @@ class DetectorProgram:
             return np.asarray(handle[1])[handle[2][:n]], None
         return np.asarray(handle)[:n], None
 
-    def detect_batch_rows(self, frames: np.ndarray,
-                          lanes: Optional[Sequence[int]] = None) -> np.ndarray:
-        """(B, H, W, 3) uint8 BGR -> (B, max_det, 7) numpy rows in capture
-        coords; invalid rows are all -1. (Gate aux, if any, is dropped —
-        use detect_batch_gated to consume it.)"""
-        return self.detect_batch_gated(frames, lanes=lanes)[0]
-
-    def detect_batch_gated(
-        self, frames: np.ndarray,
-        lanes: Optional[Sequence[int]] = None,
-        capture_hw: Optional[Tuple[int, int]] = None,
-    ) -> Tuple[np.ndarray, Optional[Dict[str, np.ndarray]]]:
-        """Blocking dispatch returning (rows, gate aux or None)."""
-        t0 = time.perf_counter()
-        n = len(frames)
-        rows, aux = self.materialize(
-            self.dispatch_batch(frames, lanes=lanes, capture_hw=capture_hw),
-            n)
-        self.stats["last_infer_ms"] = (time.perf_counter() - t0) * 1000.0
-        return rows, aux
-
-    def detect_batch(self, frames: np.ndarray,
-                     lanes: Optional[Sequence[int]] = None,
-                     ) -> List[List[Dict[str, Any]]]:
-        """Detection-dict output, reference contract
-        (yolox_detector._format_model_output_to_detections:222-282)."""
-        rows = self.detect_batch_rows(frames, lanes=lanes)
-        return [rows_to_detections(r) for r in rows]
-
-    def detect(self, frame: np.ndarray) -> List[Dict[str, Any]]:
-        return self.detect_batch(frame[None])[0]
-
-    def warmup(self, batches: Sequence[int] = (1,),
-               capture_hw: Optional[Tuple[int, int]] = None) -> None:
-        hw = capture_hw or self.spec.input_hw
-        for b in batches:
-            self.detect_batch_rows(np.zeros((b, *hw, 3), np.uint8))
-
-    def get_stats(self) -> Dict[str, Any]:
-        return dict(self.stats)
+    def _warmup_hw(self) -> Tuple[int, int]:
+        return self.spec.input_hw
 
 
 def _pack_yuv420_numpy(frame: np.ndarray) -> np.ndarray:

@@ -288,25 +288,23 @@ class HardSceneDetectionDataset(DetectionDataset):
 
     def __init__(self, n: int = 256, capture_hw: Tuple[int, int] = (1440, 2560),
                  input_hw: Tuple[int, int] = (640, 640), class_id: int = 14,
-                 n_sources: int = 16, seed: int = 0, max_gt: int = 6,
-                 frames_per_source: int = 4):
-        from telescope_cam_detection_tpu.utils.frames import WildSceneSource
+                 n_sources: int = 16, seed: int = 0, max_gt: int = 6):
         self.n = n
         self.capture_hw = capture_hw
         self.input_hw = input_hw
         self.class_id = class_id
         self.max_gt = max_gt
-        self.frames_per_source = frames_per_source
+        self.n_sources = max(min(n_sources, n), 1)
         # lazy per-source construction: building a 1440p WildSceneSource
-        # costs ~100 ms; a 48-sample eval should not pay for 16 of them
-        # unless it draws from all 16
+        # costs a few seconds (the smooth-background interpolation); a
+        # small eval should only pay for the sources it actually draws
         self._seed = seed
         self._sources: dict = {}
         self.pairs = [(Path(f"wild_{i}"), Path("x")) for i in range(n)]
 
     def _source(self, idx: int):
         from telescope_cam_detection_tpu.utils.frames import WildSceneSource
-        key = idx % max(self.n // self.frames_per_source, 1)
+        key = idx % self.n_sources
         src = self._sources.get(key)
         if src is None:
             src = WildSceneSource(width=self.capture_hw[1],
@@ -320,7 +318,7 @@ class HardSceneDetectionDataset(DetectionDataset):
         src, key = self._source(idx)
         # widely-spaced frame ids: Lissajous trajectories decorrelate, so
         # the same scene contributes distinct layouts
-        frame_id = (idx // max(self.n // self.frames_per_source, 1)) * 37 + key
+        frame_id = (idx // self.n_sources) * 37 + key
         raw = src.frame_at(frame_id)
         ih, iw = self.input_hw
         img = cv2.resize(raw, (iw, ih), interpolation=cv2.INTER_LINEAR)

@@ -64,8 +64,16 @@ def build_ov_training(
     }
     lr = (make_lr_schedule(learning_rate, total_steps, warmup_steps)
           if total_steps else learning_rate)
-    state = TrainState.create(variables, make_optimizer(lr),
-                              ema_decay=ema_decay)
+    tx = make_optimizer(lr)
+    if text_lr_scale != 1.0:
+        # scale the tower's OPTIMIZER UPDATE, not its gradients: adamw is
+        # scale-invariant in the gradient (m/sqrt(v) cancels a constant),
+        # so grad scaling would be a silent no-op
+        import optax
+        tx = optax.chain(tx, optax.masked(
+            optax.scale(text_lr_scale),
+            {"det": False, "txt": True}))
+    state = TrainState.create(variables, tx, ema_decay=ema_decay)
 
     def train_step(state: TrainState, images: jnp.ndarray,
                    targets: jnp.ndarray) -> Tuple[TrainState, Dict]:
@@ -86,10 +94,6 @@ def build_ov_training(
 
             grads, (metrics, new_stats) = jax.grad(
                 loss_fn, has_aux=True)(state.params)
-            if text_lr_scale != 1.0:
-                grads = {**grads,
-                         "txt": jax.tree.map(lambda g: g * text_lr_scale,
-                                             grads["txt"])}
             return apply_updates_with_ema(state, grads, new_stats), metrics
 
     return det, txt, state, train_step

@@ -122,9 +122,12 @@ def main():
                        f"Sec-WebSocket-Key: {key}\r\n"
                        f"Sec-WebSocket-Version: 13\r\n\r\n").encode())
             s.settimeout(5)
-            buf = b""
-            while b"\r\n\r\n" not in buf:
-                buf += s.recv(4096)
+            hdr = b""
+            while b"\r\n\r\n" not in hdr:
+                hdr += s.recv(4096)
+            # walk real WebSocket frames (server->client: no mask) instead
+            # of counting 0x81 bytes — JSON payloads contain 0x81 too
+            buf = bytearray(hdr.split(b"\r\n\r\n", 1)[1])
             while True:
                 try:
                     data = s.recv(65536)
@@ -132,7 +135,24 @@ def main():
                     continue
                 if not data:
                     return
-                ws_messages[slot] += data.count(b"\x81")
+                buf += data
+                while True:
+                    if len(buf) < 2:
+                        break
+                    ln, off = buf[1] & 0x7F, 2
+                    if ln == 126:
+                        if len(buf) < 4:
+                            break
+                        ln, off = int.from_bytes(buf[2:4], "big"), 4
+                    elif ln == 127:
+                        if len(buf) < 10:
+                            break
+                        ln, off = int.from_bytes(buf[2:10], "big"), 10
+                    if len(buf) < off + ln:
+                        break
+                    if buf[0] & 0x0F == 0x1:   # text frame
+                        ws_messages[slot] += 1
+                    del buf[: off + ln]
         except Exception:
             pass
 
@@ -146,6 +166,7 @@ def main():
             s.sendall((f"GET /video/feed/{cam} HTTP/1.1\r\nHost: x\r\n"
                        f"Connection: keep-alive\r\n\r\n").encode())
             s.settimeout(5)
+            tail = b""   # SOI markers can straddle recv chunk boundaries
             while True:
                 try:
                     data = s.recv(1 << 16)
@@ -153,7 +174,9 @@ def main():
                     continue
                 if not data:
                     return
-                mjpeg_frames[slot] += data.count(b"\xff\xd8\xff")
+                chunk = tail + data
+                mjpeg_frames[slot] += chunk.count(b"\xff\xd8\xff")
+                tail = chunk[-2:]
         except Exception:
             pass
 
