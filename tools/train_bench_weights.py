@@ -59,6 +59,8 @@ def main() -> None:
     ap.add_argument("--val-n", type=int, default=48)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=DEFAULT_OUT)
+    ap.add_argument("--no-flip", action="store_true",
+                    help="disable horizontal-flip augmentation")
     ap.add_argument("--save-every", type=int, default=100,
                     help="checkpoint every N steps (the relay between this "
                          "host and the chip stalls unpredictably; periodic "
@@ -123,12 +125,29 @@ def main() -> None:
 
         rng = np.random.default_rng(args.seed)
         t0 = time.perf_counter()
+        flip_w = float(input_hw[1])
         for step in range(args.steps):
             idx = rng.choice(len(train_imgs), size=args.batch, replace=False)
+            imgs_b = train_imgs[idx]
+            lbls_b = train_lbls[idx].copy()
+            if not args.no_flip:
+                # horizontal-flip augmentation (upstream YOLOX default):
+                # doubles effective layout diversity, matters most for the
+                # hard scenes' asymmetric camouflage/distractor placement
+                do = rng.random(args.batch) < 0.5
+                if do.any():
+                    imgs_b = imgs_b.copy()
+                    imgs_b[do] = imgs_b[do, :, ::-1]
+                    sel = lbls_b[do]
+                    valid = sel[..., 4] >= 0
+                    x1 = sel[..., 0].copy()
+                    sel[..., 0] = np.where(valid, flip_w - sel[..., 2],
+                                           sel[..., 0])
+                    sel[..., 2] = np.where(valid, flip_w - x1, sel[..., 2])
+                    lbls_b[do] = sel
             state, metrics = step_fn(state,
-                                     jnp.asarray(train_imgs[idx],
-                                                 jnp.float32),
-                                     jnp.asarray(train_lbls[idx]))
+                                     jnp.asarray(imgs_b, jnp.float32),
+                                     jnp.asarray(lbls_b))
             if step % 50 == 0 or step == args.steps - 1:
                 loss = float(jax.device_get(metrics["loss"]))
                 print(f"step {step}: loss {loss:.3f} "
