@@ -289,3 +289,45 @@ def test_ov_joint_training_learns():
     moved = jax.tree.leaves(jax.tree.map(
         lambda a, b: float(np.abs(a - b).max()), txt_before, txt_after))
     assert max(moved) > 1e-4   # gradients reached the text tower
+
+
+def test_engine_two_stage_handoff(tmp_path):
+    """use_two_stage routes phrase detections through the Stage-2 pipeline
+    (reference two_stage_pipeline.py YOLO-World+iNat wiring): with
+    classify_classes={-1: ...} (open vocabulary has no dataset ids) the
+    classifier annotates eligible detections with species fields."""
+    import json
+    import queue as queue_mod
+    from telescope_cam_detection_tpu.pipeline.species import SpeciesClassifier
+    from telescope_cam_detection_tpu.pipeline.two_stage import (
+        TwoStageDetectionPipeline)
+    from telescope_cam_detection_tpu.utils.frames import make_frame_dict
+
+    tax = {str(i): {"common_name": f"Species {i}", "name": f"species_{i}",
+                    "genus": f"G{i}", "family": f"F{i}", "order": f"O{i}",
+                    "class": "Mammalia"} for i in range(16)}
+    p = tmp_path / "taxonomy.json"
+    p.write_text(json.dumps(tax))
+    clf = SpeciesClassifier(model_name="eva02-tiny", num_classes=16,
+                            input_size=56, taxonomy_file=str(p), seed=0)
+    pipeline = TwoStageDetectionPipeline(
+        species_classifier=clf, min_crop_size=2, confidence_threshold=0.0,
+        classify_classes={-1: "animal"})
+    in_q: "queue_mod.Queue" = queue_mod.Queue()
+    out_q: "queue_mod.Queue" = queue_mod.Queue()
+    eng = _engine(use_two_stage=True, two_stage_pipeline=pipeline,
+                  input_queue=in_q, output_queue=out_q)
+    assert eng.start()
+    try:
+        frame = np.random.default_rng(5).integers(
+            0, 255, (*HW, 3), np.uint8)
+        in_q.put(make_frame_dict(frame, 1))
+        result = out_q.get(timeout=60)
+    finally:
+        eng.stop()
+    assert result["detections"], "random-init @ threshold 0.01 must fire"
+    classified = [d for d in result["detections"] if "species" in d
+                  or "species_name" in d or "stage2" in d
+                  or any(k.startswith("species") for k in d)]
+    assert classified, (
+        f"no detection carried Stage-2 fields: {result['detections'][:2]}")
