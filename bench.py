@@ -54,7 +54,15 @@ def build_program(batch, transfer, n_cams):
                                                     "rgb"),
                        readback_topk=int(os.environ.get("BENCH_READBACK",
                                                         "64")) or None)
-    program = DetectorProgram(spec, seed=0)
+    # BENCH_PRECISION=bf16 serves the detector at bfloat16 compute (the
+    # `detection.precision` serving knob); the same checkpoint loads either
+    # way (cast_tree_like), and the mAP fields quantify any quality cost
+    # next to the speed. Default fp32 = the deployment default.
+    import jax.numpy as jnp
+    precision = os.environ.get("BENCH_PRECISION", "fp32")
+    param_dtype = (jnp.bfloat16 if precision in ("bf16", "bfloat16")
+                   else jnp.float32)
+    program = DetectorProgram(spec, seed=0, param_dtype=param_dtype)
     weights = os.environ.get("BENCH_WEIGHTS")
     weights_kind = "file" if weights else None
     if not weights and os.path.exists(TRAINED_CKPT) \
@@ -381,6 +389,7 @@ def main() -> None:
         "input_hw": [640, 640],
         "capture_resize_ms": round(resize_ms, 2),
         "weights": weights_kind,
+        "precision": os.environ.get("BENCH_PRECISION", "fp32"),
         # mean surviving (valid) rows per frame after on-device NMS+filter —
         # evidence the selection/compaction paths saw non-degenerate scores
         "valid_rows_per_frame": round(valid_rows[0] / (batch * iters), 2),
