@@ -445,6 +445,15 @@ def main() -> None:
             out["mAP50_scene"] = round(eval_scene_map50(program, n_cams), 4)
             out["mAP50_scene_hard"] = round(
                 eval_scene_map50(program, n_cams, hard=True), 4)
+            # context for the hard number: did the served checkpoint train
+            # on the hard distribution at all? (sidecar metadata's hard_n;
+            # absent/0 = easy-only weights, a low hard score is expected)
+            meta_path = os.path.splitext(
+                os.environ.get("BENCH_WEIGHTS") or TRAINED_CKPT)[0] + ".json"
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    out["weights_trained_on_hard"] = bool(
+                        json.load(f).get("hard_n"))
         except Exception as e:  # noqa: BLE001
             print(f"bench: scene mAP eval failed: {e}", file=sys.stderr)
     if mode == "latency":
