@@ -241,3 +241,47 @@ def test_coordinator_meshed_no_blank_padding(dp4_mesh):
         coord.stop()
     assert prog.stats["pad_frames"] == 0
     assert prog.stats["frames"] == 8
+
+
+# ---------------------------------------------------------------------------
+# Open-vocabulary detector over the mesh: the contrastive head is plain
+# data-parallel compute (text embeddings replicate, batch shards over dp) —
+# prove the newest model family scales exactly like the closed-set ones.
+
+@pytest.mark.slow
+def test_openvocab_sharded_matches_single_device():
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from telescope_cam_detection_tpu.models.openvocab import (
+        encode_prompts, init_openvocab)
+    from telescope_cam_detection_tpu.models.yolox import decode_outputs
+    from telescope_cam_detection_tpu.ops.nms import batched_nms
+
+    det, det_vars, txt, txt_vars = init_openvocab(
+        "ov-nano", (128, 128), max_prompts=4, seed=0)
+    emb = encode_prompts(txt, txt_vars, ["red square", "green circle"],
+                         pad_to=4)
+
+    def forward(variables, frames_u8, text_emb):
+        x = frames_u8.astype(jnp.float32)
+        outs = det.apply(variables, x, text_emb, train=False)
+        boxes, obj, cls = decode_outputs(outs)
+        return batched_nms(boxes, obj, cls, conf_threshold=0.0, max_det=8,
+                           pre_nms_topk=40)
+
+    frames = np.random.default_rng(3).integers(
+        0, 256, (8, 128, 128, 3), np.uint8)
+    rows_single = np.asarray(jax.jit(forward)(det_vars, frames, emb))
+
+    mesh = create_mesh(8, model_parallel=1)
+    dp = NamedSharding(mesh, P("dp"))
+    rep = NamedSharding(mesh, P())
+    sharded_fwd = jax.jit(forward,
+                          in_shardings=(rep, dp, rep),
+                          out_shardings=dp)
+    frames_sh = jax.device_put(jnp.asarray(frames), dp)
+    out = sharded_fwd(jax.device_put(det_vars, rep), frames_sh,
+                      jax.device_put(emb, rep))
+    assert len({s.device for s in out.addressable_shards}) == 8
+    np.testing.assert_allclose(np.asarray(out), rows_single,
+                               rtol=1e-4, atol=1e-3)
