@@ -46,7 +46,10 @@ class OpenVocabEngine:
     box_threshold gates NMS confidence, text_threshold gates the final
     region-text match, min_box_area/max_det bound outputs,
     class_confidence_overrides maps PHRASES to per-prompt thresholds,
-    use_two_stage/two_stage_pipeline hands detections to Stage-2.
+    use_two_stage/two_stage_pipeline hands detections to Stage-2 — build
+    that pipeline with ``classify_classes={-1: <category>}`` so Stage-2
+    admits open-vocabulary detections (they carry no dataset class ids;
+    tests/test_openvocab.py::test_engine_two_stage_handoff).
     """
 
     def __init__(
