@@ -61,6 +61,9 @@ def main() -> None:
     ap.add_argument("--out", default=DEFAULT_OUT)
     ap.add_argument("--no-flip", action="store_true",
                     help="disable horizontal-flip augmentation")
+    ap.add_argument("--init-from", default=None,
+                    help="warm-start params/batch_stats from an existing "
+                         "checkpoint (fine-tune instead of from-scratch)")
     ap.add_argument("--save-every", type=int, default=100,
                     help="checkpoint every N steps (the relay between this "
                          "host and the chip stalls unpredictably; periodic "
@@ -122,6 +125,22 @@ def main() -> None:
             variant=args.variant, num_classes=80, input_hw=input_hw,
             learning_rate=args.lr, seed=args.seed, assigner="simota",
             total_steps=args.steps, warmup_steps=max(args.steps // 12, 10))
+
+        if args.init_from:
+            from telescope_cam_detection_tpu.models.convert import (
+                cast_tree_like, load_variables, trees_compatible)
+            init_vars = load_variables(args.init_from)
+            ref = {"params": jax.device_get(state.params),
+                   "batch_stats": jax.device_get(state.batch_stats)}
+            if init_vars is None or not trees_compatible(init_vars, ref):
+                raise SystemExit(
+                    f"--init-from checkpoint incompatible: {args.init_from}")
+            init_vars = cast_tree_like(init_vars, ref)
+            state = state.replace(params=init_vars["params"],
+                                  batch_stats=init_vars["batch_stats"])
+            print(f"warm start from {args.init_from} (fine-tune: converges "
+                  "in a fraction of the from-scratch budget)",
+                  file=sys.stderr)
 
         rng = np.random.default_rng(args.seed)
         t0 = time.perf_counter()
