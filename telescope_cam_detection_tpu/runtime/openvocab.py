@@ -56,7 +56,7 @@ class OpenVocabEngine:
         self,
         text_prompts: Sequence[str],
         weights: Optional[str] = None,
-        variant: str = "ov-s",
+        variant: Optional[str] = None,
         input_hw=(640, 640),
         embed_dim: int = 128,
         box_threshold: float = 0.25,
@@ -75,6 +75,23 @@ class OpenVocabEngine:
             raise ValueError("open-vocabulary engine needs >=1 text prompt")
         self.text_prompts = list(text_prompts)
         self.weights = weights
+        if variant is None:
+            # variant=None resolves from the checkpoint's sidecar metadata
+            # (tools/train_openvocab.py writes it), so
+            # OpenVocabEngine(prompts, weights=...) just works instead of
+            # failing on an architecture mismatch with a default
+            variant = "ov-s"
+            if weights:
+                import json
+                import os
+                sidecar = os.path.splitext(weights)[0] + ".json"
+                if os.path.exists(sidecar):
+                    try:
+                        with open(sidecar) as f:
+                            variant = json.load(f).get("variant", variant)
+                    except (OSError, ValueError):
+                        logger.warning("unreadable sidecar %s; assuming %s",
+                                       sidecar, variant)
         self.variant = variant
         self.input_hw = tuple(input_hw)
         self.embed_dim = embed_dim

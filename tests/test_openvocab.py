@@ -331,3 +331,23 @@ def test_engine_two_stage_handoff(tmp_path):
                   or any(k.startswith("species") for k in d)]
     assert classified, (
         f"no detection carried Stage-2 fields: {result['detections'][:2]}")
+
+
+def test_engine_variant_from_sidecar(tmp_path):
+    """variant=None resolves from the checkpoint's sidecar metadata, so the
+    shipped weights (ov-nano) load without the caller knowing the variant."""
+    import json
+    from telescope_cam_detection_tpu.models.convert import save_variables_npz
+    from telescope_cam_detection_tpu.runtime.openvocab import OpenVocabEngine
+    _, det_vars, _, txt_vars = init_openvocab("ov-nano", HW, max_prompts=4,
+                                              seed=3)
+    path = str(tmp_path / "ov.npz")
+    save_variables_npz({"det": det_vars, "txt": txt_vars}, path)
+    (tmp_path / "ov.json").write_text(json.dumps({"variant": "ov-nano"}))
+    eng = OpenVocabEngine(["red square"], weights=path, input_hw=HW,
+                          box_threshold=0.01, max_det=8, pre_nms_topk=32)
+    assert eng.variant == "ov-nano"
+    assert eng.load_model()
+    # no sidecar -> flagship default
+    eng2 = OpenVocabEngine(["red square"], input_hw=HW)
+    assert eng2.variant == "ov-s"
