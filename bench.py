@@ -54,14 +54,20 @@ def build_program(batch, transfer, n_cams):
                                                     "rgb"),
                        readback_topk=int(os.environ.get("BENCH_READBACK",
                                                         "64")) or None)
-    # BENCH_PRECISION=bf16 serves the detector at bfloat16 compute (the
-    # `detection.precision` serving knob); the same checkpoint loads either
-    # way (cast_tree_like), and the mAP fields quantify any quality cost
-    # next to the speed. Default fp32 = the deployment default.
+    # BENCH_PRECISION=bf16|int8 serves the detector at reduced precision
+    # (the `detection.precision` serving knob): bf16 = bfloat16 compute,
+    # int8 = W8A8 quantized convs on the MXU (models/common.QuantConv2D).
+    # The same checkpoint loads any way (cast_tree_like), and the mAP
+    # fields quantify any quality cost next to the speed. Default fp32 =
+    # the deployment default.
     import jax.numpy as jnp
     precision = os.environ.get("BENCH_PRECISION", "fp32")
-    param_dtype = (jnp.bfloat16 if precision in ("bf16", "bfloat16")
-                   else jnp.float32)
+    if precision == "int8":
+        param_dtype = "int8"
+    elif precision in ("bf16", "bfloat16"):
+        param_dtype = jnp.bfloat16
+    else:
+        param_dtype = jnp.float32
     program = DetectorProgram(spec, seed=0, param_dtype=param_dtype)
     weights = os.environ.get("BENCH_WEIGHTS")
     weights_kind = "file" if weights else None

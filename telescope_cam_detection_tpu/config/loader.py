@@ -159,9 +159,10 @@ _VALID_TRANSFERS = ("auto", "device", "host", "yuv420", "delta")
 _VALID_DELTA_PAYLOADS = ("rgb", "yuv420")
 _VALID_GATES = ("none", "device")
 _VALID_IMPLS = ("auto", "xla", "pallas")
-_VALID_DET_PRECISION = ("fp32", "bf16", "bfloat16")
-# classifier precision: int8 = W8A8 dynamic quantization on the MXU
-# (ops/quant.py); the same checkpoint serves any of these
+# detector/classifier precision: int8 = W8A8 dynamic quantization on the
+# MXU (models/common.QuantConv2D, ops/quant.py); the same float checkpoint
+# serves any of these — quantization happens at dispatch
+_VALID_DET_PRECISION = ("fp32", "bf16", "bfloat16", "int8")
 _VALID_CLS_PRECISION = ("fp32", "bf16", "bfloat16", "int8")
 
 
@@ -313,6 +314,10 @@ def validate_config(config: Dict[str, Any]) -> List[str]:
     if precision is not None and precision not in _VALID_DET_PRECISION:
         errors.append(f"detection.precision must be one of "
                       f"{_VALID_DET_PRECISION}, got {precision!r}")
+    if precision == "int8" and detection.get("detector_type", "yolox") != "yolox":
+        errors.append("detection.precision: int8 is only implemented for "
+                      "the yolox detector family (conv W8A8); rtdetr's "
+                      "attention/sampling path serves fp32/bf16")
     cls_precision = _lookup(
         config, ("species_classification", "inat_classifier", "precision"))
     if cls_precision is not None and cls_precision not in _VALID_CLS_PRECISION:

@@ -3,13 +3,34 @@
 NHWC layout throughout (XLA TPU's native conv layout); BatchNorm runs with
 moving statistics at inference. Parameters can be held in bfloat16 with fp32
 BN statistics; matmul/conv accumulation is fp32 via preferred_element_type.
+
+The module `dtype` field additionally accepts the string sentinel ``"int8"``
+(INT8): convolutions then run W8A8 on the MXU — weights quantized per output
+channel, activations per tensor with a dynamic scale, int8xint8->int32
+accumulation — while BatchNorm, activations and the tensor plumbing stay in
+float. Inference-only (round() has no gradient); the same float checkpoint
+serves any precision because quantization happens at dispatch, exactly like
+the classifier's W8A8 path (ops/quant.py).
 """
 from __future__ import annotations
 
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+
+# dtype sentinel: W8A8 quantized convs (see module docstring)
+INT8 = "int8"
+
+
+def compute_dtype(dtype: Any):
+    """The float dtype tensors travel in for a given module dtype.
+
+    int8 convs still hand float tensors between blocks (BN/activations and
+    the head predictions are float); everything else passes through.
+    """
+    return jnp.bfloat16 if dtype == INT8 else dtype
 
 
 def silu(x: jnp.ndarray) -> jnp.ndarray:
@@ -25,6 +46,57 @@ ACTIVATIONS: dict = {
 }
 
 
+class QuantConv2D(nn.Module):
+    """W8A8 int8 convolution for the TPU MXU (v5e: 2x the bf16 peak).
+
+    Drop-in for nn.Conv at inference: the kernel parameter keeps nn.Conv's
+    name/shape/init ("kernel", HWIO, lecun-normal) so float checkpoints load
+    unchanged. Each call quantizes the float kernel per OUTPUT CHANNEL
+    (max-abs/127 — negligible next to the conv itself and always in sync
+    with weight hot-swaps) and the activation per tensor with a dynamic
+    scale, convolves int8xint8 with int32 accumulation, and rescales to
+    float. Grouped/depthwise convs fall back to float compute — their FLOPs
+    are negligible and XLA's int8 grouped-conv support is not guaranteed.
+    """
+    features: int
+    kernel_size: Sequence[int] = (3, 3)
+    strides: Sequence[int] = (1, 1)
+    padding: Any = ((1, 1), (1, 1))
+    feature_group_count: int = 1
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = self.kernel_size
+        in_ch = x.shape[-1] // self.feature_group_count
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (kh, kw, in_ch, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32) \
+            if self.use_bias else None
+        dn = ("NHWC", "HWIO", "NHWC")
+        if self.feature_group_count > 1:
+            y = jax.lax.conv_general_dilated(
+                x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                self.strides, self.padding, dimension_numbers=dn,
+                feature_group_count=self.feature_group_count,
+                preferred_element_type=jnp.float32)
+        else:
+            xf = x.astype(jnp.float32)
+            s_x = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-6) / 127.0
+            xq = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+            s_w = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)),
+                              1e-12) / 127.0
+            wq = jnp.clip(jnp.round(w / s_w), -127, 127).astype(jnp.int8)
+            acc = jax.lax.conv_general_dilated(
+                xq, wq, self.strides, self.padding, dimension_numbers=dn,
+                preferred_element_type=jnp.int32)
+            y = acc.astype(jnp.float32) * (s_x * s_w)
+        if bias is not None:
+            y = y + bias
+        return y
+
+
 class ConvBnAct(nn.Module):
     """Conv2D + BatchNorm + activation, the basic detector block."""
     features: int
@@ -38,16 +110,27 @@ class ConvBnAct(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         pad = (self.kernel - 1) // 2
-        x = nn.Conv(
-            self.features,
-            kernel_size=(self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding=((pad, pad), (pad, pad)),
-            feature_group_count=self.groups,
-            use_bias=not self.use_bn,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        if self.dtype == INT8:
+            x = QuantConv2D(
+                self.features,
+                kernel_size=(self.kernel, self.kernel),
+                strides=(self.stride, self.stride),
+                padding=((pad, pad), (pad, pad)),
+                feature_group_count=self.groups,
+                use_bias=not self.use_bn,
+                name="conv",
+            )(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                kernel_size=(self.kernel, self.kernel),
+                strides=(self.stride, self.stride),
+                padding=((pad, pad), (pad, pad)),
+                feature_group_count=self.groups,
+                use_bias=not self.use_bn,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         if self.use_bn:
             x = nn.BatchNorm(
                 use_running_average=not train,

@@ -23,6 +23,7 @@ from telescope_cam_detection_tpu.models.common import (
     DWConvBlock,
     Focus,
     SPPBottleneck,
+    compute_dtype,
     upsample2x,
 )
 
@@ -153,14 +154,18 @@ class YOLOXHead(nn.Module):
                       name=f"cls_conv{lvl}_0")(x, train)
             c = block(hidden, 3, 1, act=act, dtype=dt,
                       name=f"cls_conv{lvl}_1")(c, train)
-            cls_out = nn.Conv(self.num_classes, (1, 1), dtype=dt,
+            # prediction convs stay float even under int8 (tiny FLOPs,
+            # box regression feeds exp() in the decode — quantization
+            # noise there moves boxes directly)
+            pdt = compute_dtype(dt)
+            cls_out = nn.Conv(self.num_classes, (1, 1), dtype=pdt,
                               name=f"cls_pred{lvl}")(c)
             r = block(hidden, 3, 1, act=act, dtype=dt,
                       name=f"reg_conv{lvl}_0")(x, train)
             r = block(hidden, 3, 1, act=act, dtype=dt,
                       name=f"reg_conv{lvl}_1")(r, train)
-            reg_out = nn.Conv(4, (1, 1), dtype=dt, name=f"reg_pred{lvl}")(r)
-            obj_out = nn.Conv(1, (1, 1), dtype=dt, name=f"obj_pred{lvl}")(r)
+            reg_out = nn.Conv(4, (1, 1), dtype=pdt, name=f"reg_pred{lvl}")(r)
+            obj_out = nn.Conv(1, (1, 1), dtype=pdt, name=f"obj_pred{lvl}")(r)
             outputs.append((reg_out, obj_out, cls_out))
         return outputs
 
@@ -237,6 +242,6 @@ def init_yolox(name: str = "yolox-s", num_classes: int = 80,
                dtype=jnp.float32):
     """Build a model + params (random init, for tests or training)."""
     model = build_yolox(name, num_classes, dtype)
-    dummy = jnp.zeros((1, *input_hw, 3), dtype)
+    dummy = jnp.zeros((1, *input_hw, 3), compute_dtype(dtype))
     variables = model.init(jax.random.PRNGKey(seed), dummy, train=False)
     return model, variables

@@ -269,8 +269,15 @@ class TelescopeDetectionSystem:
         )
         import jax.numpy as jnp
         precision = detection.get("precision", "fp32")
-        param_dtype = jnp.bfloat16 if precision in ("bf16", "bfloat16") \
-            else jnp.float32
+        if precision == "int8":
+            # W8A8 conv path (models/common.QuantConv2D): the dtype sentinel
+            # travels through the model tree; params stay float so the same
+            # checkpoint serves any precision (loader validates yolox-only)
+            param_dtype = "int8"
+        elif precision in ("bf16", "bfloat16"):
+            param_dtype = jnp.bfloat16
+        else:
+            param_dtype = jnp.float32
         self.program = None
         artifact_dir = detection.get("artifact_dir")
         if artifact_dir:
