@@ -366,6 +366,7 @@ def validate_config(config: Dict[str, Any]) -> List[str]:
         errors.append(f"privacy.mask_style must be one of {_VALID_MASK_STYLES}")
 
     _validate_collision(errors, config)
+    _validate_tracking(errors, config)
 
     return errors
 
@@ -388,6 +389,23 @@ def _validate_zone_list(errors: List[str], zones, where: str) -> None:
                     or not all(isinstance(v, (int, float)) for v in p)):
                 errors.append(f"{here}: points must be [x, y] numbers")
                 break
+
+
+def _validate_tracking(errors: List[str], config: Dict[str, Any]) -> None:
+    tc = config.get("tracking")
+    if tc is None:
+        return
+    if not isinstance(tc, dict):
+        errors.append("tracking must be a mapping")
+        return
+    iou = tc.get("iou_min", 0.3)
+    if not isinstance(iou, (int, float)) or not 0.0 < iou <= 1.0:
+        errors.append("tracking.iou_min must be in (0, 1]")
+    for key, lo in (("max_age", 0), ("min_hits", 1), ("max_tracks", 1)):
+        val = tc.get(key)
+        if val is not None and (not isinstance(val, int)
+                                or isinstance(val, bool) or val < lo):
+            errors.append(f"tracking.{key} must be an integer >= {lo}")
 
 
 def _validate_collision(errors: List[str], config: Dict[str, Any]) -> None:

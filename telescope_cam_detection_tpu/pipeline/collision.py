@@ -147,7 +147,16 @@ class CollisionDetector:
             cy = (bbox.get("y1", 0.0) + bbox.get("y2", 0.0)) / 2.0
             cls = det.get("class_name", "?")
             new_centers.setdefault(cls, []).append((cx, cy))
-            vel = self._velocity(cls, (cx, cy))
+            # a tracked detection carries a Kalman-filtered per-object
+            # velocity (pipeline/tracker.py) — strictly better than the
+            # nearest-previous-center heuristic below, which mis-pairs
+            # whenever two same-class animals pass within the gate
+            tv = det.get("track_velocity")
+            if tv is not None:
+                vel: Optional[Point] = (float(tv.get("vx", 0.0)),
+                                        float(tv.get("vy", 0.0)))
+            else:
+                vel = self._velocity(cls, (cx, cy))
             for zone in self.zones:
                 watch = zone["alert_on_entry"]
                 if watch and cls not in watch:

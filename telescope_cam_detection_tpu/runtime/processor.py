@@ -32,6 +32,7 @@ class DetectionProcessor:
         time_of_day_filter=None,
         snapshot_saver=None,
         collision_detector=None,
+        tracker=None,
         history_size: int = 30,
     ):
         self.input_queue = input_queue
@@ -42,6 +43,7 @@ class DetectionProcessor:
         self.time_of_day_filter = time_of_day_filter
         self.snapshot_saver = snapshot_saver
         self.collision_detector = collision_detector
+        self.tracker = tracker
         self.history: deque = deque(maxlen=history_size)
 
         self._thread: Optional[threading.Thread] = None
@@ -118,6 +120,11 @@ class DetectionProcessor:
             d.pop("species_raw", None)
         if self.time_of_day_filter is not None:
             detections = self.time_of_day_filter.filter_detections(detections)
+        # tracking runs AFTER the filters (IDs only for detections that
+        # survive) and BEFORE collision (which prefers the Kalman velocity
+        # over its nearest-center heuristic)
+        if self.tracker is not None:
+            detections = self.tracker.update(detections)
 
         now = time.time()
         result["detections"] = detections
@@ -183,7 +190,7 @@ class DetectionProcessor:
                 return 0.0
             return lat_sorted[min(int(len(lat_sorted) * p), len(lat_sorted) - 1)]
 
-        return {
+        stats = {
             "camera_id": self.camera_id,
             "is_running": self._running.is_set(),
             "results_processed": self.results_processed,
@@ -194,6 +201,9 @@ class DetectionProcessor:
             "latency_ms_p99": round(pct(0.99), 2),
             "history_size": len(self.history),
         }
+        if self.tracker is not None:
+            stats["tracking"] = self.tracker.get_stats()
+        return stats
 
 
 # CollisionDetector graduated from the Phase-3 placeholder the reference

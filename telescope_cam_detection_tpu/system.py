@@ -80,6 +80,7 @@ RESTART_REQUIRED_KEYS = (
     "privacy",
     "system.hot_reload",
     "snapshots.notifications",
+    "tracking.enabled",
 )
 
 # compiled into the fused program ONLY when gates='device' (hot-reloadable
@@ -171,6 +172,7 @@ class TelescopeDetectionSystem:
         self.inference_queues: Dict[str, queue.Queue] = {}
         self.motion_filters: Dict[str, MotionFilter] = {}
         self.time_filters: Dict[str, TimeOfDayFilter] = {}
+        self.trackers: Dict[str, Any] = {}  # MultiObjectTracker per camera
 
         self._shutdown_lock = threading.RLock()
         self._restart_lock = threading.RLock()
@@ -720,6 +722,19 @@ class TelescopeDetectionSystem:
 
         collision_detector = self._build_collision_detector(cam_id)
 
+        tracker = None
+        tr_cfg = cfg.get("tracking", {}) or {}
+        if tr_cfg.get("enabled"):
+            from telescope_cam_detection_tpu.pipeline.tracker import (
+                MultiObjectTracker)
+            tracker = MultiObjectTracker(
+                iou_min=tr_cfg.get("iou_min", 0.3),
+                max_age=tr_cfg.get("max_age", 15),
+                min_hits=tr_cfg.get("min_hits", 3),
+                class_consistent=tr_cfg.get("class_consistent", True),
+                max_tracks=tr_cfg.get("max_tracks", 128))
+            self.trackers[cam_id] = tracker
+
         processor = DetectionProcessor(
             infer_q, self.detection_queue, camera_id=cam_id,
             get_latest_frame=capture.get_latest_frame,
@@ -727,6 +742,7 @@ class TelescopeDetectionSystem:
             time_of_day_filter=time_filter,
             snapshot_saver=self.snapshot_saver,
             collision_detector=collision_detector,
+            tracker=tracker,
             history_size=perf.get("history_size", 30))
         self.processors[cam_id] = processor
 
@@ -1095,6 +1111,11 @@ class TelescopeDetectionSystem:
                 updated = tf.update_params(
                     new_cfg.get("time_of_day_filter", {}) or {})
                 result["reloaded"] += [f"{cam_id}.tod.{u}" for u in updated]
+            for cam_id, trk in self.trackers.items():
+                updated = trk.update_params(
+                    new_cfg.get("tracking", {}) or {})
+                result["reloaded"] += [f"{cam_id}.tracking.{u}"
+                                       for u in updated]
 
             # weight hot-swap, phase 2 (commit): in-flight batches finish
             # on the old trees; the next dispatch carries the new ones

@@ -141,10 +141,16 @@ def test_loader_validates_detection_precision():
         "cameras": [{"name": "c0", "protocol": "synthetic", "enabled": True}],
         "detection": {"detector_type": "yolox", "precision": "int8"},
     }
-    # int8 detector precision is intentionally NOT offered: v5e int8 convs
-    # measured only ~1.3x bf16 (vs 1.8x for matmuls) — docs/PERFORMANCE.md
-    errors = validate_config(cfg)
-    assert any("detection.precision" in e for e in errors), errors
-    cfg["detection"]["precision"] = "bf16"
+    # int8 W8A8 detector convs are implemented for YOLOX only
+    # (models/common.QuantConv2D; tests/test_int8_detector.py)
     assert not [e for e in validate_config(cfg)
                 if "detection.precision" in e]
+    cfg["detection"]["detector_type"] = "rtdetr"
+    errors = validate_config(cfg)
+    assert any("detection.precision" in e for e in errors), errors
+    cfg["detection"].update(detector_type="yolox", precision="bf16")
+    assert not [e for e in validate_config(cfg)
+                if "detection.precision" in e]
+    cfg["detection"]["precision"] = "int4"
+    assert any("detection.precision" in e
+               for e in validate_config(cfg))

@@ -363,7 +363,8 @@ class DetectionApp {
       const b = d.bbox;
       ctx.strokeStyle = d.class_name === "person" ? "#ff5252" : "#7ee787";
       ctx.strokeRect(b.x1, b.y1, b.x2 - b.x1, b.y2 - b.y1);
-      const label = d.species || d.class_name;
+      let label = d.species || d.class_name;
+      if (d.track_id != null) label = `#${d.track_id} ${label}`;
       ctx.fillStyle = "rgba(0,0,0,.65)";
       const tw = ctx.measureText(label).width + 8;
       ctx.fillRect(b.x1, Math.max(b.y1 - 22, 0), tw, 22);
