@@ -50,6 +50,7 @@ class SnapshotSaver:
         post_buffer_seconds: float = 0.0,
         post_motion_extend: bool = False,
         max_post_seconds: float = 30.0,
+        dedup_tracks: bool = False,
     ):
         self.output_dir = Path(output_dir)
         self.enabled = enabled
@@ -85,6 +86,16 @@ class SnapshotSaver:
         self.post_buffer_seconds = float(post_buffer_seconds)
         self.post_motion_extend = bool(post_motion_extend)
         self.max_post_seconds = float(max_post_seconds)
+        # track-aware dedup (needs `tracking.enabled`): a detection that
+        # carries a track_id triggers once per track — one event per animal
+        # VISIT instead of one per (class, cooldown window). Two coyotes
+        # arriving together produce two events (per-class cooldown would
+        # merge them); one coyote loitering for ten minutes produces one
+        # (per-class cooldown would re-fire every cooldown_seconds). Track
+        # ids are per-camera monotonic and never reused, so a returning
+        # animal (new id after tracking.max_age missed frames) is a new
+        # visit. Untracked detections keep the class-cooldown rule.
+        self.dedup_tracks = bool(dedup_tracks)
         self._pending_lock = threading.Lock()
         self._pending_clips: Dict[str, Dict[str, Any]] = {}
         self._pending_bytes = 0  # post-frame bytes across all open clips
@@ -115,15 +126,37 @@ class SnapshotSaver:
             # ineligible detection must not consume the cooldown window
             if not self._trigger_eligible(camera_id, det):
                 continue
-            key = (camera_id, det.get("class_name", ""))
-            with self._cooldown_lock:
-                last = self._last_save.get(key, 0.0)
-                if now - last < self.cooldown_seconds:
-                    self.triggers_suppressed += 1
-                    continue
-                self._last_save[key] = now
+            track_id = det.get("track_id") if self.dedup_tracks else None
+            if track_id is not None:
+                key = (camera_id, f"track:{track_id}")
+                with self._cooldown_lock:
+                    if key in self._last_save:   # this animal already saved
+                        self.triggers_suppressed += 1
+                        continue
+                    self._last_save[key] = now
+                    self._prune_track_stamps(now)
+            else:
+                key = (camera_id, det.get("class_name", ""))
+                with self._cooldown_lock:
+                    last = self._last_save.get(key, 0.0)
+                    if now - last < self.cooldown_seconds:
+                        self.triggers_suppressed += 1
+                        continue
+                    self._last_save[key] = now
             return det
         return None
+
+    def _prune_track_stamps(self, now: float,
+                            horizon: float = 3600.0) -> None:
+        """Track stamps are write-once per id (ids never recur), so the
+        dict grows with every tracked visit — drop entries older than an
+        hour once it gets large. Caller holds _cooldown_lock."""
+        if len(self._last_save) <= 4096:
+            return
+        self._last_save = {
+            k: ts for k, ts in self._last_save.items()
+            if not (isinstance(k[1], str) and k[1].startswith("track:")
+                    and now - ts > horizon)}
 
     def _trigger_eligible(self, camera_id: str, det: Dict[str, Any]) -> bool:
         """Class + confidence + alert-zone gates (everything in the
@@ -523,6 +556,7 @@ class SnapshotSaver:
             "post_buffer_seconds": "post_buffer_seconds",
             "post_motion_extend": "post_motion_extend",
             "max_post_seconds": "max_post_seconds",
+            "dedup_tracks": "dedup_tracks",
         }
         for key, attr in mapping.items():
             if key in settings and getattr(self, attr) != settings[key]:

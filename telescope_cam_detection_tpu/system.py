@@ -366,7 +366,8 @@ class TelescopeDetectionSystem:
             alert_zones=snaps.get("alert_zones") or {},
             post_buffer_seconds=snaps.get("post_buffer_seconds", 0.0),
             post_motion_extend=snaps.get("post_motion_extend", False),
-            max_post_seconds=snaps.get("max_post_seconds", 30.0))
+            max_post_seconds=snaps.get("max_post_seconds", 30.0),
+            dedup_tracks=snaps.get("dedup_tracks", False))
 
         # stage 2 (shared classifier; per-camera pipelines below)
         sc = cfg.get("species_classification", {}) or {}

@@ -137,6 +137,58 @@ class TestControlPlane:
                    for e in validate_config(dict(base, tracking=[1])))
 
 
+class TestSnapshotDedup:
+    """snapshots.dedup_tracks: one event per animal visit (track), not one
+    per (class, cooldown window)."""
+
+    def _saver(self, **kw):
+        from telescope_cam_detection_tpu.runtime.snapshot import SnapshotSaver
+        kw.setdefault("dedup_tracks", True)
+        return SnapshotSaver(trigger_classes=["coyote"], min_confidence=0.5,
+                             cooldown_seconds=45.0, **kw)
+
+    def _tracked(self, tid):
+        d = det(10, 10, 60, 60, cls="coyote")
+        if tid is not None:
+            d["track_id"] = tid
+        return d
+
+    def test_one_event_per_track_two_animals_both_fire(self):
+        sv = self._saver()
+        assert sv.should_save([self._tracked(1)], "c1") is not None
+        # the same animal loitering: suppressed (class cooldown would also
+        # suppress here, but forever-per-track, not per window)
+        assert sv.should_save([self._tracked(1)], "c1") is None
+        # a SECOND animal of the same class arriving inside the cooldown
+        # window: fires — this is the case per-class cooldown gets wrong
+        assert sv.should_save([self._tracked(2)], "c1") is not None
+        assert sv.triggers_suppressed == 1
+
+    def test_untracked_detection_keeps_class_cooldown(self):
+        sv = self._saver()
+        assert sv.should_save([self._tracked(None)], "c1") is not None
+        assert sv.should_save([self._tracked(None)], "c1") is None
+
+    def test_disabled_dedup_ignores_track_ids(self):
+        sv = self._saver(dedup_tracks=False)
+        assert sv.should_save([self._tracked(1)], "c1") is not None
+        assert sv.should_save([self._tracked(2)], "c1") is None  # cooldown
+
+    def test_hot_reload_and_prune(self):
+        import time as _t
+        sv = self._saver(dedup_tracks=False)
+        assert "dedup_tracks" in sv.update_settings({"dedup_tracks": True})
+        assert sv.dedup_tracks is True
+        now = _t.time()
+        sv._last_save = {("c1", f"track:{i}"): now - 7200
+                         for i in range(5000)}
+        sv._last_save[("c1", "coyote")] = now - 7200   # class keys survive
+        sv._last_save[("c1", "track:fresh")] = now
+        sv._prune_track_stamps(now)
+        assert sv._last_save == {("c1", "coyote"): now - 7200,
+                                 ("c1", "track:fresh"): now}
+
+
 class TestIntegration:
     def test_processor_stamps_and_reports(self):
         in_q, out_q = queue.Queue(), queue.Queue()
