@@ -44,16 +44,25 @@ def build_program(batch, transfer, n_cams):
     (BENCH_WEIGHTS override), "trained" (the committed bench-scene
     checkpoint — tools/train_bench_weights.py — so throughput numbers ride
     a detector that actually detects, with mAP50 recorded alongside), or
-    "sharpened-random" (neither available)."""
+    "sharpened-random" (neither available).
+
+    BENCH_SMOKE=1 swaps in yolox-nano @128^2 with no checkpoint — a
+    wiring-validation mode for hermetic CPU tests of the FULL main() flow
+    (the measured numbers are meaningless and the metric name says so)."""
     from telescope_cam_detection_tpu.runtime.program import (
         DetectorProgram, FilterSettings, ProgramSpec)
-    spec = ProgramSpec(detector_type="yolox", variant="yolox-s",
-                       input_hw=(640, 640), max_det=300, pre_nms_topk=1000,
+    smoke = os.environ.get("BENCH_SMOKE") == "1"
+    spec = ProgramSpec(detector_type="yolox",
+                       variant="yolox-nano" if smoke else "yolox-s",
+                       input_hw=(128, 128) if smoke else (640, 640),
+                       max_det=20 if smoke else 300,
+                       pre_nms_topk=50 if smoke else 1000,
                        transfer=transfer, delta_lanes=n_cams,
                        delta_payload=os.environ.get("BENCH_DELTA_PAYLOAD",
                                                     "rgb"),
                        readback_topk=int(os.environ.get("BENCH_READBACK",
-                                                        "64")) or None)
+                                                        "8" if smoke
+                                                        else "64")) or None)
     # BENCH_PRECISION=bf16|int8 serves the detector at reduced precision
     # (the `detection.precision` serving knob): bf16 = bfloat16 compute,
     # int8 = W8A8 quantized convs on the MXU (models/common.QuantConv2D).
@@ -71,7 +80,7 @@ def build_program(batch, transfer, n_cams):
     program = DetectorProgram(spec, seed=0, param_dtype=param_dtype)
     weights = os.environ.get("BENCH_WEIGHTS")
     weights_kind = "file" if weights else None
-    if not weights and os.path.exists(TRAINED_CKPT) \
+    if not weights and not smoke and os.path.exists(TRAINED_CKPT) \
             and os.environ.get("BENCH_TRAINED", "1") != "0":
         weights, weights_kind = TRAINED_CKPT, "trained"
     if weights:
@@ -190,6 +199,149 @@ def measure_device_health(n: int = 2048, iters: int = 10) -> float:
     return 2 * n ** 3 / dt / 1e12
 
 
+class HealthGate:
+    """Degraded-tenancy gate (VERDICT r4 #1): the round-4 headline measured
+    a neighbor's workload (0.16 TFLOP/s delivered vs ~40 healthy; 8 ms
+    device exec in r3 became 1570 ms). Before ANY measurement phase, probe
+    delivered f32 TFLOP/s; while below `floor`, sleep+re-probe until the
+    wait budget runs out. Every probe is appended to `samples`
+    ([t_offset_s, tflops] pairs) and stamped into the artifact, so a run
+    either (a) measured in a healthy window — samples prove it — or
+    (b) says degraded_window=true with the probe history as evidence.
+
+    Knobs: BENCH_HEALTH_FLOOR (TFLOP/s, default 2.0),
+    BENCH_HEALTH_WAIT_S (total sleep budget across all phases, default 600),
+    BENCH_HEALTH_INTERVAL_S (re-probe cadence, default 45). BENCH_HEALTH=0
+    disables probing entirely (hermetic CPU tests)."""
+
+    def __init__(self) -> None:
+        self.floor = float(os.environ.get("BENCH_HEALTH_FLOOR", "2.0"))
+        self.wait_budget_s = float(os.environ.get("BENCH_HEALTH_WAIT_S",
+                                                  "600"))
+        self.interval_s = float(os.environ.get("BENCH_HEALTH_INTERVAL_S",
+                                               "45"))
+        self.enabled = os.environ.get("BENCH_HEALTH", "1") != "0"
+        self.samples: list = []
+        self.waited_s = 0.0
+        self.t0 = time.monotonic()
+        self.last_tflops = None
+
+    def probe(self, iters: int = 10) -> float:
+        tf = measure_device_health(iters=iters)
+        self.last_tflops = tf
+        self.samples.append([round(time.monotonic() - self.t0, 1),
+                             round(tf, 2)])
+        return tf
+
+    def wait_for_healthy(self, phase: str) -> bool:
+        """Probe; while degraded and budget remains, sleep and re-probe.
+        Returns True iff the last probe cleared the floor."""
+        if not self.enabled:
+            return True
+        try:
+            tf = self.probe()
+        except Exception as e:  # noqa: BLE001 — advisory, never fatal
+            print(f"bench: health probe failed ({phase}): {e}",
+                  file=sys.stderr)
+            return True
+        while tf < self.floor and self.waited_s < self.wait_budget_s:
+            step = min(self.interval_s, self.wait_budget_s - self.waited_s)
+            print(f"bench: degraded window before {phase} "
+                  f"({tf:.2f} TFLOP/s < {self.floor}); waiting {step:.0f}s "
+                  f"({self.waited_s:.0f}/{self.wait_budget_s:.0f}s used)",
+                  file=sys.stderr)
+            time.sleep(step)
+            self.waited_s += step
+            tf = self.probe()
+        if tf < self.floor:
+            print(f"bench: no healthy window found within "
+                  f"{self.wait_budget_s:.0f}s (last {tf:.2f} TFLOP/s); "
+                  f"measuring {phase} degraded", file=sys.stderr)
+        return tf >= self.floor
+
+    def annotate(self, out: dict) -> None:
+        if not self.enabled:
+            return
+        out["health_floor_tflops"] = self.floor
+        out["tflops_samples"] = self.samples
+        out["waited_s"] = round(self.waited_s, 1)
+        if self.last_tflops is not None:
+            out["device_matmul_tflops"] = round(self.last_tflops, 2)
+
+
+def measure_device_exec_serving(program, frames_640, frame_lanes=None,
+                                batch=4, iters=50):
+    """Per-dispatch execution cost of the SERVING program variant — the
+    delta-transfer program the headline actually dispatches (on-device tile
+    reconstruction + preprocess -> forward -> decode -> NMS -> filter ->
+    compact) — with the relay/link excluded: tile payloads are pre-encoded
+    and device-resident, the donated reference buffer chains through
+    `iters` async dispatches, and ONE true readback at the end amortizes
+    the relay round trip (same methodology as measure_device_exec, which
+    times the plain ungated variant; this field exists because the r3/r4
+    artifacts decomposed latency against a variant the deployment doesn't
+    serve — VERDICT r4 #5). Tile payloads are a realistic mid-stream delta
+    (encoders primed with the previous frame), not the first-frame full
+    refresh, so K matches steady-state serving."""
+    import jax.numpy as jnp
+    from telescope_cam_detection_tpu.runtime.delta import (
+        DeltaEncoder, pack_batch)
+    spec = program.spec
+    if not frames_640:
+        raise ValueError("measure_device_exec_serving needs at least one "
+                         "frame")
+    assert spec.transfer == "delta" and program.mesh is None
+    if frame_lanes is None:
+        frame_lanes = [i % spec.delta_lanes for i in range(len(frames_640))]
+    # per lane, the first two frames of that lane's stream: prime with the
+    # first (full refresh, outside the timing window), encode the second —
+    # a realistic steady-state delta, so K matches what serving ships
+    by_lane: dict = {}
+    for f, ln in zip(frames_640, frame_lanes):
+        by_lane.setdefault(ln, []).append(f)
+    lane_ids = sorted(by_lane)
+    lanes = [lane_ids[i % len(lane_ids)] for i in range(batch)]
+    # standalone encoders: priming + encoding here must not disturb the
+    # program's own per-lane delta state
+    encs, encoded = {}, []
+    seen_per_lane: dict = {}
+    for lane in lanes:
+        seq = by_lane[lane]
+        if lane not in encs:
+            encs[lane] = DeltaEncoder(
+                spec.input_hw, tile=spec.delta_tile,
+                threshold=spec.delta_threshold,
+                refresh_tiles=spec.delta_refresh_tiles,
+                payload=spec.delta_payload)
+            encs[lane].encode(seq[0])   # prime: refresh outside timing
+            seen_per_lane[lane] = 1
+        pos = seen_per_lane[lane] % len(seq)
+        seen_per_lane[lane] += 1
+        encoded.append(encs[lane].encode(seq[pos]))
+    num_tiles = program._delta_ref_shape[1]
+    lanes_a, idx_a, tiles_a, k = pack_batch(
+        encoded, lanes, num_tiles, spec.delta_tile,
+        payload=spec.delta_payload)
+    ref = program._new_delta_ref()
+    fn = program._get_delta_program(batch, spec.input_hw, k)
+    f = program._filter_arrays
+    lanes_d, idx_d, tiles_d = (jnp.asarray(lanes_a), jnp.asarray(idx_a),
+                               jnp.asarray(tiles_a))
+    ref, r = fn(program.variables, ref, lanes_d, idx_d, tiles_d,
+                f["class_conf"], f["min_area"], f["max_area"],
+                f["class_allowed"])
+    np.asarray(r)   # compile + warm + sync outside the window
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        # the reference buffer is donated: chain it through, exactly as
+        # serving does; dispatches stay async (no host sync in the loop)
+        ref, r = fn(program.variables, ref, lanes_d, idx_d, tiles_d,
+                    f["class_conf"], f["min_area"], f["max_area"],
+                    f["class_allowed"])
+    np.asarray(r)
+    return (time.perf_counter() - t0) * 1000.0 / iters
+
+
 def serial_latency_probe(program, stream_frames, stream_lanes, capture_hw,
                          n_cams, iters=24):
     """Strictly-serial dispatch -> blocking readback p50 at the
@@ -214,9 +366,10 @@ def serial_latency_probe(program, stream_frames, stream_lanes, capture_hw,
 
 
 def eval_scene_map50(program, n_cams, n=48, hard=False):
-    """mAP50 of the SERVED program (its live weights, NMS, conf-0.25
+    """Quality of the SERVED program (its live weights, NMS, conf-0.25
     wildlife filter) on held-out scenes with generator ground truth — the
-    quality metric that rides next to fps in the artifact (VERDICT r3 #2).
+    metric that rides next to fps in the artifact (VERDICT r3 #2).
+    Returns {"mAP50", "mAP50_95"}.
 
     hard=False: bench-distribution scenes (SceneDetectionDataset, one
     bright subject — proves the serving path end to end, saturates ~1.0).
@@ -246,13 +399,18 @@ def eval_scene_map50(program, n_cams, n=48, hard=False):
             np.stack(imgs), lanes=list(range(len(imgs))))
         preds.extend(rows_to_detections(r) for r in rows)
         gts.extend(lbls)
-    return evaluate_detections(preds, gts)["mAP50"]
+    m = evaluate_detections(preds, gts)
+    return {"mAP50": m["mAP50"], "mAP50_95": m["mAP50_95"]}
 
 
 def main() -> None:
     mode = os.environ.get("BENCH_MODE", "throughput")
+    smoke = os.environ.get("BENCH_SMOKE") == "1"
     n_cams = 4
-    capture_hw = (1440, 2560)
+    # smoke mode (hermetic wiring test): tiny frames, tiny model — every
+    # code path of this harness runs, none of the numbers mean anything
+    capture_hw = (288, 512) if smoke else (1440, 2560)
+    input_hw = (128, 128) if smoke else (640, 640)
     transfer = os.environ.get("BENCH_TRANSFER", "delta")
     if mode == "latency":
         batch = int(os.environ.get("BENCH_BATCH", str(n_cams)))
@@ -264,12 +422,19 @@ def main() -> None:
         pipeline_depth = int(os.environ.get("BENCH_PIPELINE", "2"))
     warmup = int(os.environ.get("BENCH_WARMUP", "4"))
 
+    # degraded-tenancy gate: never START measuring into a window where the
+    # chip is delivering a neighbor's workload (VERDICT r4 #1) — probe
+    # delivered TFLOP/s, wait+re-probe within the budget, and stamp the
+    # probe history into the artifact either way
+    gate = HealthGate()
+    gate.wait_for_healthy("warmup")
+
     program, weights_kind = build_program(batch, transfer, n_cams)
 
     # a cycle of distinct content; reused round-robin across iterations
     cycle_per_cam = int(os.environ.get("BENCH_CYCLE", "32"))
     stream_frames, stream_lanes, resize_ms = make_stream(
-        n_cams, cycle_per_cam, capture_hw, (640, 640))
+        n_cams, cycle_per_cam, capture_hw, input_hw)
     total_cycle = len(stream_frames)
 
     def batch_at(step):
@@ -363,11 +528,22 @@ def main() -> None:
     # report the best SUSTAINED pass (all pass values are included in the
     # JSON as fps_passes — the spread IS the congestion evidence).
     # (n_passes resolved above, possibly reduced by the degraded guard.)
+    # Each pass is health-gated: a pass only starts once the chip probe
+    # clears the floor (or the wait budget is exhausted), and the probe
+    # value rides with the pass so the artifact shows which passes ran in
+    # healthy windows. Headline = best sustained pass.
     passes = []
+    pass_tflops = []
     for p in range(n_passes):
+        gate.wait_for_healthy(f"pass {p}")
+        pass_tflops.append(gate.last_tflops)
         passes.append(run_pass(warmup + p * iters))
     fps_passes = [round(f, 2) for f, _, _ in passes]
-    fps, latencies, valid = max(passes, key=lambda t: t[0])
+    best_i = max(range(len(passes)), key=lambda i: passes[i][0])
+    fps, latencies, valid = passes[best_i]
+    degraded_window = bool(
+        gate.enabled and pass_tflops[best_i] is not None
+        and pass_tflops[best_i] < gate.floor)
     valid_rows = [valid]
     lat_sorted = sorted(latencies)
     p50 = lat_sorted[len(lat_sorted) // 2]
@@ -376,7 +552,8 @@ def main() -> None:
 
     import jax
     out = {
-        "metric": "frames_per_sec_chip_4cam_1440p",
+        "metric": ("SMOKE_wiring_fps_meaningless" if smoke
+                   else "frames_per_sec_chip_4cam_1440p"),
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / baseline_fps, 3),
@@ -386,13 +563,21 @@ def main() -> None:
         "p95_batch_latency_ms": round(p95, 2),
         "mode": mode,
         "fps_passes": fps_passes,  # every pass; value = best sustained
+        # TFLOP/s probe immediately before each pass; the headline pass's
+        # probe decides degraded_window
+        "pass_tflops": [None if t is None else round(t, 2)
+                        for t in pass_tflops],
+        # true iff the BEST pass still ran below the health floor after the
+        # wait budget was exhausted: the fps then measures the tenancy, not
+        # the code path — compare against a healthy-window artifact instead
+        "degraded_window": degraded_window,
         # degraded-window guard fired: iteration budget was shrunk so the
         # artifact could finish; read device_matmul_tflops for context
         "reduced_iters": reduced,
         "batch": batch,
         "transfer": transfer,
         "capture_hw": list(capture_hw),
-        "input_hw": [640, 640],
+        "input_hw": list(input_hw),
         "capture_resize_ms": round(resize_ms, 2),
         "weights": weights_kind,
         "precision": os.environ.get("BENCH_PRECISION", "fp32"),
@@ -406,11 +591,7 @@ def main() -> None:
         sent = program.stats.get("delta_tiles_sent", 0) - warm_tiles
         n_frames = program.stats["frames"] - warm_frames
         out["delta_tiles_per_frame"] = round(sent / max(n_frames, 1), 1)
-    if os.environ.get("BENCH_HEALTH", "1") != "0":
-        try:   # advisory, like every secondary field
-            out["device_matmul_tflops"] = round(measure_device_health(), 2)
-        except Exception as e:  # noqa: BLE001
-            print(f"bench: health probe failed: {e}", file=sys.stderr)
+    gate.annotate(out)   # tflops_samples / waited_s / device_matmul_tflops
     # degraded-window guard, part 2: the advisory probes below dispatch
     # real device work too (serial probe = 24 blocking round trips, device
     # exec = 50 chained dispatches, mAP = 2x48 frames); unbounded they can
@@ -430,6 +611,18 @@ def main() -> None:
                                     iters=exec_iters), 2)
         except Exception as e:  # noqa: BLE001
             print(f"bench: device-exec measure failed: {e}", file=sys.stderr)
+        if transfer == "delta":
+            # the SERVING variant's exec cost (delta reconstruct included),
+            # so the artifact's latency decomposition matches the program
+            # the headline actually dispatches (VERDICT r4 #5)
+            try:
+                out["device_exec_ms_b4_serving"] = round(
+                    measure_device_exec_serving(
+                        program, stream_frames, stream_lanes,
+                        iters=exec_iters), 2)
+            except Exception as e:  # noqa: BLE001
+                print(f"bench: serving device-exec measure failed: {e}",
+                      file=sys.stderr)
     if mode != "latency" and os.environ.get("BENCH_SERIAL_PROBE", "1") != "0":
         # the serial end-to-end latency (one batch-4 dispatch through the
         # relay, nothing pipelined): throughput p50 minus this is queueing,
@@ -448,9 +641,14 @@ def main() -> None:
         # the serving path); mAP50_scene_hard is the earned number
         # (camouflage, distractors, multi-target WildSceneSource).
         try:
-            out["mAP50_scene"] = round(eval_scene_map50(program, n_cams), 4)
-            out["mAP50_scene_hard"] = round(
-                eval_scene_map50(program, n_cams, hard=True), 4)
+            out["mAP50_scene"] = round(
+                eval_scene_map50(program, n_cams)["mAP50"], 4)
+            hard = eval_scene_map50(program, n_cams, hard=True)
+            out["mAP50_scene_hard"] = round(hard["mAP50"], 4)
+            # the honest quality number with headroom (VERDICT r4 #9):
+            # mAP50 on the hard set saturates near 1; the 50-95 sweep is
+            # where localization quality still has room to be earned
+            out["mAP50_95_scene_hard"] = round(hard["mAP50_95"], 4)
             # context for the hard number: did the served checkpoint train
             # on the hard distribution at all? (sidecar metadata's hard_n;
             # absent/0 = easy-only weights, a low hard score is expected)

@@ -150,6 +150,7 @@ class MultiObjectTracker:
         self._lock = threading.Lock()
         self._tracks: List[_Track] = []
         self._next_id = 1
+        self._saturated = False   # warn once per saturation episode
         self.tracks_created = 0
         self.tracks_confirmed = 0
         self.frames_processed = 0
@@ -160,12 +161,22 @@ class MultiObjectTracker:
         """Advance one frame: predict every live track, associate the
         detections, stamp confirmed matches, retire stale tracks. Returns
         the same list (dicts mutated in place: ``track_id``, ``track_age``
-        in frames, ``track_velocity`` {"vx","vy"} px/frame)."""
+        in frames, ``track_velocity`` {"vx","vy"} px/frame).
+
+        The whole frame advances under ``_lock``: ``get_stats``/``reset``
+        may run concurrently from the web-stats / control threads, and an
+        unlocked update would silently undo a concurrent ``reset`` when it
+        reassigns ``_tracks`` (the per-frame cost at <=max_det boxes is
+        negligible next to the Kalman math)."""
         with self._lock:
-            iou_min, max_age, min_hits = (self.iou_min, self.max_age,
-                                          self.min_hits)
-            class_consistent = self.class_consistent
-            max_tracks = self.max_tracks
+            return self._update_locked(detections)
+
+    def _update_locked(self, detections: List[Dict[str, Any]]
+                       ) -> List[Dict[str, Any]]:
+        iou_min, max_age, min_hits = (self.iou_min, self.max_age,
+                                      self.min_hits)
+        class_consistent = self.class_consistent
+        max_tracks = self.max_tracks
         self.frames_processed += 1
         for t in self._tracks:
             t.predict()
@@ -211,8 +222,13 @@ class MultiObjectTracker:
             if box is None or di in used_d:
                 continue
             if len(self._tracks) >= max_tracks:
-                logger.warning("tracker at max_tracks=%d; detection not "
-                               "tracked", max_tracks)
+                # once per saturation EPISODE, not per frame: at 30 fps a
+                # busy scene would otherwise emit this 30x/sec per camera
+                if not self._saturated:
+                    self._saturated = True
+                    logger.warning("tracker at max_tracks=%d; unmatched "
+                                   "detections not tracked until tracks "
+                                   "retire", max_tracks)
                 break
             t = _Track(self._next_id, detections[di].get("class_name", "?"),
                        box)
@@ -232,6 +248,8 @@ class MultiObjectTracker:
         self._tracks = [
             t for t in self._tracks
             if t.time_since_update <= (max_age if t.confirmed else 0)]
+        if self._saturated and len(self._tracks) < max_tracks:
+            self._saturated = False   # episode over; next one warns again
         return detections
 
     # ---------------------------------------------------------------- control
@@ -252,14 +270,16 @@ class MultiObjectTracker:
     def reset(self) -> None:
         with self._lock:
             self._tracks = []
+            self._saturated = False
 
     def get_stats(self) -> Dict[str, Any]:
-        live = list(self._tracks)
-        return {
-            "active_tracks": sum(1 for t in live if t.confirmed
-                                 and t.time_since_update == 0),
-            "live_tracks": len(live),
-            "tracks_created": self.tracks_created,
-            "tracks_confirmed": self.tracks_confirmed,
-            "frames_processed": self.frames_processed,
-        }
+        with self._lock:   # consistent snapshot vs a concurrent update()
+            live = list(self._tracks)
+            return {
+                "active_tracks": sum(1 for t in live if t.confirmed
+                                     and t.time_since_update == 0),
+                "live_tracks": len(live),
+                "tracks_created": self.tracks_created,
+                "tracks_confirmed": self.tracks_confirmed,
+                "frames_processed": self.frames_processed,
+            }

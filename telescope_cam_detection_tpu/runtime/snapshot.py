@@ -96,6 +96,16 @@ class SnapshotSaver:
         # animal (new id after tracking.max_age missed frames) is a new
         # visit. Untracked detections keep the class-cooldown rule.
         self.dedup_tracks = bool(dedup_tracks)
+        # tentative->confirmed hand-off: a new animal's first min_hits-1
+        # frames carry no track_id yet, so its very first save fires via
+        # the CLASS cooldown; when its track confirms moments later, the
+        # track-keyed path must treat that save as THIS track's event (one
+        # event per visit) instead of firing a second one. Each class save
+        # leaves one claim; the first track of that class to confirm within
+        # the grace window consumes it silently. A second animal arriving
+        # together finds the claim gone and fires its own event.
+        self.track_confirm_grace = 5.0   # seconds; >= min_hits/fps
+        self._pending_class_claims: Dict[Tuple[str, str], float] = {}
         self._pending_lock = threading.Lock()
         self._pending_clips: Dict[str, Dict[str, Any]] = {}
         self._pending_bytes = 0  # post-frame bytes across all open clips
@@ -129,12 +139,22 @@ class SnapshotSaver:
             track_id = det.get("track_id") if self.dedup_tracks else None
             if track_id is not None:
                 key = (camera_id, f"track:{track_id}")
+                claim = (camera_id, det.get("class_name", ""))
                 with self._cooldown_lock:
                     if key in self._last_save:   # this animal already saved
                         self.triggers_suppressed += 1
                         continue
                     self._last_save[key] = now
                     self._prune_track_stamps(now)
+                    # first confirmation after a pre-confirmation (class
+                    # keyed) save: that save WAS this animal's event —
+                    # consume the claim and stay silent instead of firing
+                    # a second event for the same visit
+                    ts = self._pending_class_claims.get(claim)
+                    if ts is not None and now - ts <= self.track_confirm_grace:
+                        del self._pending_class_claims[claim]
+                        self.triggers_suppressed += 1
+                        continue
             else:
                 key = (camera_id, det.get("class_name", ""))
                 with self._cooldown_lock:
@@ -143,20 +163,35 @@ class SnapshotSaver:
                         self.triggers_suppressed += 1
                         continue
                     self._last_save[key] = now
+                    if self.dedup_tracks:
+                        # likely a tentative track (no id yet): leave a
+                        # claim for its confirmation to consume
+                        self._pending_class_claims[key] = now
             return det
         return None
 
-    def _prune_track_stamps(self, now: float,
-                            horizon: float = 3600.0) -> None:
+    def _prune_track_stamps(self, now: float, cap: int = 4096) -> None:
         """Track stamps are write-once per id (ids never recur), so the
-        dict grows with every tracked visit — drop entries older than an
-        hour once it gets large. Caller holds _cooldown_lock."""
-        if len(self._last_save) <= 4096:
+        dict grows with every tracked visit — enforce a hard cap by
+        evicting the OLDEST track stamps first (class-cooldown keys are
+        few and never evicted). Age alone was a no-op when >cap stamps
+        accumulated within the horizon, yet rebuilt the dict on every
+        save; oldest-first keeps the prune O(n log n) only when the cap
+        is actually crossed and can't evict a recent (likely still live)
+        track. Caller holds _cooldown_lock. Stale claims ride along."""
+        if len(self._last_save) <= cap:
             return
-        self._last_save = {
-            k: ts for k, ts in self._last_save.items()
-            if not (isinstance(k[1], str) and k[1].startswith("track:")
-                    and now - ts > horizon)}
+        track_keys = [k for k in self._last_save
+                      if isinstance(k[1], str) and k[1].startswith("track:")]
+        excess = len(self._last_save) - cap
+        if excess > 0 and track_keys:
+            track_keys.sort(key=lambda k: self._last_save[k])
+            for k in track_keys[:excess]:
+                del self._last_save[k]
+        if len(self._pending_class_claims) > 256:   # abandoned claims
+            self._pending_class_claims = {
+                k: ts for k, ts in self._pending_class_claims.items()
+                if now - ts <= self.track_confirm_grace}
 
     def _trigger_eligible(self, camera_id: str, det: Dict[str, Any]) -> bool:
         """Class + confidence + alert-zone gates (everything in the

@@ -107,6 +107,26 @@ class TestAssociation:
         assert sum(1 for d in out if "track_id" in d) == 2
         assert tr.get_stats()["live_tracks"] == 2
 
+    def test_saturation_warning_once_per_episode(self, caplog):
+        """ADVICE r4: at 30 fps a saturated tracker must not log the
+        max_tracks warning every frame — once per episode, re-armed when
+        tracks retire."""
+        import logging
+        tr = MultiObjectTracker(min_hits=1, max_tracks=1, max_age=0)
+        two = [det(10, 10, 60, 60), det(300, 10, 350, 60)]
+        with caplog.at_level(logging.WARNING,
+                             logger="telescope_cam_detection_tpu.pipeline"
+                                    ".tracker"):
+            for _ in range(5):   # 5 saturated frames -> ONE warning
+                tr.update(list(two))
+            n_first = sum("max_tracks" in r.message for r in caplog.records)
+            assert n_first == 1
+            tr.update([])   # both boxes gone; track ages out -> episode ends
+            tr.update([])
+            tr.update(list(two))   # saturates again -> a second warning
+            assert sum("max_tracks" in r.message
+                       for r in caplog.records) == 2
+
 
 class TestControlPlane:
     def test_update_params_reports_changes(self):
@@ -180,13 +200,63 @@ class TestSnapshotDedup:
         assert "dedup_tracks" in sv.update_settings({"dedup_tracks": True})
         assert sv.dedup_tracks is True
         now = _t.time()
-        sv._last_save = {("c1", f"track:{i}"): now - 7200
+        # hard cap, oldest-first: 5000 stale + 1 fresh track stamps + 1
+        # class key = 5002 entries -> evict the 906 OLDEST track stamps
+        # down to the 4096 cap; class keys and the fresh stamp survive
+        # even though every stale stamp is inside no age horizon at all
+        sv._last_save = {("c1", f"track:{i}"): now - 7200 + i
                          for i in range(5000)}
         sv._last_save[("c1", "coyote")] = now - 7200   # class keys survive
         sv._last_save[("c1", "track:fresh")] = now
         sv._prune_track_stamps(now)
-        assert sv._last_save == {("c1", "coyote"): now - 7200,
-                                 ("c1", "track:fresh"): now}
+        assert len(sv._last_save) == 4096
+        assert ("c1", "coyote") in sv._last_save
+        assert ("c1", "track:fresh") in sv._last_save
+        # the evicted ones are exactly the oldest track stamps
+        assert ("c1", "track:0") not in sv._last_save
+        assert ("c1", "track:4999") in sv._last_save
+        # under the cap: prune is a no-op (no dict rebuild)
+        before = dict(sv._last_save)
+        sv._prune_track_stamps(now)
+        assert sv._last_save == before
+
+    def test_tentative_to_confirmed_single_event(self):
+        """ADVICE r4 (medium): a new animal's first frames carry no
+        track_id (tentative track); its first save fires via the class
+        cooldown. When the track confirms moments later, that must NOT
+        fire a second event — the confirmation consumes the claim."""
+        sv = self._saver()
+        assert sv.should_save([self._tracked(None)], "c1") is not None
+        # track confirms: same animal, now stamped with an id -> silent
+        assert sv.should_save([self._tracked(1)], "c1") is None
+        assert sv.triggers_suppressed == 1
+        # and the track is stamped: it stays silent forever after
+        assert sv.should_save([self._tracked(1)], "c1") is None
+        # a DIFFERENT animal confirming later (claim already consumed)
+        # fires its own event
+        assert sv.should_save([self._tracked(2)], "c1") is not None
+
+    def test_two_animals_arriving_together_two_events(self):
+        """Claim consumption is one-shot: animal A's pre-confirmation save
+        is claimed by A's confirmation; animal B confirming right after
+        still fires (two coyotes together = two events)."""
+        sv = self._saver()
+        assert sv.should_save([self._tracked(None)], "c1") is not None  # A
+        assert sv.should_save([self._tracked(1)], "c1") is None   # A claims
+        assert sv.should_save([self._tracked(2)], "c1") is not None  # B
+
+    def test_stale_claim_does_not_suppress(self, monkeypatch):
+        """A claim older than the confirmation grace is abandoned (the
+        tentative track died); a track confirming much later is a new
+        visit and fires."""
+        import time as _t
+        sv = self._saver()
+        t0 = _t.time()
+        monkeypatch.setattr(_t, "time", lambda: t0)
+        assert sv.should_save([self._tracked(None)], "c1") is not None
+        monkeypatch.setattr(
+            _t, "time", lambda: t0 + sv.track_confirm_grace + 1)
+        assert sv.should_save([self._tracked(1)], "c1") is not None
 
 
 class TestIntegration:
