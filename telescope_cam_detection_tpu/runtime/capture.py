@@ -275,7 +275,8 @@ class FFmpegStreamCapture(BaseStreamCapture):
 
     def __init__(self, rtsp_url: str, frame_queue: Queue, width: int,
                  height: int, use_tcp: bool = True, decode_threads: int = 2,
-                 extra_args: Optional[list] = None, **kwargs):
+                 extra_args: Optional[list] = None,
+                 ffmpeg_binary: str = "ffmpeg", **kwargs):
         super().__init__(frame_queue, **kwargs)
         self.rtsp_url = rtsp_url
         self.width = width
@@ -283,11 +284,15 @@ class FFmpegStreamCapture(BaseStreamCapture):
         self.use_tcp = use_tcp
         self.decode_threads = decode_threads
         self.extra_args = extra_args or []
+        # overridable decoder binary: hermetic tests drive this capture
+        # with a stub that emits deterministic BGR24 (no ffmpeg/cameras in
+        # CI), and deployments can pin a specific ffmpeg build
+        self.ffmpeg_binary = ffmpeg_binary
         self._proc: Optional[subprocess.Popen] = None
         self._frame_bytes = width * height * 3
 
     def _build_command(self) -> list:
-        cmd = ["ffmpeg", "-nostdin", "-loglevel", "error"]
+        cmd = [self.ffmpeg_binary, "-nostdin", "-loglevel", "error"]
         if self.rtsp_url.startswith("rtsp"):
             cmd += ["-rtsp_transport", "tcp" if self.use_tcp else "udp"]
         cmd += ["-threads", str(self.decode_threads)]
@@ -307,6 +312,19 @@ class FFmpegStreamCapture(BaseStreamCapture):
             return False
         self.connected = True
         return True
+
+    def stop(self) -> None:
+        # The capture thread may be BLOCKED in a pipe read on the decoder's
+        # stdout; the base stop() joins the thread before _disconnect, so
+        # kill the decoder first (after clearing the run flag, so the loop
+        # can't treat the death as a failure and respawn) — the read
+        # unblocks with EOF and the join completes instead of leaking the
+        # thread (found driving the app against a live decoder subprocess).
+        self._running.clear()
+        proc = self._proc
+        if proc is not None:
+            proc.kill()
+        super().stop()
 
     def _disconnect(self) -> None:
         proc, self._proc = self._proc, None
@@ -458,7 +476,9 @@ def create_stream_capture(camera: Dict[str, Any], frame_queue: Queue,
         return FFmpegStreamCapture(
             url, frame_queue,
             width=camera.get("target_width", 1920),
-            height=camera.get("target_height", 1080), **common)
+            height=camera.get("target_height", 1080),
+            decode_threads=camera.get("decode_threads", 2),
+            ffmpeg_binary=camera.get("ffmpeg_binary", "ffmpeg"), **common)
     return RTSPStreamCapture(url, frame_queue,
                              use_tcp=(protocol != "rtsp"),
                              buffer_size=camera.get("buffer_size", 1), **common)

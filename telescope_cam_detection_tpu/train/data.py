@@ -448,6 +448,67 @@ class OneHotView:
         return img, onehot
 
 
+class SpeciesCropDataset(ClassificationFolderDataset):
+    """Stage-2 fine-tune / eval crops over the closed synthetic taxonomy
+    (utils.frames.SPECIES_TABLE): each crop is one species body — pattern
+    family + parameters are the class signature — rendered over a smooth
+    outdoor background with the nuisances the serving crops actually have
+    (scale, rotation, off-center subject, camouflage alpha, illumination
+    gain, sensor noise, occasional defocus blur).
+
+    The zero-egress analog of the reference's iNat-2021 crop distribution
+    (species_classifier.py classifies detector crops at 92% top-1,
+    ARCHITECTURE.md:281). Balanced: idx % NUM_SPECIES is the label; train
+    and held-out splits must use different seeds."""
+
+    def __init__(self, n: int = 1024, image_size: int = 112, seed: int = 0,
+                 alpha_range: Tuple[float, float] = (0.65, 1.0),
+                 blur_prob: float = 0.2):
+        from telescope_cam_detection_tpu.utils.frames import (
+            NUM_SPECIES, SPECIES_TABLE)
+        self.image_size = image_size
+        self.class_names = [sp["common_name"] for sp in SPECIES_TABLE]
+        self.samples = [(Path(f"species_{i}"), i % NUM_SPECIES)
+                        for i in range(n)]
+        self.seed = seed
+        self.alpha_range = alpha_range
+        self.blur_prob = blur_prob
+
+    def load(self, idx: int) -> Tuple[np.ndarray, int]:
+        import cv2
+        from telescope_cam_detection_tpu.utils.frames import (
+            _paste_blended, _smooth_background, species_texture)
+        _, cid = self.samples[idx]
+        rng = np.random.default_rng(self.seed * 99991 + idx)
+        s = self.image_size
+        img = _smooth_background(rng, s, s)
+        # body fills 40-85% of the crop (detector crops are padded ~20%)
+        bw = int(s * rng.uniform(0.40, 0.85))
+        bh = max(int(bw * rng.uniform(0.55, 0.95)), 8)
+        tex, mask = species_texture(cid, bh, bw, rng)
+        angle = float(rng.uniform(-30, 30))
+        # rotate texture + mask together around the body center
+        mrot = cv2.getRotationMatrix2D((bw / 2.0, bh / 2.0), angle, 1.0)
+        diag = int(np.ceil(np.hypot(bw, bh)))
+        mrot[0, 2] += (diag - bw) / 2.0
+        mrot[1, 2] += (diag - bh) / 2.0
+        tex_r = cv2.warpAffine(tex, mrot, (diag, diag),
+                               flags=cv2.INTER_LINEAR)
+        mask_r = cv2.warpAffine(mask.astype(np.uint8), mrot, (diag, diag),
+                                flags=cv2.INTER_NEAREST).astype(bool)
+        x = int((s - diag) / 2 + rng.uniform(-0.08, 0.08) * s)
+        y = int((s - diag) / 2 + rng.uniform(-0.08, 0.08) * s)
+        alpha = float(rng.uniform(*self.alpha_range))
+        _paste_blended(img, tex_r, mask_r, alpha, x, y)
+        gain = rng.uniform(0.8, 1.2)
+        out = img.astype(np.float32) * gain + rng.normal(0, 2.0, (s, s, 3))
+        out = np.clip(out, 0, 255).astype(np.uint8)
+        if rng.uniform() < self.blur_prob:   # defocus / motion softness
+            k = int(rng.integers(1, 3)) * 2 + 1
+            out = cv2.GaussianBlur(out, (k, k), 0)
+        return out, cid
+
+
 class SyntheticClassificationDataset(ClassificationFolderDataset):
     """Procedural class-colored crops for hermetic fine-tune tests."""
 

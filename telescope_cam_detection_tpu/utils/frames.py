@@ -147,6 +147,139 @@ def _paste_blended(frame: np.ndarray, tex: np.ndarray, mask: np.ndarray,
     frame[y0:y1, x0:x1] = np.clip(out, 0, 255).astype(np.uint8)
 
 
+# -- species substrate ---------------------------------------------------------
+# A small closed taxonomy of procedurally distinguishable "species", the
+# zero-egress analog of the reference's iNaturalist-10k classes
+# (reference species_classifier.py:18-80 serves EVA02-L at 92% top-1,
+# ARCHITECTURE.md:281). Every species is identified by pattern family
+# (genus trait) + pattern parameters / coloration (species trait), so a
+# Stage-2 classifier has to learn texture, not a lookup of one bright
+# pixel. Grouped 2 families x 2 genera x 4 species so the hierarchical
+# fallback (species -> genus -> family) is exercised by real structure.
+#   pattern p1/p2 meaning: stripes (period px, angle deg) | spots
+#   (radius px, grid period px) | patches (cell px, contrast) | plain
+#   (belly-gradient strength, warm-cool tilt)
+SPECIES_TABLE = [
+    # genus Vittafelis (striped cats), family Felidra
+    {"common_name": "dune stripecat", "name": "Vittafelis eremi",
+     "genus": "Vittafelis", "family": "Felidra",
+     "color": (96, 118, 146), "pattern": "stripes", "p1": 9.0, "p2": 0.0},
+    {"common_name": "broad-band stripecat", "name": "Vittafelis latus",
+     "genus": "Vittafelis", "family": "Felidra",
+     "color": (104, 126, 138), "pattern": "stripes", "p1": 20.0, "p2": 0.0},
+    {"common_name": "cross stripecat", "name": "Vittafelis transversus",
+     "genus": "Vittafelis", "family": "Felidra",
+     "color": (96, 118, 146), "pattern": "stripes", "p1": 9.0, "p2": 90.0},
+    {"common_name": "slant stripecat", "name": "Vittafelis obliquus",
+     "genus": "Vittafelis", "family": "Felidra",
+     "color": (110, 120, 130), "pattern": "stripes", "p1": 14.0, "p2": 45.0},
+    # genus Maculafelis (spotted cats), family Felidra
+    {"common_name": "fine-spot rockcat", "name": "Maculafelis minutus",
+     "genus": "Maculafelis", "family": "Felidra",
+     "color": (100, 125, 150), "pattern": "spots", "p1": 2.2, "p2": 9.0},
+    {"common_name": "pebble rockcat", "name": "Maculafelis saxum",
+     "genus": "Maculafelis", "family": "Felidra",
+     "color": (100, 125, 150), "pattern": "spots", "p1": 4.0, "p2": 14.0},
+    {"common_name": "sparse-spot rockcat", "name": "Maculafelis rarus",
+     "genus": "Maculafelis", "family": "Felidra",
+     "color": (112, 118, 136), "pattern": "spots", "p1": 3.2, "p2": 21.0},
+    {"common_name": "boulder rockcat", "name": "Maculafelis magnus",
+     "genus": "Maculafelis", "family": "Felidra",
+     "color": (92, 112, 150), "pattern": "spots", "p1": 6.5, "p2": 26.0},
+    # genus Tessellacanis (patched dogs), family Canidra
+    {"common_name": "mosaic mesadog", "name": "Tessellacanis parvus",
+     "genus": "Tessellacanis", "family": "Canidra",
+     "color": (90, 115, 135), "pattern": "patches", "p1": 5.0, "p2": 0.55},
+    {"common_name": "brindle mesadog", "name": "Tessellacanis medius",
+     "genus": "Tessellacanis", "family": "Canidra",
+     "color": (98, 120, 128), "pattern": "patches", "p1": 9.0, "p2": 0.45},
+    {"common_name": "blotched mesadog", "name": "Tessellacanis maculosus",
+     "genus": "Tessellacanis", "family": "Canidra",
+     "color": (88, 108, 140), "pattern": "patches", "p1": 15.0, "p2": 0.6},
+    {"common_name": "shield mesadog", "name": "Tessellacanis scutum",
+     "genus": "Tessellacanis", "family": "Canidra",
+     "color": (104, 118, 126), "pattern": "patches", "p1": 24.0, "p2": 0.5},
+    # genus Planicanis (plain dogs), family Canidra — colorimetric species:
+    # distinguished by channel RATIOS (stable under illumination gain),
+    # not absolute brightness
+    {"common_name": "sand plaindog", "name": "Planicanis arenae",
+     "genus": "Planicanis", "family": "Canidra",
+     "color": (70, 118, 160), "pattern": "plain", "p1": 50.0, "p2": 0.0},
+    {"common_name": "slate plaindog", "name": "Planicanis ardesia",
+     "genus": "Planicanis", "family": "Canidra",
+     "color": (140, 110, 86), "pattern": "plain", "p1": 10.0, "p2": 0.0},
+    {"common_name": "moss plaindog", "name": "Planicanis muscus",
+     "genus": "Planicanis", "family": "Canidra",
+     "color": (80, 135, 95), "pattern": "plain", "p1": 35.0, "p2": 0.0},
+    {"common_name": "dusk plaindog", "name": "Planicanis crepusculi",
+     "genus": "Planicanis", "family": "Canidra",
+     "color": (125, 95, 125), "pattern": "plain", "p1": 20.0, "p2": 0.0},
+]
+
+NUM_SPECIES = len(SPECIES_TABLE)
+
+
+def species_taxonomy() -> Dict[str, Dict[str, str]]:
+    """class_id -> taxonomy entry in the exact JSON-dict format
+    pipeline.species.load_taxonomy consumes (and the reference's taxonomy
+    loader validates, species_classifier.py:90-166)."""
+    out: Dict[str, Dict[str, str]] = {}
+    for i, sp in enumerate(SPECIES_TABLE):
+        out[str(i)] = {
+            "common_name": sp["common_name"],
+            "name": sp["name"],
+            "genus": sp["genus"],
+            "family": sp["family"],
+            "order": "Synthetica",
+            "class": "Mammalia",
+        }
+    return out
+
+
+def species_texture(species_id: int, h: int, w: int,
+                    rng: np.random.Generator
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """Render one species body: (tex uint8 (h, w, 3) BGR, mask bool (h, w)).
+
+    Deterministic given (species_id, rng state). The pattern phase/jitter
+    comes from rng so no two individuals are pixel-identical, but the
+    pattern STATISTICS (period, orientation, dot size, palette ratios)
+    are the species signature a classifier must key on."""
+    sp = SPECIES_TABLE[int(species_id) % NUM_SPECIES]
+    base = np.asarray(sp["color"], np.float32)
+    dark = base * 0.42
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    pattern, p1, p2 = sp["pattern"], float(sp["p1"]), float(sp["p2"])
+    if pattern == "stripes":
+        th = np.deg2rad(p2 + rng.uniform(-8, 8))
+        phase = rng.uniform(0, 2 * np.pi)
+        s = np.sin(2 * np.pi * (xx * np.cos(th) + yy * np.sin(th)) / p1
+                   + phase)
+        m2 = s > 0
+        tex = np.where(m2[..., None], base, dark)
+    elif pattern == "spots":
+        period = p2
+        ox, oy = rng.uniform(0, period, 2)
+        gx = (xx + ox) % period - period / 2
+        gy = (yy + oy) % period - period / 2
+        m2 = gx ** 2 + gy ** 2 <= p1 ** 2
+        tex = np.where(m2[..., None], dark, base)
+    elif pattern == "patches":
+        cell = max(int(p1), 2)
+        g = rng.normal(0, 1, ((h + cell - 1) // cell,
+                              (w + cell - 1) // cell, 1))
+        g = np.kron(g, np.ones((cell, cell, 1)))[:h, :w]
+        lo = base * (1.0 - p2)
+        tex = np.where(g > 0, base, lo)
+    else:   # plain: belly gradient, species signature = channel ratios
+        grad = (yy / max(h - 1, 1))[..., None] * p1
+        tex = base + grad
+    tex = tex + rng.normal(0, 7, (h, w, 3))   # pelt/feather noise
+    ry, rx = h / 2.0, w / 2.0
+    mask = (((yy - ry) / ry) ** 2 + ((xx - rx) / rx) ** 2) <= 1.0
+    return np.clip(tex, 0, 255).astype(np.uint8), mask
+
+
 class WildSceneSource:
     """Harder deterministic scene generator for honest quality metrics.
 

@@ -46,7 +46,13 @@ def preload(ds):
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--variant", default="yolox-s")
+    ap.add_argument("--variant", default="yolox-s",
+                    help="detector variant; rtdetr* variants train the "
+                         "RT-DETR family under Hungarian+VFL/GIoU+CDN "
+                         "(train/detr_loss.py) with the same scene data "
+                         "and the same serving-program eval")
+    ap.add_argument("--input", type=int, default=640,
+                    help="square train/serve input size")
     ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--lr", type=float, default=1e-3)
@@ -58,7 +64,10 @@ def main() -> None:
                          "easy-only round-4 behavior")
     ap.add_argument("--val-n", type=int, default=48)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--out", default=DEFAULT_OUT)
+    ap.add_argument("--out", default=None,
+                    help="checkpoint path (default: weights/"
+                         "yolox_s_scene640.npz for yolox-s, "
+                         "weights/<variant>_scene<input>.npz otherwise)")
     ap.add_argument("--no-flip", action="store_true",
                     help="disable horizontal-flip augmentation")
     ap.add_argument("--init-from", default=None,
@@ -74,6 +83,9 @@ def main() -> None:
     args = ap.parse_args()
 
     import numpy as np
+
+    from telescope_cam_detection_tpu.utils.jaxconfig import configure_jax
+    configure_jax()   # honors TCD_PLATFORM=cpu; persistent cache on TPU
     import jax
     import jax.numpy as jnp
 
@@ -85,7 +97,30 @@ def main() -> None:
     from telescope_cam_detection_tpu.train.evaluate import evaluate_detections
     from telescope_cam_detection_tpu.train.trainer import build_training
 
-    input_hw = (640, 640)
+    input_hw = (args.input, args.input)
+    detector_type = ("rtdetr" if args.variant.startswith("rtdetr")
+                     else "yolox")
+    if args.out is None:
+        if args.variant == "yolox-s" and args.input == 640:
+            args.out = DEFAULT_OUT
+        else:
+            slug = args.variant.replace("-", "_").replace(".", "")
+            args.out = os.path.join(os.path.dirname(DEFAULT_OUT),
+                                    f"{slug}_scene{args.input}.npz")
+
+    def serving_tree(state):
+        """Servable variables: RT-DETR's train-only params (deep-
+        supervision aux heads, CDN denoising embedding) are never
+        referenced by the serving forward — strip them so the checkpoint
+        loads straight into DetectorProgram (train/checkpoint.py:75-91)."""
+        params = jax.device_get(state.params)
+        if detector_type == "rtdetr" and isinstance(params, dict):
+            params = {k: v for k, v in params.items()
+                      if not (str(k).startswith("aux_class_head")
+                              or str(k) == "dn_class_embed")}
+        return {"params": params,
+                "batch_stats": jax.device_get(state.batch_stats)}
+
     print(f"backend={jax.default_backend()} devices={jax.devices()}",
           file=sys.stderr)
 
@@ -172,14 +207,11 @@ def main() -> None:
                 print(f"step {step}: loss {loss:.3f} "
                       f"({time.perf_counter() - t0:.1f}s)", file=sys.stderr)
             if args.save_every and step and step % args.save_every == 0:
-                snap = {"params": jax.device_get(state.params),
-                        "batch_stats": jax.device_get(state.batch_stats)}
-                save_variables_npz(snap, args.out)
+                save_variables_npz(serving_tree(state), args.out)
                 print(f"checkpoint @ step {step} -> {args.out}",
                       file=sys.stderr)
 
-        variables = {"params": jax.device_get(state.params),
-                     "batch_stats": jax.device_get(state.batch_stats)}
+        variables = serving_tree(state)
         save_variables_npz(variables, args.out)
 
     # held-out eval THROUGH the serving program (same preprocess/NMS/filter
@@ -187,8 +219,9 @@ def main() -> None:
     # the deployed confidence
     def eval_at(conf):
         prog = DetectorProgram(
-            ProgramSpec(variant=args.variant, input_hw=input_hw,
-                        max_det=20, pre_nms_topk=200, transfer="host"),
+            ProgramSpec(detector_type=detector_type, variant=args.variant,
+                        input_hw=input_hw, max_det=20, pre_nms_topk=200,
+                        transfer="host"),
             variables=variables)
         prog.update_filters(FilterSettings(conf_threshold=conf,
                                            wildlife_only=True))
@@ -212,7 +245,8 @@ def main() -> None:
           f"mAP50@0.25 {m_served_hard['mAP50']:.4f}", file=sys.stderr)
 
     meta = {
-        "variant": args.variant, "input_hw": list(input_hw),
+        "variant": args.variant, "detector_type": detector_type,
+        "input_hw": list(input_hw),
         "num_classes": 80, "class_id": CLASS_ID, "steps": args.steps,
         "batch": args.batch, "lr": args.lr, "seed": args.seed,
         "hard_n": args.hard_n,
