@@ -317,6 +317,9 @@ class DetectorProgram(DetectorDispatchTail):
             self._dp = 1
         self._delta_lock = threading.RLock()   # guards lanes + device state
         self._lane_registry: Dict[str, int] = {}
+        # multi-process placement cache: replicated copies of weights /
+        # filter arrays as global jax.Arrays (see _mp_replicated)
+        self._mp_cache: Dict[str, Tuple[Any, Any]] = {}
         if spec.gates == "device":
             # per-(frame resolution) gate state; resolutions share lanes
             self._gate_states: Dict[Tuple[int, int], Any] = {}
@@ -366,6 +369,62 @@ class DetectorProgram(DetectorDispatchTail):
         from jax.sharding import NamedSharding, PartitionSpec as P
         from telescope_cam_detection_tpu.parallel.mesh import DATA_AXIS
         return NamedSharding(self.mesh, P(DATA_AXIS))
+
+    # -- multi-process (multi-host) placement --------------------------------
+    # A mesh whose devices span >1 jax process (jax.distributed cluster:
+    # one process per host, DCN between hosts) cannot take plain host
+    # numpy arrays as jitted-program arguments — every argument must be a
+    # GLOBAL jax.Array each process contributes its addressable shards to.
+    # These helpers build them: dp-sharded inputs from process-LOCAL data
+    # (each host dispatches its own cameras' frames), replicated weights /
+    # runtime thresholds from identical per-process host values, and
+    # lane-sharded state from deterministic init. The serving contract in
+    # parallel/distributed.py:12-16 rides on this.
+
+    def _mp_active(self) -> bool:
+        return self.mesh is not None and jax.process_count() > 1
+
+    def _mp_from_full(self, full, sharding):
+        """Full (identical-on-every-process) host value -> global Array."""
+        full = np.asarray(jax.device_get(full))
+        return jax.make_array_from_callback(
+            full.shape, sharding, lambda idx: full[idx])
+
+    def _mp_replicated(self, key: str, tree):
+        """Replicate a pytree mesh-wide, cached by object identity: weights
+        re-place only on hot swap, filter arrays only on update_filters."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        ent = self._mp_cache.get(key)
+        if ent is not None and ent[0] is tree:
+            return ent[1]
+        rep = NamedSharding(self.mesh, P())
+        placed = jax.tree.map(lambda x: self._mp_from_full(x, rep), tree)
+        self._mp_cache[key] = (tree, placed)
+        return placed
+
+    def _mp_sharded(self, local) -> Any:
+        """Process-local rows (this host's slice of the batch axis) ->
+        global dp-sharded Array. Every process must pass the same local
+        shape (balanced camera traffic — the coordinator's round-robin)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from telescope_cam_detection_tpu.parallel.mesh import DATA_AXIS
+        local = np.asarray(local)
+        sh = NamedSharding(self.mesh,
+                           P(DATA_AXIS, *([None] * (local.ndim - 1))))
+        return jax.make_array_from_process_local_data(sh, local)
+
+    def _mp_local_rows(self, garr, sel: Optional[np.ndarray] = None,
+                       n: Optional[int] = None):
+        """Global batch-sharded result -> THIS process's rows (its own
+        cameras), optionally un-permuted through a local sel."""
+        shards = sorted(garr.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        local = np.concatenate([np.asarray(s.data) for s in shards])
+        if sel is not None:
+            local = local[sel[:n]] if n is not None else local[sel]
+        elif n is not None:
+            local = local[:n]
+        return local
 
     def _shard_layout(self, lane_list: Sequence[int]):
         """Order a batch into dp-shard layout: entries grouped by the shard
@@ -491,6 +550,10 @@ class DetectorProgram(DetectorDispatchTail):
         return lay_frames, lay_lanes, sel
 
     def _new_delta_ref(self):
+        if self._mp_active():   # each process allocates only its shards
+            return self._mp_from_full(
+                np.zeros(self._delta_ref_shape, np.uint8),
+                self._lane_state_sharding())
         ref = jnp.zeros(self._delta_ref_shape, jnp.uint8)
         if self.mesh is not None:   # lane axis sharded over dp
             ref = jax.device_put(ref, self._lane_state_sharding())
@@ -633,7 +696,13 @@ class DetectorProgram(DetectorDispatchTail):
         if state is None:
             from telescope_cam_detection_tpu.ops.motion import init_gate_state
             state = init_gate_state(frame_hw, self._n_lanes)
-            if self.mesh is not None:
+            if self._mp_active():
+                # deterministic init: every process holds the same full
+                # value; each contributes its own lane shards
+                sh = self._lane_state_sharding()
+                state = jax.tree.map(
+                    lambda x: self._mp_from_full(x, sh), state)
+            elif self.mesh is not None:
                 sh = self._lane_state_sharding()
                 state = jax.tree.map(lambda x: jax.device_put(x, sh), state)
             self._gate_states[frame_hw] = state
@@ -1059,6 +1128,14 @@ class DetectorProgram(DetectorDispatchTail):
             raise ValueError("lanes length != batch")
         if any(l < -1 or l >= spec.delta_lanes for l in gate_lanes):
             raise ValueError(f"lane out of range (delta_lanes={spec.delta_lanes})")
+        if self._mp_active():
+            if spec.gates == "device":
+                raise NotImplementedError(
+                    "multi-process gated delta serving is not supported "
+                    "yet: run device gates per host (each host its own "
+                    "program) or gates='none' across hosts")
+            return self._dispatch_delta_mp(frames, capture_hw, gate_lanes,
+                                           resize_hw)
         sel = None
         if self.mesh is not None:
             # group by the shard owning each lane's reference-frame slice;
@@ -1163,6 +1240,111 @@ class DetectorProgram(DetectorDispatchTail):
                     else (self._GATED_MARK, packed))
         return (self._ROWS_MARK, rows, sel) if sel is not None else rows
 
+    def _dispatch_delta_mp(self, frames, capture_hw: Tuple[int, int],
+                           lanes: List[int],
+                           resize_hw: Optional[Tuple[int, int]]):
+        """Delta dispatch over a MULTI-PROCESS mesh: each host encodes and
+        ships only its own cameras' tile deltas; the per-lane device
+        reference buffer shards its lane axis across the whole cluster
+        (process boundaries included), and one global program executes per
+        cluster step.
+
+        Contract (asserted where cheap): every process dispatches the same
+        local batch size with balanced per-shard lane traffic (the
+        coordinator's round-robin layout), and a frame's lane must be
+        owned by the dispatching process — frames don't cross DCN, only
+        XLA's own collectives do. The tile bucket K is pinned to the full
+        refresh bucket so all processes compile the same program
+        signature regardless of per-host scene activity."""
+        from telescope_cam_detection_tpu.runtime.delta import (
+            DeltaEncoder, pack_batch)
+        spec = self.spec
+        nproc = jax.process_count()
+        pid = jax.process_index()
+        if self._dp % nproc:
+            raise ValueError(f"mesh dp axis ({self._dp}) must divide "
+                             f"evenly across {nproc} processes")
+        dp_local = self._dp // nproc
+        per_shard_lanes = self._n_lanes // self._dp
+        lo = pid * dp_local * per_shard_lanes
+        hi = lo + dp_local * per_shard_lanes
+        for lane in lanes:
+            if lane >= 0 and not (lo <= lane < hi):
+                raise ValueError(
+                    f"lane {lane} not owned by process {pid} "
+                    f"(owns [{lo}, {hi})); multi-host serving shards "
+                    "cameras across hosts, frames never cross DCN")
+        # local shard-group layout (the local restriction of _shard_layout)
+        groups: List[List[int]] = [[] for _ in range(dp_local)]
+        pad_positions: List[int] = []
+        for pos, lane in enumerate(lanes):
+            if lane < 0:
+                pad_positions.append(pos)
+            else:
+                groups[(lane - lo) // per_shard_lanes].append(pos)
+        for pos in pad_positions:
+            min(groups, key=len).append(pos)
+        per = max(max(len(g) for g in groups), 1)
+        per = 1 << (per - 1).bit_length()
+        order: List[int] = []
+        for g in groups:
+            order.extend(g)
+            order.extend([-1] * (per - len(g)))
+        sel = np.empty(len(lanes), np.int32)
+        for j, pos in enumerate(order):
+            if pos >= 0:
+                sel[pos] = j
+        self.stats["pad_frames"] += len(order) - len(lanes)
+
+        num_tiles = self._delta_ref_shape[1]
+        empty_encode = (np.zeros((0,), np.int32), np.zeros((0,), np.uint8))
+        with self._delta_lock:
+            lay_lanes: List[int] = []
+            encoded: List[Any] = []
+            for pos in order:
+                if pos < 0:
+                    lay_lanes.append(-1)
+                    encoded.append(empty_encode)
+                    continue
+                lane = lanes[pos]
+                lay_lanes.append(lane)
+                enc = self._delta_encoders.get(lane)
+                if enc is None:
+                    enc = self._delta_encoders[lane] = DeltaEncoder(
+                        spec.input_hw, tile=spec.delta_tile,
+                        threshold=spec.delta_threshold,
+                        refresh_tiles=spec.delta_refresh_tiles,
+                        payload=spec.delta_payload)
+                frame = frames[pos]
+                if resize_hw is not None and frame.shape[:2] != resize_hw:
+                    frame = self._resize_one(frame)
+                encoded.append(enc.encode(frame))
+            # K pinned to the top bucket: per-host content must not change
+            # the compiled signature (processes would deadlock compiling
+            # different programs)
+            lanes_a, idx_a, tiles_a, k = pack_batch(
+                encoded, lay_lanes, num_tiles, spec.delta_tile,
+                k_buckets=(num_tiles,), payload=spec.delta_payload)
+            if self._delta_ref is None:
+                self._delta_ref = self._new_delta_ref()
+            f = self._filter_arrays
+            frep = self._mp_replicated("filters", f)
+            fn = self._get_delta_program(len(order) * nproc, capture_hw, k)
+            try:
+                new_ref, rows = fn(
+                    self._mp_replicated("variables", self.variables),
+                    self._delta_ref, self._mp_sharded(lanes_a),
+                    self._mp_sharded(idx_a), self._mp_sharded(tiles_a),
+                    frep["class_conf"], frep["min_area"], frep["max_area"],
+                    frep["class_allowed"])
+            except Exception:
+                self.reset_delta()
+                raise
+            self._delta_ref = new_ref
+            self.stats["delta_tiles_sent"] += int(
+                sum(len(i) for i, _ in encoded))
+        return (self._ROWS_MARK, rows, sel)   # callers count batches/frames
+
     # -- inference ------------------------------------------------------------
     def dispatch_batch(self, frames: np.ndarray,
                        lanes: Optional[Sequence[int]] = None,
@@ -1196,7 +1378,8 @@ class DetectorProgram(DetectorDispatchTail):
                 (frames.shape[1], frames.shape[2]) != self.spec.input_hw:
             raise ValueError("capture_hw is only valid for frames already "
                              f"resized to input_hw={self.spec.input_hw}")
-        if self.mesh is not None and self.spec.gates != "device" \
+        if self.mesh is not None and not self._mp_active() \
+                and self.spec.gates != "device" \
                 and self.spec.transfer != "delta":
             # plain-program mesh path: the dp-sharded batch axis must divide
             # the mesh; pad with blank frames (their rows come back invalid
@@ -1277,9 +1460,28 @@ class DetectorProgram(DetectorDispatchTail):
             return (self._GATED_MARK, packed)
         if self.spec.transfer == "yuv420":
             frames = self._pack_yuv420(frames)
-        fn = self._get_program(batch, capture_hw)
-        rows = fn(self.variables, jnp.asarray(frames), f["class_conf"],
-                  f["min_area"], f["max_area"], f["class_allowed"])
+        if self._mp_active():
+            # multi-host plain path: this process contributes its own
+            # cameras' frames as one dp shard-group; weights/filters
+            # replicate mesh-wide (cached). Every process must dispatch
+            # the same local batch per cluster step.
+            nproc = jax.process_count()
+            dp_local = max(self._dp // nproc, 1)
+            short = (-frames.shape[0]) % dp_local
+            if short:
+                self.stats["pad_frames"] += short
+                frames = np.concatenate(
+                    [frames, np.zeros((short, *frames.shape[1:]), np.uint8)])
+            frep = self._mp_replicated("filters", f)
+            fn = self._get_program(frames.shape[0] * nproc, capture_hw)
+            rows = fn(self._mp_replicated("variables", self.variables),
+                      self._mp_sharded(frames), frep["class_conf"],
+                      frep["min_area"], frep["max_area"],
+                      frep["class_allowed"])
+        else:
+            fn = self._get_program(batch, capture_hw)
+            rows = fn(self.variables, jnp.asarray(frames), f["class_conf"],
+                      f["min_area"], f["max_area"], f["class_allowed"])
         self.stats["batches"] += 1
         self.stats["frames"] += batch
         return rows
@@ -1380,14 +1582,23 @@ class DetectorProgram(DetectorDispatchTail):
         aux is present only for gates='device' programs: motion_area /
         initialized (empty-frame gate, capture-px units), motion_ratio /
         motion_pixels per row (MOG2 gate), mean_luma."""
+        def to_host(arr, sel=None):
+            # multi-process mesh: the global result is only partially
+            # addressable here — assemble THIS process's rows (its own
+            # cameras' shards), then un-permute through the local sel
+            if getattr(arr, "is_fully_addressable", True):
+                a = np.asarray(arr)
+                return a[sel[:n]] if sel is not None else a[:n]
+            return self._mp_local_rows(arr, sel, n)
+
         if isinstance(handle, tuple) and handle[0] == self._GATED_MARK:
-            packed = np.asarray(handle[1])
             # mesh shard layout: un-permute back to caller order via sel
-            packed = packed[handle[2][:n]] if len(handle) == 3 else packed[:n]
+            packed = to_host(handle[1],
+                             handle[2] if len(handle) == 3 else None)
             return self._unpack_gated(packed)
         if isinstance(handle, tuple) and handle[0] == self._ROWS_MARK:
-            return np.asarray(handle[1])[handle[2][:n]], None
-        return np.asarray(handle)[:n], None
+            return to_host(handle[1], handle[2]), None
+        return to_host(handle), None
 
     def _warmup_hw(self) -> Tuple[int, int]:
         return self.spec.input_hw

@@ -54,6 +54,39 @@ def split_phrases(holdout_every: int = 5, seed: int = 0
     return train, heldout
 
 
+def split_phrases_with_negatives(
+    holdout_every: int = 5, negative_every: int = 5, seed: int = 0
+) -> Tuple[List[str], List[str], List[str]]:
+    """Three DISJOINT composition groups: (train, eval-held-out,
+    train-negatives).
+
+    The round-4 checkpoint fired 3.3x/image on off-vocabulary objects at
+    the serving threshold: training never showed an object whose
+    composition was absent from the prompt list, so the head learned
+    "attributes present => fire" instead of the conjunction. The fix
+    renders `negatives` as UNLABELED distractors during training — pairs
+    whose color AND shape each appear in the train vocab, but never that
+    combination — teaching "composition not in the prompt list => silent"
+    as a rule. Crucially the negatives are disjoint from the eval held-out
+    pairs, so the held-out mAP still measures honest compositional
+    transfer (the model has never seen those pairs as positives OR
+    negatives)."""
+    rng = np.random.default_rng(seed)
+    phrases = all_phrases()
+    order = rng.permutation(len(phrases))
+    n_held = len(phrases) // holdout_every
+    n_neg = len(phrases) // negative_every
+    held = sorted(int(i) for i in order[:n_held])
+    neg = sorted(int(i) for i in order[n_held:n_held + n_neg])
+    train = [p for i, p in enumerate(phrases)
+             if i not in held and i not in neg]
+    heldout = [phrases[i] for i in held]
+    negatives = [phrases[i] for i in neg]
+    for attr in list(OV_COLORS) + list(OV_SHAPES):
+        assert any(attr in p for p in train), attr
+    return train, heldout, negatives
+
+
 def _shape_mask(shape: str, s: int) -> np.ndarray:
     yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
     c = (s - 1) / 2.0

@@ -317,11 +317,39 @@ class WildSceneSource:
         noise_sigma: float = 2.0,
         illumination_drift: float = 0.10,
         min_visible_fraction: float = 0.30,
+        night: bool = False,
+        motion_blur: bool = False,
+        n_occluders: int = 0,
+        species_mode: bool = False,
     ):
+        """Extra difficulty axes (VERDICT r4 #9 — each a real failure mode
+        of the deployment the easy metric can't see):
+
+        * ``night``: scene-wide gain 0.30 with amplified sensor noise —
+          low-light frames where absolute brightness carries almost no
+          signal.
+        * ``motion_blur``: targets smear along their own trajectory
+          direction proportional to instantaneous speed (capture-time
+          blur of a moving animal, not a global filter).
+        * ``n_occluders``: foliage clumps drawn OVER the targets —
+          partial occlusion with textured, plausible occluders. Ground
+          truth keeps the full target box (the deployment wants the
+          animal found behind the bush); near-total occlusion is rare at
+          the sizes used but bounds achievable mAP below 1 by design.
+        * ``species_mode``: target bodies render from the closed species
+          taxonomy (SPECIES_TABLE) instead of generic speckle, and
+          ``labels_at`` exposes per-target species ids — the substrate
+          for END-TO-END two-stage evaluation (detector crop ->
+          classifier -> species_top1)."""
         self.width = width
         self.height = height
         self.min_visible_fraction = min_visible_fraction
         self.illumination_drift = illumination_drift
+        self.night = night
+        self.motion_blur = motion_blur
+        self.species_mode = species_mode
+        if night:
+            noise_sigma = max(noise_sigma, 6.0)
         rng = np.random.default_rng(seed)
         self._background = _smooth_background(rng, width, height)
         if noise_sigma > 0:
@@ -342,23 +370,31 @@ class WildSceneSource:
         for _ in range(n_targets):
             s = int(rng.integers(size_range[0], size_range[1] + 1))
             h = max(int(s * rng.uniform(0.55, 0.95)), 8)
-            color = animal_palette[rng.integers(len(animal_palette))]
-            # speckled two-tone body: base color + coarse dark patches +
-            # fine speckle (real pelts/feathers are textured, not flat)
-            patch = rng.normal(0, 1, ((h + 7) // 8, (s + 7) // 8, 1))
-            patch = np.kron(patch, np.ones((8, 8, 1)))[:h, :s]
-            tex = (color[None, None, :]
-                   + 24.0 * patch
-                   + rng.normal(0, 14, (h, s, 3)))
-            yy, xx = np.mgrid[0:h, 0:s]
-            ry, rx = h / 2.0, s / 2.0
-            mask = (((yy - ry) / ry) ** 2 + ((xx - rx) / rx) ** 2) <= 1.0
+            if species_mode:
+                sid = int(rng.integers(NUM_SPECIES))
+                tex_u8, mask = species_texture(sid, h, s, rng)
+            else:
+                sid = -1
+                color = animal_palette[rng.integers(len(animal_palette))]
+                # speckled two-tone body: base color + coarse dark patches
+                # + fine speckle (real pelts are textured, not flat)
+                patch = rng.normal(0, 1, ((h + 7) // 8, (s + 7) // 8, 1))
+                patch = np.kron(patch, np.ones((8, 8, 1)))[:h, :s]
+                tex = (color[None, None, :]
+                       + 24.0 * patch
+                       + rng.normal(0, 14, (h, s, 3)))
+                yy, xx = np.mgrid[0:h, 0:s]
+                ry, rx = h / 2.0, s / 2.0
+                mask = (((yy - ry) / ry) ** 2
+                        + ((xx - rx) / rx) ** 2) <= 1.0
+                tex_u8 = np.clip(tex, 0, 255).astype(np.uint8)
             lo_x, hi_x = -s // 3, self.width - s + s // 3
             lo_y, hi_y = -h // 3, self.height - h + h // 3
             self.targets.append({
                 "w": s, "h": h,
-                "tex": np.clip(tex, 0, 255).astype(np.uint8),
+                "tex": tex_u8,
                 "mask": mask,
+                "species": sid,
                 "alpha": float(rng.uniform(*alpha_range)),
                 "wx": float(rng.uniform(0.035, 0.22)),
                 "wy": float(rng.uniform(0.035, 0.22)),
@@ -370,9 +406,9 @@ class WildSceneSource:
         # -- distractors (unlabeled swaying foliage) ---------------------------
         foliage_palette = np.array(
             [[60, 110, 70], [50, 95, 85], [75, 120, 95]], np.float32)
-        self.distractors = []
-        for _ in range(n_distractors):
-            s = int(rng.integers(90, 320))
+
+        def make_clump(lo: int, hi: int) -> dict:
+            s = int(rng.integers(lo, hi))
             h = int(s * rng.uniform(0.6, 1.1))
             color = foliage_palette[rng.integers(len(foliage_palette))]
             tex = color[None, None, :] + rng.normal(0, 22, (h, s, 3))
@@ -384,7 +420,7 @@ class WildSceneSource:
             ell = (((yy - h / 2) / (h / 2)) ** 2
                    + ((xx - s / 2) / (s / 2)) ** 2) <= 1.0
             mask = ell & (blob > np.median(blob[ell]) - 0.3)
-            self.distractors.append({
+            return {
                 "tex": np.clip(tex, 0, 255).astype(np.uint8),
                 "mask": mask,
                 "alpha": float(rng.uniform(0.75, 1.0)),
@@ -393,7 +429,23 @@ class WildSceneSource:
                 "amp": float(rng.uniform(3, 14) * self.width / 640.0),
                 "wd": float(rng.uniform(0.15, 0.5)),
                 "pd": float(rng.uniform(0, 2 * np.pi)),
-            })
+            }
+
+        self.distractors = [make_clump(90, 320) for _ in range(n_distractors)]
+        # occluders: same foliage clumps, drawn AFTER (over) the targets,
+        # anchored near a target's span so they actually intersect paths
+        self.occluders = []
+        for _ in range(n_occluders):
+            occ = make_clump(120, 380)
+            if self.targets:
+                t = self.targets[int(rng.integers(len(self.targets)))]
+                cx = (t["span_x"][0] + t["span_x"][1]) // 2
+                cy = (t["span_y"][0] + t["span_y"][1]) // 2
+                occ["x"] = int(np.clip(cx + rng.integers(-t["w"], t["w"] + 1),
+                                       0, max(self.width - 1, 1)))
+                occ["y"] = int(np.clip(cy + rng.integers(-t["h"], t["h"] + 1),
+                                       0, max(self.height - 1, 1)))
+            self.occluders.append(occ)
 
     def _target_pos(self, t: dict, frame_id: int) -> Tuple[int, int]:
         lo_x, hi_x = t["span_x"]
@@ -407,7 +459,13 @@ class WildSceneSource:
     def boxes_at(self, frame_id: int) -> List[Tuple[float, float, float, float]]:
         """Clipped (x1, y1, x2, y2) boxes of targets with >=
         min_visible_fraction of their body area on-frame."""
-        boxes = []
+        return [box for box, _sid in self.labels_at(frame_id)]
+
+    def labels_at(self, frame_id: int
+                  ) -> List[Tuple[Tuple[float, float, float, float], int]]:
+        """[(clipped box, species_id)] for on-frame targets; species_id is
+        -1 unless species_mode (the end-to-end two-stage ground truth)."""
+        labels = []
         for t in self.targets:
             x, y = self._target_pos(t, frame_id)
             x1, y1 = max(x, 0), max(y, 0)
@@ -417,8 +475,26 @@ class WildSceneSource:
                 continue
             visible = (x2 - x1) * (y2 - y1) / float(t["w"] * t["h"])
             if visible >= self.min_visible_fraction:
-                boxes.append((float(x1), float(y1), float(x2), float(y2)))
-        return boxes
+                labels.append(((float(x1), float(y1), float(x2), float(y2)),
+                               int(t["species"])))
+        return labels
+
+    def _blurred_body(self, t: dict, frame_id: int
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+        """Motion-blur a target's texture+mask along its instantaneous
+        trajectory direction, kernel length ~ speed (px/frame)."""
+        x0, y0 = self._target_pos(t, frame_id - 1)
+        x1, y1 = self._target_pos(t, frame_id)
+        vx, vy = x1 - x0, y1 - y0
+        speed = float(np.hypot(vx, vy))
+        k = int(min(max(speed, 1.0), 15.0))
+        if k <= 1:
+            return t["tex"], t["mask"]
+        axis = 1 if abs(vx) >= abs(vy) else 0
+        tex = np.stack([_box_blur(t["tex"][..., c].astype(np.float32),
+                                  k, axis=axis) for c in range(3)], -1)
+        mask = _box_blur(t["mask"].astype(np.float32), k, axis=axis) > 0.3
+        return np.clip(tex, 0, 255).astype(np.uint8), mask
 
     def frame_at(self, frame_id: int) -> np.ndarray:
         if self._noise is not None:
@@ -435,10 +511,23 @@ class WildSceneSource:
                            d["x"] + off, d["y"])
         for t in self.targets:
             x, y = self._target_pos(t, frame_id)
-            _paste_blended(frame, t["tex"], t["mask"], t["alpha"], x, y)
+            if self.motion_blur:
+                tex, mask = self._blurred_body(t, frame_id)
+            else:
+                tex, mask = t["tex"], t["mask"]
+            _paste_blended(frame, tex, mask, t["alpha"], x, y)
+        for occ in self.occluders:   # foliage OVER the animals
+            off = int(round(occ["amp"] * np.sin(
+                occ["wd"] * frame_id + occ["pd"])))
+            _paste_blended(frame, occ["tex"], occ["mask"], occ["alpha"],
+                           occ["x"] + off, occ["y"])
+        gain = 1.0
         if self.illumination_drift > 0:
-            gain = 1.0 + self.illumination_drift * np.sin(
+            gain += self.illumination_drift * np.sin(
                 0.07 * frame_id + self._illum_phase)
+        if self.night:
+            gain *= 0.30   # low light: signal compressed into noise floor
+        if gain != 1.0:
             frame = np.clip(frame.astype(np.float32) * gain,
                             0, 255).astype(np.uint8)
         return frame

@@ -116,6 +116,70 @@ def test_wild_scene_targets_move_and_distractors_sway():
         assert b0 != b1   # trajectories advance
 
 
+def test_wild_scene_difficulty_axes():
+    """The round-5 hard axes (VERDICT r4 #9): night crushes luminance,
+    motion blur smears a moving target, occluders draw OVER targets, and
+    each stays deterministic."""
+    from telescope_cam_detection_tpu.utils.frames import WildSceneSource
+    kw = dict(width=320, height=240, seed=11, size_range=(24, 80))
+    base = WildSceneSource(**kw).frame_at(7)
+    night = WildSceneSource(night=True, **kw).frame_at(7)
+    assert night.mean() < base.mean() * 0.5
+    assert np.array_equal(night,
+                          WildSceneSource(night=True, **kw).frame_at(7))
+
+    # a fast target must smear: compare its pasted body variance along
+    # the motion axis via whole-frame difference from the unblurred render
+    blur = WildSceneSource(motion_blur=True, **kw)
+    assert not np.array_equal(blur.frame_at(7), base)
+    # boxes are identical — blur changes pixels, not ground truth
+    assert blur.boxes_at(7) == WildSceneSource(**kw).boxes_at(7)
+
+    occ = WildSceneSource(n_occluders=2, **kw)
+    assert len(occ.occluders) == 2
+    assert not np.array_equal(occ.frame_at(7), base)
+
+
+def test_wild_scene_species_mode_labels():
+    from telescope_cam_detection_tpu.utils.frames import (
+        NUM_SPECIES, WildSceneSource)
+    src = WildSceneSource(width=320, height=240, seed=4, species_mode=True,
+                          max_targets=4, size_range=(24, 80))
+    assert src.targets, "seed 4 must place targets"
+    for t in src.targets:
+        assert 0 <= t["species"] < NUM_SPECIES
+    labels = src.labels_at(0)
+    for box, sid in labels:
+        assert 0 <= sid < NUM_SPECIES
+    # non-species mode reports -1 species and identical boxes contract
+    plain = WildSceneSource(width=320, height=240, seed=4,
+                            size_range=(24, 80))
+    assert all(sid == -1 for _b, sid in plain.labels_at(0))
+
+
+def test_hard_scene_profiles_cycle_and_validate():
+    from telescope_cam_detection_tpu.train.data import (
+        HardSceneDetectionDataset)
+    ds = HardSceneDetectionDataset(n=10, capture_hw=(240, 320),
+                                   input_hw=(96, 96), n_sources=10, seed=5)
+    # default mixture covers all five axes across sources
+    ds.load(0)
+    for key in range(5):
+        ds._source(key)
+    kinds = {(s.night, s.motion_blur, bool(s.occluders))
+             for s in ds._sources.values()}
+    assert len(kinds) >= 3
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown hard-scene profile"):
+        HardSceneDetectionDataset(n=4, profiles=("nope",))
+    # single-profile restriction for axis-sliced evals
+    only_night = HardSceneDetectionDataset(
+        n=4, capture_hw=(240, 320), input_hw=(96, 96), n_sources=4,
+        seed=5, profiles=("night",))
+    only_night._source(1)
+    assert all(s.night for s in only_night._sources.values())
+
+
 def test_hard_scene_dataset_contract():
     from telescope_cam_detection_tpu.train.data import HardSceneDetectionDataset
     ds = HardSceneDetectionDataset(n=8, capture_hw=(240, 320),

@@ -142,6 +142,27 @@ def test_vocab_scene_dataset_deterministic_and_labelled():
         assert 0 <= int(cls) < len(phrases)
 
 
+def test_split_phrases_with_negatives_three_disjoint_groups():
+    """The off-vocab precision fix needs train / eval-held-out /
+    train-negative compositions pairwise disjoint (negatives as training
+    distractors must NOT leak the eval pairs), with every attribute still
+    present in the train vocab."""
+    from telescope_cam_detection_tpu.train.ov_data import (
+        OV_COLORS, OV_SHAPES, all_phrases, split_phrases,
+        split_phrases_with_negatives)
+    train, held, neg = split_phrases_with_negatives(5, 5, seed=0)
+    assert len(held) == 4 and len(neg) == 4
+    assert not set(held) & set(neg)
+    assert not set(train) & (set(held) | set(neg))
+    assert len(train) + len(held) + len(neg) == len(all_phrases())
+    for attr in list(OV_COLORS) + list(OV_SHAPES):
+        assert any(attr in p for p in train), attr
+    # the held-out group matches the 2-way split at the same seed: sidecar
+    # mAP50_heldout numbers stay comparable across rounds
+    _, held2 = split_phrases(5, seed=0)
+    assert held == held2
+
+
 def test_vocab_scene_distractors_render_unlabelled():
     from telescope_cam_detection_tpu.train.ov_data import VocabSceneDataset
     base = VocabSceneDataset(["red square"], n=4, width=96, height=96,

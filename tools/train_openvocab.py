@@ -67,12 +67,13 @@ def main() -> None:
     from telescope_cam_detection_tpu.train.evaluate import evaluate_detections
     from telescope_cam_detection_tpu.train.ov import build_ov_training
     from telescope_cam_detection_tpu.train.ov_data import (
-        VocabSceneDataset, split_phrases)
+        VocabSceneDataset, split_phrases_with_negatives)
 
     hw = (args.hw, args.hw)
-    train_p, held_p = split_phrases(args.holdout_every, seed=args.seed)
+    train_p, held_p, neg_p = split_phrases_with_negatives(
+        args.holdout_every, seed=args.seed)
     print(f"backend={jax.default_backend()}  train vocab {len(train_p)}, "
-          f"held-out {held_p}", file=sys.stderr)
+          f"held-out {held_p}, negatives {neg_p}", file=sys.stderr)
 
     loss = float("nan")
     if not args.eval_only:
@@ -82,8 +83,14 @@ def main() -> None:
             warmup_steps=max(args.steps // 15, 10))
         step_fn = jax.jit(step_fn, donate_argnums=0)
 
+        # hard-negative distractors (compositions outside the prompt list,
+        # disjoint from the eval held-out set) + empty background scenes:
+        # the off-vocab precision fix (round-4 sidecar fired 3.3x/image)
         ds = VocabSceneDataset(train_p, n=args.train_n, width=hw[1],
-                               height=hw[0], seed=args.seed)
+                               height=hw[0], seed=args.seed,
+                               n_objects=(0, 3),
+                               distractor_phrases=neg_p,
+                               n_distractors=(0, 2))
         t0 = time.perf_counter()
         imgs, lbls = preload(ds)
         print(f"dataset {imgs.shape} in {time.perf_counter()-t0:.1f}s",
@@ -144,12 +151,19 @@ def main() -> None:
     # scenes draw ONLY held-out-composition objects, prompts = train vocab:
     # every detection is a false fire on an unprompted object
     eng = make_engine(train_p)
-    off = VocabSceneDataset(held_p, n=32, width=hw[1], height=hw[0],
-                            seed=424242)
-    imgs, _ = preload(off)
-    fires = sum(len([d for d in dets if d["confidence"] >= 0.25])
-                for dets in eng.detect_batch(list(imgs)))
-    selectivity_fpr = fires / len(imgs)
+
+    def off_vocab_fires(phrases, seed):
+        off = VocabSceneDataset(phrases, n=32, width=hw[1], height=hw[0],
+                                seed=seed, n_objects=(1, 3))
+        imgs, _ = preload(off)
+        return sum(len([d for d in dets if d["confidence"] >= 0.25])
+                   for dets in eng.detect_batch(list(imgs))) / len(imgs)
+
+    # (a) UNSEEN compositions (the honest generalization number: these
+    # pairs were never positives nor negatives in training)
+    selectivity_fpr = off_vocab_fires(held_p, 424242)
+    # (b) the trained-negative compositions (train-distribution check)
+    neg_fpr = off_vocab_fires(neg_p, 424243)
 
     meta = {
         "variant": args.variant, "input_hw": list(hw),
@@ -158,7 +172,9 @@ def main() -> None:
         "train_vocab": len(train_p), "heldout_vocab": held_p,
         "mAP50_train_vocab": round(m_train["mAP50"], 4),
         "mAP50_heldout_vocab": round(m_held["mAP50"], 4),
+        "negative_vocab": neg_p,
         "offvocab_fires_per_image_conf25": round(selectivity_fpr, 3),
+        "negvocab_fires_per_image_conf25": round(neg_fpr, 3),
         "trained_backend": jax.default_backend(),
         "dataset": "VocabSceneDataset (compositional color x shape)",
     }

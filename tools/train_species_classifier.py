@@ -110,6 +110,11 @@ def main() -> None:
     ap.add_argument("--val-n", type=int, default=512)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--ema", type=float, default=0.999)
+    ap.add_argument("--layer-decay", type=float, default=1.0,
+                    help="layer-wise LR decay; <1 is a FINE-TUNE recipe "
+                         "(damps early layers) — from-scratch training "
+                         "wants 1.0")
+    ap.add_argument("--no-mixup", action="store_true")
     ap.add_argument("--out", default=DEFAULT_OUT)
     ap.add_argument("--init-from", default=None,
                     help="warm-start from an existing checkpoint")
@@ -182,7 +187,9 @@ def main() -> None:
         model_name=args.variant, num_classes=num_classes,
         image_size=args.size, learning_rate=args.lr,
         total_steps=args.steps, warmup_steps=max(args.steps // 20, 10),
-        ema_decay=args.ema, seed=args.seed)
+        ema_decay=args.ema, layer_decay=args.layer_decay,
+        use_mixup=not args.no_mixup, init_variables=init_vars,
+        seed=args.seed)
 
     rng = jax.random.PRNGKey(args.seed)
     order_rng = np.random.default_rng(args.seed)
