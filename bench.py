@@ -405,15 +405,9 @@ def eval_scene_map50(program, n_cams, n=48, hard=False):
     return {"mAP50": m["mAP50"], "mAP50_95": m["mAP50_95"]}
 
 
-def eval_species_top1(n=128, batch=16):
-    """Served Stage-2 quality (VERDICT r4 #2): top-1/top-5 of the SHIPPED
-    species checkpoint (weights/eva02_species.npz,
-    tools/train_species_classifier.py) through the serving
-    SpeciesClassifier program — the same fused preprocess+forward+top-k
-    the two-stage pipeline dispatches — on held-out crops of the closed
-    synthetic taxonomy. Returns None when no checkpoint ships. The analog
-    of the reference's EVA02-L 92% top-1 claim
-    (reference docs/architecture/ARCHITECTURE.md:281)."""
+def load_species_classifier():
+    """The SHIPPED Stage-2 checkpoint as a serving SpeciesClassifier, or
+    None when weights/eva02_species.npz (+sidecar) doesn't ship."""
     meta_path = os.path.splitext(SPECIES_CKPT)[0] + ".json"
     if not (os.path.exists(SPECIES_CKPT) and os.path.exists(meta_path)):
         return None
@@ -423,17 +417,107 @@ def eval_species_top1(n=128, batch=16):
     from telescope_cam_detection_tpu.models.convert import (
         cast_tree_like, load_variables)
     from telescope_cam_detection_tpu.pipeline.species import SpeciesClassifier
-    from telescope_cam_detection_tpu.train.data import SpeciesCropDataset
-    size = int(meta["input_size"])
     clf = SpeciesClassifier(model_name=meta["variant"],
                             num_classes=int(meta["num_classes"]),
-                            input_size=size, param_dtype=jnp.float32)
+                            input_size=int(meta["input_size"]),
+                            param_dtype=jnp.float32)
     loaded = load_variables(SPECIES_CKPT,
                             reference_variables=clf.variables)
     if loaded is None:
         raise RuntimeError(f"species checkpoint failed to load: "
                            f"{SPECIES_CKPT}")
     clf.variables = cast_tree_like(loaded, clf.variables)  # fp16 -> f32
+    return clf, meta
+
+
+def eval_species_e2e(program, n=24, iou_min=0.5, crop_pad=0.2):
+    """END-TO-END two-stage quality: species-profile wild scenes -> the
+    SERVED detector program -> padded crops of ITS detections -> the
+    SHIPPED species classifier. species_top1_e2e counts a hit only when
+    the detector found the animal (IoU >= 0.5) AND the classifier named
+    its species from the detector's own crop — the full serving story,
+    not an isolated-crop accuracy. species_detect_recall reports how many
+    ground-truth animals the detector matched at all. Returns None when
+    the classifier checkpoint doesn't ship."""
+    loaded = load_species_classifier()
+    if loaded is None:
+        return None
+    clf, meta = loaded
+    import jax.numpy as jnp
+    from telescope_cam_detection_tpu.train.data import (
+        HardSceneDetectionDataset)
+    ds = HardSceneDetectionDataset(n=n, input_hw=program.spec.input_hw,
+                                   seed=8787, profiles=("species",))
+    size = int(meta["input_size"])
+    fn = clf._program(16, (size, size))
+    import cv2
+    total_gt = matched = top1 = 0
+    crops, truths = [], []
+    for i in range(n):
+        img, lbls, sids = ds.load_with_species(i)
+        img = img.astype(np.uint8)
+        rows = program.detect_batch_rows(img[None], lanes=[0])[0]
+        dets = [r for r in rows if r[5] >= 0]
+        for lbl, sid in zip(lbls, sids):
+            if lbl[4] < 0 or sid < 0:
+                continue
+            total_gt += 1
+            best, best_iou = None, iou_min
+            for r in dets:
+                ix1, iy1 = max(r[0], lbl[0]), max(r[1], lbl[1])
+                ix2, iy2 = min(r[2], lbl[2]), min(r[3], lbl[3])
+                inter = max(ix2 - ix1, 0) * max(iy2 - iy1, 0)
+                union = ((r[2] - r[0]) * (r[3] - r[1])
+                         + (lbl[2] - lbl[0]) * (lbl[3] - lbl[1]) - inter)
+                iou = inter / union if union > 0 else 0.0
+                if iou >= best_iou:
+                    best, best_iou = r, iou
+            if best is None:
+                continue
+            matched += 1
+            # padded crop of the DETECTOR's box (the serving crop rule,
+            # reference two_stage_pipeline_yolox.py:261-289)
+            bw, bh = best[2] - best[0], best[3] - best[1]
+            x1 = int(max(best[0] - crop_pad * bw, 0))
+            y1 = int(max(best[1] - crop_pad * bh, 0))
+            x2 = int(min(best[2] + crop_pad * bw, img.shape[1]))
+            y2 = int(min(best[3] + crop_pad * bh, img.shape[0]))
+            if x2 <= x1 or y2 <= y1:
+                continue
+            crops.append(cv2.resize(img[y1:y2, x1:x2], (size, size),
+                                    interpolation=cv2.INTER_LINEAR))
+            truths.append(int(sid))
+    for s in range(0, len(crops), 16):
+        chunk = crops[s:s + 16]
+        buf = np.zeros((16, size, size, 3), np.uint8)
+        buf[:len(chunk)] = np.stack(chunk)
+        _, top_i = fn(clf.variables, jnp.asarray(buf))
+        top_i = np.asarray(top_i)
+        for j in range(len(chunk)):
+            top1 += int(top_i[j, 0]) == truths[s + j]
+    return {
+        "species_detect_recall": round(matched / max(total_gt, 1), 4),
+        "species_top1_e2e": round(top1 / max(len(crops), 1), 4),
+        "species_e2e_matched": matched,
+        "species_e2e_gt": total_gt,
+    }
+
+
+def eval_species_top1(n=128, batch=16):
+    """Served Stage-2 quality (VERDICT r4 #2): top-1/top-5 of the SHIPPED
+    species checkpoint (weights/eva02_species.npz,
+    tools/train_species_classifier.py) through the serving
+    SpeciesClassifier program — the same fused preprocess+forward+top-k
+    the two-stage pipeline dispatches — on held-out crops of the closed
+    synthetic taxonomy. Returns None when no checkpoint ships. The analog
+    of the reference's EVA02-L 92% top-1 claim
+    (reference docs/architecture/ARCHITECTURE.md:281)."""
+    loaded = load_species_classifier()
+    if loaded is None:
+        return None
+    clf, meta = loaded
+    from telescope_cam_detection_tpu.train.data import SpeciesCropDataset
+    size = int(meta["input_size"])
     # held-out: the trainer uses seed+1 (train) and seed+7777 (its eval)
     ds = SpeciesCropDataset(n=n, image_size=size, seed=8888)
     fn = clf._program(batch, (size, size))
@@ -722,6 +806,16 @@ def main() -> None:
                 out.update(sp)
         except Exception as e:  # noqa: BLE001
             print(f"bench: species eval failed: {e}", file=sys.stderr)
+        if weights_kind in ("trained", "file"):
+            # full two-stage story: detector finds the animal, classifier
+            # names it from the detector's own crop. Advisory.
+            try:
+                sp2 = eval_species_e2e(program)
+                if sp2 is not None:
+                    out.update(sp2)
+            except Exception as e:  # noqa: BLE001
+                print(f"bench: species e2e eval failed: {e}",
+                      file=sys.stderr)
     if mode == "latency":
         out["metric"] = "p50_frame_latency_ms_4cam_1440p"
         out["value"] = round(p50, 2)

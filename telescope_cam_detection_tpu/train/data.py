@@ -295,13 +295,19 @@ class HardSceneDetectionDataset(DetectionDataset):
         "blur": {"motion_blur": True},
         "occluded": {"n_occluders": 2},
         "scale": {"size_range": (24, 560)},
+        # species-textured bodies (utils.frames.SPECIES_TABLE): the
+        # detector must find patterned animals, not just speckle blobs,
+        # and load_with_species exposes per-box species ids for the
+        # end-to-end two-stage eval (detector crop -> classifier)
+        "species": {"species_mode": True, "alpha_range": (0.6, 1.0)},
     }
 
     def __init__(self, n: int = 256, capture_hw: Tuple[int, int] = (1440, 2560),
                  input_hw: Tuple[int, int] = (640, 640), class_id: int = 14,
                  n_sources: int = 16, seed: int = 0, max_gt: int = 6,
                  profiles: Sequence[str] = ("base", "night", "blur",
-                                            "occluded", "scale")):
+                                            "occluded", "scale",
+                                            "species")):
         self.n = n
         self.capture_hw = capture_hw
         self.input_hw = input_hw
@@ -333,6 +339,14 @@ class HardSceneDetectionDataset(DetectionDataset):
         return src, key
 
     def load(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        img, labels, _sids = self.load_with_species(idx)
+        return img, labels
+
+    def load_with_species(self, idx: int
+                          ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(image, (max_gt, 5) detector labels, (max_gt,) species ids) —
+        species ids are -1 except for "species"-profile sources; the
+        ground truth of the end-to-end two-stage eval."""
         import cv2
         src, key = self._source(idx)
         # widely-spaced frame ids: Lissajous trajectories decorrelate, so
@@ -344,11 +358,14 @@ class HardSceneDetectionDataset(DetectionDataset):
         sx = iw / self.capture_hw[1]
         sy = ih / self.capture_hw[0]
         labels = np.full((self.max_gt, 5), -1.0, np.float32)
-        for j, (x1, y1, x2, y2) in enumerate(src.boxes_at(frame_id)):
+        sids = np.full((self.max_gt,), -1, np.int32)
+        for j, ((x1, y1, x2, y2), sid) in enumerate(
+                src.labels_at(frame_id)):
             if j >= self.max_gt:
                 break
             labels[j] = [x1 * sx, y1 * sy, x2 * sx, y2 * sy, self.class_id]
-        return img.astype(np.float32), labels
+            sids[j] = sid
+        return img.astype(np.float32), labels, sids
 
 
 class SyntheticDetectionDataset(DetectionDataset):
