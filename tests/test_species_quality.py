@@ -95,6 +95,55 @@ class TestShippedCheckpoint:
         assert m["species_top1"] >= 0.75
         assert m["species_top5"] >= 0.95
 
+    def test_fused_two_stage_serves_shipped_species(self):
+        """The shipped species checkpoint rides the FUSED serving program
+        (attach_classifier): one gated dispatch on a species-profile scene
+        returns per-crop species top-k computed from the committed
+        weights (quality itself is pinned by the host-path tests above —
+        this pins the fused wiring)."""
+        import json as _json
+        import jax.numpy as jnp
+        from telescope_cam_detection_tpu.models.convert import (
+            cast_tree_like, load_variables)
+        from telescope_cam_detection_tpu.pipeline.species import (
+            SpeciesClassifier)
+        from telescope_cam_detection_tpu.runtime.program import (
+            DetectorProgram, FilterSettings, ProgramSpec)
+        from telescope_cam_detection_tpu.train.data import (
+            HardSceneDetectionDataset)
+        with open(os.path.splitext(SPECIES_CKPT)[0] + ".json") as f:
+            meta = _json.load(f)
+        clf = SpeciesClassifier(model_name=meta["variant"],
+                                num_classes=meta["num_classes"],
+                                input_size=meta["input_size"],
+                                param_dtype=jnp.float32)
+        clf.variables = cast_tree_like(
+            load_variables(SPECIES_CKPT,
+                           reference_variables=clf.variables),
+            clf.variables)
+        hw = (160, 160)
+        prog = DetectorProgram(
+            ProgramSpec(detector_type="yolox", variant="yolox-nano",
+                        input_hw=hw, gates="device", gate_lanes=2,
+                        max_det=8, pre_nms_topk=40), seed=0)
+        prog.update_filters(FilterSettings(conf_threshold=0.0,
+                                           wildlife_only=False))
+        prog.attach_classifier(clf.model, clf.variables,
+                               input_size=meta["input_size"], max_crops=2,
+                               crop_padding_percent=20, min_crop_size=8)
+        ds = HardSceneDetectionDataset(n=4, input_hw=hw, seed=4242,
+                                       profiles=("species",), n_sources=4)
+        img, _lbls, _sids = ds.load_with_species(0)
+        rows, aux = prog.detect_batch_gated(
+            img.astype(np.uint8)[None], lanes=[0])
+        # the fused readback carries species top-k slots for this frame
+        assert aux["species_prob"].shape[0] == 1
+        assert aux["species_prob"].shape[2] >= 5
+        k = aux["species_prob"].shape[2]
+        assert aux["species_id"].shape == (1, 2, k)
+        p = aux["species_prob"][0]
+        assert (np.diff(p, axis=-1) <= 1e-6).all()   # descending top-k
+
     def test_hierarchical_serving_labels(self):
         """The served classifier + shipped taxonomy produce species-level
         labels on confident crops and genus/family fallbacks otherwise —
