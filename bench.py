@@ -516,6 +516,7 @@ def eval_species_top1(n=128, batch=16):
     if loaded is None:
         return None
     clf, meta = loaded
+    import jax.numpy as jnp
     from telescope_cam_detection_tpu.train.data import SpeciesCropDataset
     size = int(meta["input_size"])
     # held-out: the trainer uses seed+1 (train) and seed+7777 (its eval)
