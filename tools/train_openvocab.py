@@ -58,6 +58,9 @@ def main() -> None:
     args = ap.parse_args()
 
     import numpy as np
+
+    from telescope_cam_detection_tpu.utils.jaxconfig import configure_jax
+    configure_jax()   # honors TCD_PLATFORM=cpu; persistent cache on TPU
     import jax
     import jax.numpy as jnp
 
