@@ -178,27 +178,60 @@ def measure_device_exec(program, frames_640, batch=4, iters=50):
     return (time.perf_counter() - t0) * 1000.0 / iters
 
 
-def measure_device_health(n: int = 2048, iters: int = 10) -> float:
-    """Achieved f32 matmul TFLOP/s right now — a shared-tenant health probe
-    recorded in the artifact. The relay-attached chip's delivered compute
-    swings >100x hour to hour (measured 0.4 TFLOP/s during one window vs
-    ~40+ healthy); without this field a congested run's fps reads as a
-    regression instead of an environment artifact."""
+def measure_device_health(n: int = 2048, iters: int = 30) -> float:
+    """Delivered on-device f32 matmul TFLOP/s right now — a shared-tenant
+    health probe recorded in the artifact. The relay-attached chip's
+    delivered compute swings >100x hour to hour; without this field a
+    congested run's fps reads as a regression instead of an environment
+    artifact.
+
+    Measured as ONE dispatch running `iters` chained matmuls in a
+    lax.scan, for two reasons found the hard way (round 5):
+    (a) eager per-dispatch loops are dominated by the relay's dispatch
+        round trip (measured 25-60 ms/dispatch in congested windows), so
+        they under-report delivered compute ~5x (0.37 "TFLOP/s" when the
+        chip was actually executing 2.0); and
+    (b) in some windows the relay coalesces identical in-flight
+        dispatches, so loop-style probes over-report impossibly (a
+        4096^2 matmul loop once read 6569 TFLOP/s; one v5e peaks at 394
+        bf16). A single scanned dispatch is immune to both.
+    Dispatch cost is a real serving input too but a different axis —
+    measure_dispatch_rtt_ms() records it separately."""
     import jax
     import jax.numpy as jnp
+    from jax import lax
     x = jnp.asarray(np.random.default_rng(0).standard_normal((n, n)),
                     jnp.float32)
-    # true-f32 multiplies: without this the TPU default silently runs
-    # bf16-multiply for f32 arrays and the field's label would lie
-    with jax.default_matmul_precision("float32"):
-        np.asarray(x @ x)   # compile + sync
-        t0 = time.perf_counter()
-        r = None
-        for _ in range(iters):
-            r = x @ x
-        np.asarray(r)
+
+    def body(c, _):
+        # *1e-3 keeps the chain numerically bounded across iterations
+        return jnp.dot(c, c, precision="float32") * 1e-3, None
+
+    # true-f32 multiplies: without the precision pin the TPU default
+    # silently runs bf16-multiply for f32 arrays and the label would lie
+    g = jax.jit(lambda a: lax.scan(body, a, None, length=iters)[0])
+    np.asarray(g(x))   # compile + sync
+    t0 = time.perf_counter()
+    np.asarray(g(x))
     dt = (time.perf_counter() - t0) / iters
     return 2 * n ** 3 / dt / 1e12
+
+
+def measure_dispatch_rtt_ms(iters: int = 5) -> float:
+    """Host->relay->device->host round trip for a tiny synced op. In a
+    healthy window this is sub-ms; congested relay windows push it to
+    25-60 ms, which bounds serving fps independently of compute (a
+    64-frame batch paying 40 ms dispatch caps at ~1600 fps before any
+    device work)."""
+    import jax
+    import jax.numpy as jnp
+    s = jax.jit(lambda a: a + 1)
+    y = jnp.ones((8, 8), jnp.float32)
+    np.asarray(s(y))   # compile + sync
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        np.asarray(s(y))   # sync each iteration: RTT is the quantity
+    return (time.perf_counter() - t0) / iters * 1000.0
 
 
 class HealthGate:
@@ -211,28 +244,38 @@ class HealthGate:
     either (a) measured in a healthy window — samples prove it — or
     (b) says degraded_window=true with the probe history as evidence.
 
-    Knobs: BENCH_HEALTH_FLOOR (TFLOP/s, default 2.0),
+    Knobs: BENCH_HEALTH_FLOOR (TFLOP/s, default 5.0 — calibrated to the
+    scan-based probe: round-3-healthy windows delivered ~13 TF/s f32 on
+    the serving program, the worst degraded windows ~0.3-2),
     BENCH_HEALTH_WAIT_S (total sleep budget across all phases, default 600),
     BENCH_HEALTH_INTERVAL_S (re-probe cadence, default 45). BENCH_HEALTH=0
     disables probing entirely (hermetic CPU tests)."""
 
     def __init__(self) -> None:
-        self.floor = float(os.environ.get("BENCH_HEALTH_FLOOR", "2.0"))
+        self.floor = float(os.environ.get("BENCH_HEALTH_FLOOR", "5.0"))
         self.wait_budget_s = float(os.environ.get("BENCH_HEALTH_WAIT_S",
                                                   "600"))
         self.interval_s = float(os.environ.get("BENCH_HEALTH_INTERVAL_S",
                                                "45"))
         self.enabled = os.environ.get("BENCH_HEALTH", "1") != "0"
         self.samples: list = []
+        self.rtt_samples: list = []
         self.waited_s = 0.0
         self.t0 = time.monotonic()
         self.last_tflops = None
+        self.last_rtt_ms = None
 
-    def probe(self, iters: int = 10) -> float:
+    def probe(self, iters: int = 30) -> float:
         tf = measure_device_health(iters=iters)
         self.last_tflops = tf
+        try:
+            rtt = measure_dispatch_rtt_ms()
+        except Exception:  # noqa: BLE001 — advisory
+            rtt = None
+        self.last_rtt_ms = rtt
         self.samples.append([round(time.monotonic() - self.t0, 1),
                              round(tf, 2)])
+        self.rtt_samples.append(None if rtt is None else round(rtt, 2))
         return tf
 
     def wait_for_healthy(self, phase: str) -> bool:
@@ -266,9 +309,12 @@ class HealthGate:
             return
         out["health_floor_tflops"] = self.floor
         out["tflops_samples"] = self.samples
+        out["dispatch_rtt_ms_samples"] = self.rtt_samples
         out["waited_s"] = round(self.waited_s, 1)
         if self.last_tflops is not None:
             out["device_matmul_tflops"] = round(self.last_tflops, 2)
+        if self.last_rtt_ms is not None:
+            out["dispatch_rtt_ms"] = round(self.last_rtt_ms, 2)
 
 
 def measure_device_exec_serving(program, frames_640, frame_lanes=None,
