@@ -160,20 +160,26 @@ def measure_device_exec(program, frames_640, batch=4, iters=50):
     # takes (variables, frames, 4x filter arrays) and returns one array —
     # gates/mesh change both, so fail loudly instead of mis-timing
     assert program.spec.gates == "none" and program.mesh is None
-    sub = list(frames_640[:batch])
-    orig = len(sub)
-    while len(sub) < batch:   # short cycle: repeat frames to fill the batch
-        sub.append(sub[len(sub) % orig])
-    frames_dev = jnp.asarray(np.stack(sub))
+    # rotate 3 DISTINCT device-resident batches across iterations: the
+    # relay coalesces identical in-flight dispatches in some windows
+    # (see measure_device_health), and a fixed-args loop would then read
+    # impossibly fast
+    stacks = []
+    for start in range(3):
+        sub = [frames_640[(start + j) % len(frames_640)]
+               for j in range(batch)]
+        stacks.append(jnp.asarray(np.stack(sub)))
     fn = program._get_program(batch, program.spec.input_hw)
     f = program._filter_arrays
-    args = (program.variables, frames_dev, f["class_conf"], f["min_area"],
-            f["max_area"], f["class_allowed"])
-    np.asarray(fn(*args))   # compile + warm + sync outside the window
+    def call(i):
+        return fn(program.variables, stacks[i % len(stacks)],
+                  f["class_conf"], f["min_area"], f["max_area"],
+                  f["class_allowed"])
+    np.asarray(call(0))   # compile + warm + sync outside the window
     t0 = time.perf_counter()
     r = None
-    for _ in range(iters):
-        r = fn(*args)
+    for i in range(iters):
+        r = call(i)
     np.asarray(r)
     return (time.perf_counter() - t0) * 1000.0 / iters
 
