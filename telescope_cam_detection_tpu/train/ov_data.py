@@ -31,31 +31,72 @@ OV_COLORS: Dict[str, Tuple[int, int, int]] = {
     "purple": (180, 60, 140),
 }
 OV_SHAPES: Tuple[str, ...] = ("square", "circle", "triangle", "cross")
+# surface patterns for the 3-word grammar ("striped red square"): a third
+# independent attribute axis, so held-out prompts require composing THREE
+# embeddings never seen together — a strictly stronger linguistic claim
+# than the 2-word color x shape grammar
+OV_TEXTURES: Tuple[str, ...] = ("solid", "striped", "spotted")
 
 
-def all_phrases() -> List[str]:
-    return [f"{c} {s}" for c in OV_COLORS for s in OV_SHAPES]
+def parse_phrase(phrase: str) -> Tuple[str, str, str]:
+    """Phrase -> (texture, color, shape). 2-word phrases are implicitly
+    solid; 3-word phrases lead with the texture."""
+    words = phrase.split()
+    if len(words) == 2:
+        texture, (color, shape) = "solid", words
+    elif len(words) == 3:
+        texture, color, shape = words
+    else:
+        raise ValueError(f"unparseable phrase {phrase!r}")
+    if texture not in OV_TEXTURES:
+        raise ValueError(f"unknown texture in {phrase!r}")
+    if color not in OV_COLORS:
+        raise ValueError(f"unknown color in {phrase!r}")
+    if shape not in OV_SHAPES:
+        raise ValueError(f"unknown shape in {phrase!r}")
+    return texture, color, shape
 
 
-def split_phrases(holdout_every: int = 5, seed: int = 0
-                  ) -> Tuple[List[str], List[str]]:
+def all_phrases(grammar: str = "basic") -> List[str]:
+    """`basic`: 24 color-shape pairs (texture implicitly solid).
+    `extended`: 72 texture-color-shape triples, texture always explicit —
+    the phrase set partitions the object space (no phrase subsumes
+    another), so each object has exactly one ground-truth prompt."""
+    if grammar == "basic":
+        return [f"{c} {s}" for c in OV_COLORS for s in OV_SHAPES]
+    if grammar == "extended":
+        return [f"{t} {c} {s}" for t in OV_TEXTURES
+                for c in OV_COLORS for s in OV_SHAPES]
+    raise ValueError(f"unknown grammar {grammar!r}")
+
+
+def _grammar_attrs(grammar: str) -> List[str]:
+    attrs = list(OV_COLORS) + list(OV_SHAPES)
+    if grammar == "extended":
+        attrs += list(OV_TEXTURES)
+    return attrs
+
+
+def split_phrases(holdout_every: int = 5, seed: int = 0,
+                  grammar: str = "basic") -> Tuple[List[str], List[str]]:
     """Deterministic compositional split: every color and every shape
     appears in training, but ~1/holdout_every (color, shape) PAIRS are held
     out entirely — the eval prompts the tower must compose unseen."""
     rng = np.random.default_rng(seed)
-    phrases = all_phrases()
+    phrases = all_phrases(grammar)
     order = rng.permutation(len(phrases))
     held = sorted(int(i) for i in order[: len(phrases) // holdout_every])
     train = [p for i, p in enumerate(phrases) if i not in held]
     heldout = [phrases[i] for i in held]
     # composition guarantee: every attribute must survive in training
-    for attr in list(OV_COLORS) + list(OV_SHAPES):
-        assert any(attr in p for p in train), attr
+    for attr in _grammar_attrs(grammar):
+        assert any(attr in p.split() for p in train), attr
     return train, heldout
 
 
 def split_phrases_with_negatives(
-    holdout_every: int = 5, negative_every: int = 5, seed: int = 0
+    holdout_every: int = 5, negative_every: int = 5, seed: int = 0,
+    grammar: str = "basic",
 ) -> Tuple[List[str], List[str], List[str]]:
     """Three DISJOINT composition groups: (train, eval-held-out,
     train-negatives).
@@ -72,7 +113,7 @@ def split_phrases_with_negatives(
     transfer (the model has never seen those pairs as positives OR
     negatives)."""
     rng = np.random.default_rng(seed)
-    phrases = all_phrases()
+    phrases = all_phrases(grammar)
     order = rng.permutation(len(phrases))
     n_held = len(phrases) // holdout_every
     n_neg = len(phrases) // negative_every
@@ -82,8 +123,8 @@ def split_phrases_with_negatives(
              if i not in held and i not in neg]
     heldout = [phrases[i] for i in held]
     negatives = [phrases[i] for i in neg]
-    for attr in list(OV_COLORS) + list(OV_SHAPES):
-        assert any(attr in p for p in train), attr
+    for attr in _grammar_attrs(grammar):
+        assert any(attr in p.split() for p in train), attr
     return train, heldout, negatives
 
 
@@ -100,6 +141,26 @@ def _shape_mask(shape: str, s: int) -> np.ndarray:
         arm = max(s // 6, 1)
         return (np.abs(xx - c) <= arm) | (np.abs(yy - c) <= arm)
     raise ValueError(f"unknown shape {shape!r}")
+
+
+def _texture_gain(texture: str, s: int) -> np.ndarray:
+    """(s, s) multiplicative brightness pattern for a texture word.
+    Deterministic in the object size only — patterns are a surface
+    property, not a stochastic one, so the renderer consumes no extra
+    rng draws and the solid path stays reproducible."""
+    yy, xx = np.mgrid[0:s, 0:s]
+    if texture == "striped":
+        period = max(s // 5, 3)
+        bands = (yy // max(period // 2, 1)) % 2
+        return np.where(bands == 0, 1.0, 0.45).astype(np.float32)
+    if texture == "spotted":
+        period = max(s // 4, 4)
+        cy = (yy % period) - period / 2.0 + 0.5
+        cx = (xx % period) - period / 2.0 + 0.5
+        r = period * 0.3
+        dots = (cy ** 2 + cx ** 2) <= r * r
+        return np.where(dots, 0.4, 1.0).astype(np.float32)
+    raise ValueError(f"unknown texture {texture!r}")
 
 
 def _iou(a, b) -> float:
@@ -135,7 +196,7 @@ def render_vocab_scene(
     labels: List[Tuple[Tuple[float, float, float, float], int]] = []
 
     def place(phrase: str, label_idx: Optional[int]) -> None:
-        color_name, shape_name = phrase.split()
+        texture_name, color_name, shape_name = parse_phrase(phrase)
         color = np.asarray(OV_COLORS[color_name], np.float32)
         s = int(rng.integers(size_range[0], size_range[1] + 1))
         mask = _shape_mask(shape_name, s)
@@ -148,6 +209,12 @@ def render_vocab_scene(
         else:
             return   # crowded scene: skip rather than stack objects
         tex = color[None, None, :] + rng.normal(0, 8, (s, s, 3))
+        if texture_name != "solid":
+            # deterministic patterns (no extra rng draws: the solid path
+            # stays byte-identical to the pre-extended-grammar renderer,
+            # so shipped-checkpoint evals reproduce)
+            tex = tex * _texture_gain(texture_name, s)[..., None]
+            tex = np.clip(tex, 0, 255)
         region = frame[y:y + s, x:x + s].astype(np.float32)
         frame[y:y + s, x:x + s] = np.clip(
             np.where(mask[..., None], tex, region), 0, 255).astype(np.uint8)

@@ -372,3 +372,67 @@ def test_engine_variant_from_sidecar(tmp_path):
     # no sidecar -> flagship default
     eng2 = OpenVocabEngine(["red square"], input_hw=HW)
     assert eng2.variant == "ov-s"
+
+
+# -- extended (texture) grammar -------------------------------------------------
+
+def test_extended_grammar_phrases_and_split():
+    """72 texture-color-shape triples; three disjoint groups; every
+    attribute word (including every texture) survives in training."""
+    from telescope_cam_detection_tpu.train.ov_data import (
+        OV_COLORS, OV_SHAPES, OV_TEXTURES, all_phrases, parse_phrase,
+        split_phrases_with_negatives)
+    phrases = all_phrases("extended")
+    assert len(phrases) == len(OV_TEXTURES) * len(OV_COLORS) * len(OV_SHAPES)
+    assert len(set(phrases)) == len(phrases)
+    for p in phrases:
+        t, c, s = parse_phrase(p)
+        assert t in OV_TEXTURES and c in OV_COLORS and s in OV_SHAPES
+    train, held, neg = split_phrases_with_negatives(5, 5, seed=0,
+                                                    grammar="extended")
+    assert len(held) == 14 and len(neg) == 14
+    assert not set(held) & set(neg)
+    assert not set(train) & (set(held) | set(neg))
+    for attr in list(OV_COLORS) + list(OV_SHAPES) + list(OV_TEXTURES):
+        assert any(attr in p.split() for p in train), attr
+
+
+def test_parse_phrase_two_word_is_solid_and_rejects_garbage():
+    import pytest
+    from telescope_cam_detection_tpu.train.ov_data import parse_phrase
+    assert parse_phrase("red square") == ("solid", "red", "square")
+    assert parse_phrase("striped blue cross") == ("striped", "blue", "cross")
+    for bad in ("red", "shiny red square", "striped red square extra",
+                "striped mauve square", "striped red blob"):
+        with pytest.raises(ValueError):
+            parse_phrase(bad)
+
+
+def test_textures_render_distinguishably():
+    """The three textures of one color x shape must produce visibly
+    different pixels (otherwise the texture axis is unlearnable), and the
+    solid path must be byte-identical to the 2-word phrase (the extended
+    renderer consumes no extra rng draws)."""
+    from telescope_cam_detection_tpu.train.ov_data import VocabSceneDataset
+
+    def render(phrase):
+        ds = VocabSceneDataset([phrase], n=1, width=96, height=96, seed=11,
+                               n_objects=(1, 1), size_range=(48, 48))
+        return ds.load(0)
+
+    img_solid2, lbl2 = render("red square")
+    img_solid3, lbl3 = render("solid red square")
+    assert np.array_equal(img_solid2, img_solid3)
+    assert np.array_equal(lbl2, lbl3)
+    img_striped, _ = render("striped red square")
+    img_spotted, _ = render("spotted red square")
+    assert not np.array_equal(img_solid3, img_striped)
+    assert not np.array_equal(img_solid3, img_spotted)
+    assert not np.array_equal(img_striped, img_spotted)
+    # textures only darken INSIDE the object: the (48,48) object is the
+    # only difference between the renders
+    diff = np.any(img_solid3 != img_striped, axis=-1)
+    ys, xs = np.nonzero(diff)
+    x1, y1, x2, y2, _ = lbl3[0]
+    assert ys.min() >= y1 and ys.max() < y2
+    assert xs.min() >= x1 and xs.max() < x2

@@ -52,6 +52,11 @@ def main() -> None:
     ap.add_argument("--holdout-every", type=int, default=5,
                     help="hold out 1/N of (color, shape) compositions")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--grammar", default="basic",
+                    choices=("basic", "extended"),
+                    help="basic: 24 color-shape pairs; extended: 72 "
+                         "texture-color-shape triples (held-out prompts "
+                         "compose THREE attributes never seen together)")
     ap.add_argument("--out", default=DEFAULT_OUT)
     ap.add_argument("--save-every", type=int, default=200)
     ap.add_argument("--eval-only", action="store_true")
@@ -74,7 +79,7 @@ def main() -> None:
 
     hw = (args.hw, args.hw)
     train_p, held_p, neg_p = split_phrases_with_negatives(
-        args.holdout_every, seed=args.seed)
+        args.holdout_every, seed=args.seed, grammar=args.grammar)
     print(f"backend={jax.default_backend()}  train vocab {len(train_p)}, "
           f"held-out {held_p}, negatives {neg_p}", file=sys.stderr)
 
@@ -172,6 +177,7 @@ def main() -> None:
         "variant": args.variant, "input_hw": list(hw),
         "steps": args.steps, "batch": args.batch, "lr": args.lr,
         "seed": args.seed, "final_loss": round(loss, 4),
+        "grammar": args.grammar,
         "train_vocab": len(train_p), "heldout_vocab": held_p,
         "mAP50_train_vocab": round(m_train["mAP50"], 4),
         "mAP50_heldout_vocab": round(m_held["mAP50"], 4),
@@ -179,7 +185,10 @@ def main() -> None:
         "offvocab_fires_per_image_conf25": round(selectivity_fpr, 3),
         "negvocab_fires_per_image_conf25": round(neg_fpr, 3),
         "trained_backend": jax.default_backend(),
-        "dataset": "VocabSceneDataset (compositional color x shape)",
+        "dataset": ("VocabSceneDataset (compositional color x shape)"
+                    if args.grammar == "basic" else
+                    "VocabSceneDataset (compositional texture x color "
+                    "x shape)"),
     }
     with open(os.path.splitext(args.out)[0] + ".json", "w") as f:
         json.dump(meta, f, indent=1)
