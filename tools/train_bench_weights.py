@@ -167,14 +167,40 @@ def main() -> None:
             init_vars = load_variables(args.init_from)
             ref = {"params": jax.device_get(state.params),
                    "batch_stats": jax.device_get(state.batch_stats)}
-            if init_vars is None or not trees_compatible(init_vars, ref):
+            if init_vars is None:
                 raise SystemExit(
-                    f"--init-from checkpoint incompatible: {args.init_from}")
+                    f"--init-from checkpoint unreadable: {args.init_from}")
+            missing = []
+            if not trees_compatible(init_vars, ref):
+                # SERVING checkpoints strip train-only params (RT-DETR aux
+                # heads + CDN embedding, serving_tree above) — warm-start
+                # the leaves the checkpoint has, keep fresh init for the
+                # rest, instead of refusing the repo's own shipped exports
+                merged, matched = {}, 0
+                for coll, ref_coll in ref.items():
+                    src = init_vars.get(coll, {}) \
+                        if isinstance(init_vars, dict) else {}
+                    merged[coll] = {}
+                    for k, v in ref_coll.items():
+                        if isinstance(src, dict) and k in src:
+                            merged[coll][k] = src[k]
+                            matched += 1
+                        else:
+                            merged[coll][k] = v
+                            missing.append(f"{coll}/{k}")
+                if matched <= len(missing):
+                    raise SystemExit(
+                        f"--init-from checkpoint incompatible (matched "
+                        f"{matched} top-level entries, {len(missing)} "
+                        f"missing): {args.init_from}")
+                init_vars = merged
             init_vars = cast_tree_like(init_vars, ref)
             state = state.replace(params=init_vars["params"],
                                   batch_stats=init_vars["batch_stats"])
+            note = (f"; {len(missing)} train-only entries fresh-init "
+                    f"({', '.join(missing[:4])}...)" if missing else "")
             print(f"warm start from {args.init_from} (fine-tune: converges "
-                  "in a fraction of the from-scratch budget)",
+                  f"in a fraction of the from-scratch budget){note}",
                   file=sys.stderr)
 
         rng = np.random.default_rng(args.seed)
