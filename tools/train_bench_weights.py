@@ -277,18 +277,33 @@ def main() -> None:
         "batch": args.batch, "lr": args.lr, "seed": args.seed,
         "hard_n": args.hard_n,
         "final_loss": round(loss, 4),
+    }
+    if args.eval_only:
+        # re-evaluation must not rewrite the checkpoint's TRAINING
+        # provenance with this invocation's arg defaults — keep the
+        # original sidecar's training fields, refresh only the metrics
+        sidecar = os.path.splitext(args.out)[0] + ".json"
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                prev = json.load(f)
+            for k in ("steps", "batch", "lr", "seed", "hard_n",
+                      "final_loss", "trained_backend", "variant"):
+                if k in prev:
+                    meta[k] = prev[k]
+    meta.update({
         "mAP50": round(m_low["mAP50"], 4),
         "mAP50_95": round(m_low["mAP50_95"], 4),
         "mAP50_conf25": round(m_served["mAP50"], 4),
         "mAP50_hard": round(m_low_hard["mAP50"], 4),
         "mAP50_95_hard": round(m_low_hard["mAP50_95"], 4),
         "mAP50_hard_conf25": round(m_served_hard["mAP50"], 4),
-        "trained_backend": jax.default_backend(),
         "dataset": ("SceneDetectionDataset + HardSceneDetectionDataset "
                     "(bench-distribution + adversarial wild scenes)"
                     if args.hard_n else
                     "SceneDetectionDataset (bench-distribution scenes)"),
-    }
+    })
+    if not args.eval_only:
+        meta["trained_backend"] = jax.default_backend()
     with open(os.path.splitext(args.out)[0] + ".json", "w") as f:
         json.dump(meta, f, indent=1)
     print(json.dumps(meta))
