@@ -143,6 +143,42 @@ def _shape_mask(shape: str, s: int) -> np.ndarray:
     raise ValueError(f"unknown shape {shape!r}")
 
 
+def split_phrases_groups(
+    holdout_every: int = 5, negative_every: int = 5, val_every: int = 0,
+    seed: int = 0, grammar: str = "basic",
+) -> Dict[str, List[str]]:
+    """Four pairwise-disjoint composition groups: train / heldout /
+    negatives / val.
+
+    `val` exists for MODEL SELECTION (early stopping, best-snapshot
+    keeping): selecting on the final `heldout` group would leak it into
+    training decisions and void the compositional-transfer claim, so
+    selection gets its own disjoint compositions and `heldout` stays
+    untouched until the single final eval. The first three groups are
+    IDENTICAL to split_phrases_with_negatives at the same seed (val is
+    carved from what remains), so sidecar heldout numbers stay comparable
+    whether or not selection was used. val_every=0 -> empty val group."""
+    rng = np.random.default_rng(seed)
+    phrases = all_phrases(grammar)
+    order = rng.permutation(len(phrases))
+    n_held = len(phrases) // holdout_every
+    n_neg = len(phrases) // negative_every
+    n_val = len(phrases) // val_every if val_every else 0
+    held = sorted(int(i) for i in order[:n_held])
+    neg = sorted(int(i) for i in order[n_held:n_held + n_neg])
+    val = sorted(int(i) for i in order[n_held + n_neg:
+                                       n_held + n_neg + n_val])
+    excluded = set(held) | set(neg) | set(val)
+    train = [p for i, p in enumerate(phrases) if i not in excluded]
+    groups = {"train": train,
+              "heldout": [phrases[i] for i in held],
+              "negatives": [phrases[i] for i in neg],
+              "val": [phrases[i] for i in val]}
+    for attr in _grammar_attrs(grammar):
+        assert any(attr in p.split() for p in train), attr
+    return groups
+
+
 def _texture_gain(texture: str, s: int) -> np.ndarray:
     """(s, s) multiplicative brightness pattern for a texture word.
     Deterministic in the object size only — patterns are a surface

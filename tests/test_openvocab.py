@@ -436,3 +436,25 @@ def test_textures_render_distinguishably():
     x1, y1, x2, y2, _ = lbl3[0]
     assert ys.min() >= y1 and ys.max() < y2
     assert xs.min() >= x1 and xs.max() < x2
+
+
+def test_split_phrases_groups_four_disjoint_and_prefix_stable():
+    """The selection-val group must be disjoint from train/held-out/
+    negatives, and the first three groups must equal the 3-way split at
+    the same seed (sidecar held-out numbers stay comparable whether or
+    not selection was used)."""
+    from telescope_cam_detection_tpu.train.ov_data import (
+        split_phrases_groups, split_phrases_with_negatives)
+    g = split_phrases_groups(5, 5, val_every=8, seed=0, grammar="extended")
+    assert len(g["val"]) == 72 // 8
+    sets = [set(g[k]) for k in ("train", "heldout", "negatives", "val")]
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            assert not sets[i] & sets[j]
+    t3, h3, n3 = split_phrases_with_negatives(5, 5, seed=0,
+                                              grammar="extended")
+    assert g["heldout"] == h3 and g["negatives"] == n3
+    assert set(g["train"]) | set(g["val"]) == set(t3)
+    # val_every=0 -> identical to the 3-way split
+    g0 = split_phrases_groups(5, 5, val_every=0, seed=0, grammar="extended")
+    assert g0["val"] == [] and g0["train"] == t3

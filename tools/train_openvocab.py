@@ -60,6 +60,17 @@ def main() -> None:
     ap.add_argument("--out", default=DEFAULT_OUT)
     ap.add_argument("--save-every", type=int, default=200)
     ap.add_argument("--eval-only", action="store_true")
+    ap.add_argument("--init-from", default=None,
+                    help="warm-start {det, txt} from an existing "
+                         "checkpoint (continuation training)")
+    ap.add_argument("--val-every-comp", type=int, default=0,
+                    help="carve 1/N of compositions into a SELECTION "
+                         "group (disjoint from train/held-out/negatives): "
+                         "best-snapshot keeping tracks val-composition "
+                         "mAP50 so the final held-out eval stays "
+                         "leak-free; 0 disables selection")
+    ap.add_argument("--select-every", type=int, default=250,
+                    help="steps between selection evals")
     args = ap.parse_args()
 
     import numpy as np
@@ -73,23 +84,51 @@ def main() -> None:
         load_variables, save_variables_npz)
     from telescope_cam_detection_tpu.runtime.openvocab import OpenVocabEngine
     from telescope_cam_detection_tpu.train.evaluate import evaluate_detections
-    from telescope_cam_detection_tpu.train.ov import build_ov_training
+    from telescope_cam_detection_tpu.train.ov import (
+        build_ov_training, make_ov_infer)
     from telescope_cam_detection_tpu.train.ov_data import (
-        VocabSceneDataset, split_phrases_with_negatives)
+        VocabSceneDataset, split_phrases_groups,
+        split_phrases_with_negatives)
 
     hw = (args.hw, args.hw)
-    train_p, held_p, neg_p = split_phrases_with_negatives(
-        args.holdout_every, seed=args.seed, grammar=args.grammar)
+    if args.val_every_comp:
+        groups = split_phrases_groups(
+            args.holdout_every, seed=args.seed, grammar=args.grammar,
+            val_every=args.val_every_comp)
+        train_p, held_p, neg_p, val_p = (groups["train"], groups["heldout"],
+                                         groups["negatives"], groups["val"])
+    else:
+        train_p, held_p, neg_p = split_phrases_with_negatives(
+            args.holdout_every, seed=args.seed, grammar=args.grammar)
+        val_p = []
     print(f"backend={jax.default_backend()}  train vocab {len(train_p)}, "
-          f"held-out {held_p}, negatives {neg_p}", file=sys.stderr)
+          f"held-out {held_p}, negatives {neg_p}, selection-val {val_p}",
+          file=sys.stderr)
 
     loss = float("nan")
+    selected_step, best_val = None, None
     if not args.eval_only:
         det, txt, state, step_fn = build_ov_training(
             train_p, variant=args.variant, input_hw=hw,
             learning_rate=args.lr, seed=args.seed, total_steps=args.steps,
             warmup_steps=max(args.steps // 15, 10))
         step_fn = jax.jit(step_fn, donate_argnums=0)
+        if args.init_from:
+            from telescope_cam_detection_tpu.models.convert import (
+                cast_tree_like)
+            loaded = load_variables(args.init_from)
+            if loaded is None or set(loaded) != {"det", "txt"}:
+                raise SystemExit(
+                    f"--init-from unreadable or not an ov checkpoint: "
+                    f"{args.init_from}")
+            ref_p = jax.device_get(state.params)
+            ref_b = jax.device_get(state.batch_stats)
+            new_p = {"det": loaded["det"]["params"],
+                     "txt": loaded["txt"]["params"]}
+            new_b = {"det": loaded["det"]["batch_stats"]}
+            state = state.replace(params=cast_tree_like(new_p, ref_p),
+                                  batch_stats=cast_tree_like(new_b, ref_b))
+            print(f"warm start from {args.init_from}", file=sys.stderr)
 
         # hard-negative distractors (compositions outside the prompt list,
         # disjoint from the eval held-out set) + empty background scenes:
@@ -112,6 +151,30 @@ def main() -> None:
                 "txt": {"params": jax.device_get(state.params["txt"])},
             }
 
+        sel_imgs = sel_lbls = sel_tokens = sel_infer = None
+        best_snap = None
+        if val_p:
+            from telescope_cam_detection_tpu.models.openvocab import (
+                tokenize_prompts)
+            from telescope_cam_detection_tpu.runtime.program import (
+                rows_to_detections)
+            sel_ds = VocabSceneDataset(val_p, n=48, width=hw[1],
+                                       height=hw[0], seed=args.seed + 901)
+            sel_imgs, sel_lbls = preload(sel_ds)
+            sel_tokens = jnp.asarray(tokenize_prompts(val_p))
+            sel_infer = make_ov_infer(det, txt, conf_threshold=0.05)
+
+        def val_map50() -> float:
+            det_vars = {"params": state.params["det"],
+                        "batch_stats": state.batch_stats["det"]}
+            preds = []
+            for i in range(0, len(sel_imgs), 8):
+                rows = np.asarray(sel_infer(
+                    det_vars, state.params["txt"], sel_tokens,
+                    jnp.asarray(sel_imgs[i:i + 8], jnp.float32)))
+                preds.extend(rows_to_detections(r) for r in rows)
+            return evaluate_detections(preds, list(sel_lbls))["mAP50"]
+
         rng = np.random.default_rng(args.seed)
         t0 = time.perf_counter()
         for s in range(args.steps):
@@ -123,9 +186,22 @@ def main() -> None:
                 print(f"step {s}: loss {loss:.3f} "
                       f"({time.perf_counter()-t0:.0f}s)", file=sys.stderr,
                       flush=True)
+            if val_p and ((s and s % args.select_every == 0)
+                          or s == args.steps - 1):
+                v = val_map50()
+                if best_val is None or v > best_val:
+                    best_val, selected_step = v, s
+                    best_snap = snapshot()
+                print(f"step {s}: val-comp mAP50 {v:.4f} "
+                      f"(best {best_val:.4f} @ {selected_step})",
+                      file=sys.stderr, flush=True)
             if args.save_every and s and s % args.save_every == 0:
                 save_variables_npz(snapshot(), args.out)
-        save_variables_npz(snapshot(), args.out)
+        # selection keeps the best val-composition snapshot; the held-out
+        # eval below then scores THAT checkpoint (still leak-free: the
+        # held-out group never influenced which snapshot won)
+        save_variables_npz(best_snap if best_snap is not None
+                           else snapshot(), args.out)
     elif load_variables(args.out) is None:
         raise SystemExit(f"--eval-only: no checkpoint at {args.out}")
 
@@ -179,6 +255,10 @@ def main() -> None:
         "seed": args.seed, "final_loss": round(loss, 4),
         "grammar": args.grammar,
         "train_vocab": len(train_p), "heldout_vocab": held_p,
+        **({"selection_vocab": val_p,
+            "mAP50_val_selection": round(best_val, 4),
+            "selected_step": selected_step} if val_p and best_val is not None
+           else {}),
         "mAP50_train_vocab": round(m_train["mAP50"], 4),
         "mAP50_heldout_vocab": round(m_held["mAP50"], 4),
         "negative_vocab": neg_p,
