@@ -160,21 +160,25 @@ def measure_device_exec(program, frames_640, batch=4, iters=50):
     # takes (variables, frames, 4x filter arrays) and returns one array —
     # gates/mesh change both, so fail loudly instead of mis-timing
     assert program.spec.gates == "none" and program.mesh is None
-    # rotate 3 DISTINCT device-resident batches across iterations: the
-    # relay coalesces identical in-flight dispatches in some windows
-    # (see measure_device_health), and a fixed-args loop would then read
-    # impossibly fast
+    # one DISTINCT device-resident batch per iteration: the relay
+    # coalesces identical in-flight dispatches in some windows (see
+    # measure_device_health), and since all `iters` dispatches are
+    # queued asynchronously, ANY repeat among them could be deduplicated
+    # — every dispatch must be unique. Offsetting the frame cycle makes
+    # batches distinct as long as len(frames_640) isn't a tiny divisor
+    # of batch (the bench stream ships n_cams * BENCH_CYCLE frames).
+    # HBM cost: iters * batch * H * W * 3 u8 ≈ 245 MB at 50x4x640².
     stacks = []
-    for start in range(3):
-        sub = [frames_640[(start + j) % len(frames_640)]
-               for j in range(batch)]
-        stacks.append(jnp.asarray(np.stack(sub)))
+    for i in range(iters):
+        s = np.stack([frames_640[(i + j) % len(frames_640)]
+                      for j in range(batch)])
+        s[0, 0, 0, 0] ^= i & 0xFF   # unique even when frames are few
+        stacks.append(jnp.asarray(s))
     fn = program._get_program(batch, program.spec.input_hw)
     f = program._filter_arrays
     def call(i):
-        return fn(program.variables, stacks[i % len(stacks)],
-                  f["class_conf"], f["min_area"], f["max_area"],
-                  f["class_allowed"])
+        return fn(program.variables, stacks[i], f["class_conf"],
+                  f["min_area"], f["max_area"], f["class_allowed"])
     np.asarray(call(0))   # compile + warm + sync outside the window
     t0 = time.perf_counter()
     r = None

@@ -154,10 +154,13 @@ def split_phrases_groups(
     keeping): selecting on the final `heldout` group would leak it into
     training decisions and void the compositional-transfer claim, so
     selection gets its own disjoint compositions and `heldout` stays
-    untouched until the single final eval. The first three groups are
-    IDENTICAL to split_phrases_with_negatives at the same seed (val is
-    carved from what remains), so sidecar heldout numbers stay comparable
-    whether or not selection was used. val_every=0 -> empty val group."""
+    untouched until the single final eval. `heldout` and `negatives` are
+    IDENTICAL to split_phrases_with_negatives at the same seed, so
+    sidecar heldout numbers stay comparable whether or not selection was
+    used; `train` necessarily shrinks (val is carved out of it —
+    train ∪ val equals the 3-way split's train set), so
+    mAP50_train_vocab and the training distribution are NOT comparable
+    across selection/no-selection runs. val_every=0 -> empty val group."""
     rng = np.random.default_rng(seed)
     phrases = all_phrases(grammar)
     order = rng.permutation(len(phrases))

@@ -193,6 +193,15 @@ def main() -> None:
                         f"--init-from checkpoint incompatible (matched "
                         f"{matched} top-level entries, {len(missing)} "
                         f"missing): {args.init_from}")
+                # the merged tree must ALSO match structure and leaf
+                # shapes (a different-width variant has identical module
+                # names; without this the wrong-shaped params explode
+                # opaquely inside jit instead of failing here)
+                if not trees_compatible(merged, ref):
+                    raise SystemExit(
+                        f"--init-from checkpoint incompatible (matched "
+                        f"entries have mismatched shapes/structure): "
+                        f"{args.init_from}")
                 init_vars = merged
             init_vars = cast_tree_like(init_vars, ref)
             state = state.replace(params=init_vars["params"],
@@ -277,6 +286,10 @@ def main() -> None:
         "batch": args.batch, "lr": args.lr, "seed": args.seed,
         "hard_n": args.hard_n,
         "final_loss": round(loss, 4),
+        "dataset": ("SceneDetectionDataset + HardSceneDetectionDataset "
+                    "(bench-distribution + adversarial wild scenes)"
+                    if args.hard_n else
+                    "SceneDetectionDataset (bench-distribution scenes)"),
     }
     if args.eval_only:
         # re-evaluation must not rewrite the checkpoint's TRAINING
@@ -287,7 +300,8 @@ def main() -> None:
             with open(sidecar) as f:
                 prev = json.load(f)
             for k in ("steps", "batch", "lr", "seed", "hard_n",
-                      "final_loss", "trained_backend", "variant"):
+                      "final_loss", "trained_backend", "variant",
+                      "dataset"):
                 if k in prev:
                     meta[k] = prev[k]
     meta.update({
@@ -297,10 +311,6 @@ def main() -> None:
         "mAP50_hard": round(m_low_hard["mAP50"], 4),
         "mAP50_95_hard": round(m_low_hard["mAP50_95"], 4),
         "mAP50_hard_conf25": round(m_served_hard["mAP50"], 4),
-        "dataset": ("SceneDetectionDataset + HardSceneDetectionDataset "
-                    "(bench-distribution + adversarial wild scenes)"
-                    if args.hard_n else
-                    "SceneDetectionDataset (bench-distribution scenes)"),
     })
     if not args.eval_only:
         meta["trained_backend"] = jax.default_backend()

@@ -115,9 +115,10 @@ def main() -> None:
         step_fn = jax.jit(step_fn, donate_argnums=0)
         if args.init_from:
             from telescope_cam_detection_tpu.models.convert import (
-                cast_tree_like)
+                cast_tree_like, trees_compatible)
             loaded = load_variables(args.init_from)
-            if loaded is None or set(loaded) != {"det", "txt"}:
+            if loaded is None or set(loaded) != {"det", "txt"} \
+                    or "batch_stats" not in loaded["det"]:
                 raise SystemExit(
                     f"--init-from unreadable or not an ov checkpoint: "
                     f"{args.init_from}")
@@ -126,6 +127,15 @@ def main() -> None:
             new_p = {"det": loaded["det"]["params"],
                      "txt": loaded["txt"]["params"]}
             new_b = {"det": loaded["det"]["batch_stats"]}
+            # structure AND leaf shapes must match (a different --variant
+            # has identical module names but different widths; without
+            # this check cast_tree_like would install wrong-shaped params
+            # that explode opaquely inside jit)
+            if not (trees_compatible(new_p, ref_p)
+                    and trees_compatible(new_b, ref_b)):
+                raise SystemExit(
+                    f"--init-from checkpoint incompatible with variant "
+                    f"{args.variant!r}: {args.init_from}")
             state = state.replace(params=cast_tree_like(new_p, ref_p),
                                   batch_stats=cast_tree_like(new_b, ref_b))
             print(f"warm start from {args.init_from}", file=sys.stderr)
@@ -254,22 +264,49 @@ def main() -> None:
         "steps": args.steps, "batch": args.batch, "lr": args.lr,
         "seed": args.seed, "final_loss": round(loss, 4),
         "grammar": args.grammar,
+        "trained_backend": jax.default_backend(),
         "train_vocab": len(train_p), "heldout_vocab": held_p,
         **({"selection_vocab": val_p,
             "mAP50_val_selection": round(best_val, 4),
             "selected_step": selected_step} if val_p and best_val is not None
            else {}),
+    }
+    if args.eval_only:
+        # a re-verify run must not rewrite TRAINING provenance with this
+        # invocation's arg defaults (final_loss would even become literal
+        # NaN in the JSON) — keep the original sidecar's training fields,
+        # refresh only the measured numbers below
+        sidecar = os.path.splitext(args.out)[0] + ".json"
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                prev = json.load(f)
+            if prev.get("grammar", "basic") != args.grammar:
+                raise SystemExit(
+                    f"--eval-only with --grammar {args.grammar} but the "
+                    f"checkpoint trained on "
+                    f"{prev.get('grammar', 'basic')!r}: the eval split "
+                    f"would not match the training split; pass the "
+                    f"sidecar's grammar")
+            for k in ("steps", "batch", "lr", "seed", "final_loss",
+                      "trained_backend", "variant",
+                      "selection_vocab", "mAP50_val_selection",
+                      "selected_step"):
+                if k in prev:
+                    meta[k] = prev[k]
+        else:
+            meta.pop("trained_backend", None)
+            meta["final_loss"] = None
+    meta.update({
         "mAP50_train_vocab": round(m_train["mAP50"], 4),
         "mAP50_heldout_vocab": round(m_held["mAP50"], 4),
         "negative_vocab": neg_p,
         "offvocab_fires_per_image_conf25": round(selectivity_fpr, 3),
         "negvocab_fires_per_image_conf25": round(neg_fpr, 3),
-        "trained_backend": jax.default_backend(),
         "dataset": ("VocabSceneDataset (compositional color x shape)"
                     if args.grammar == "basic" else
                     "VocabSceneDataset (compositional texture x color "
                     "x shape)"),
-    }
+    })
     with open(os.path.splitext(args.out)[0] + ".json", "w") as f:
         json.dump(meta, f, indent=1)
     print(json.dumps(meta))
