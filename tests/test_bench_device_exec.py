@@ -115,6 +115,10 @@ def test_bench_main_smoke_end_to_end(monkeypatch, capsys):
     assert out["waited_s"] == pytest.approx(1.0)
     assert len(out["tflops_samples"]) >= 3   # pre-warmup + 2 passes
     assert len(out["pass_tflops"]) == 2
+    # dispatch round trip is its own axis (congested relay windows bound
+    # fps via dispatch cost independently of delivered compute)
+    assert out["dispatch_rtt_ms"] > 0
+    assert len(out["dispatch_rtt_ms_samples"]) == len(out["tflops_samples"])
     assert out["device_exec_ms_b4"] > 0
     assert out["device_exec_ms_b4_serving"] > 0
     assert out["p50_serial_dispatch_ms"] > 0
