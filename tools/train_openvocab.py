@@ -171,7 +171,18 @@ def main() -> None:
             sel_ds = VocabSceneDataset(val_p, n=48, width=hw[1],
                                        height=hw[0], seed=args.seed + 901)
             sel_imgs, sel_lbls = preload(sel_ds)
-            sel_tokens = jnp.asarray(tokenize_prompts(val_p))
+            # CALIBRATED selection: score val-composition scenes with the
+            # full train+val prompt list active. A val-only prompt list
+            # (9 prompts vs the ~40 a serving vocabulary carries) has no
+            # cross-prompt competition and once selected a step-800
+            # underfit snapshot that scored 0.67 on 9 prompts but 0.39 on
+            # the real vocabulary. Val GT indices shift by len(train_p)
+            # to address the combined list.
+            sel_lbls = sel_lbls.copy()
+            sel_lbls[..., 4] = np.where(sel_lbls[..., 4] >= 0,
+                                        sel_lbls[..., 4] + len(train_p),
+                                        sel_lbls[..., 4])
+            sel_tokens = jnp.asarray(tokenize_prompts(train_p + val_p))
             sel_infer = make_ov_infer(det, txt, conf_threshold=0.05)
 
         def val_map50() -> float:
