@@ -51,6 +51,14 @@ def main() -> None:
     ap.add_argument("--val-n", type=int, default=64)
     ap.add_argument("--holdout-every", type=int, default=5,
                     help="hold out 1/N of (color, shape) compositions")
+    ap.add_argument("--negative-every", type=int, default=5,
+                    help="1/N of compositions become trained negatives "
+                         "(unlabeled distractors); smaller N = stronger "
+                         "'composition absent from prompts => silent' "
+                         "pressure at the cost of train-vocab size")
+    ap.add_argument("--max-distractors", type=int, default=2,
+                    help="up to N negative-composition distractors per "
+                         "training scene")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--grammar", default="basic",
                     choices=("basic", "extended"),
@@ -93,13 +101,14 @@ def main() -> None:
     hw = (args.hw, args.hw)
     if args.val_every_comp:
         groups = split_phrases_groups(
-            args.holdout_every, seed=args.seed, grammar=args.grammar,
-            val_every=args.val_every_comp)
+            args.holdout_every, args.negative_every, seed=args.seed,
+            grammar=args.grammar, val_every=args.val_every_comp)
         train_p, held_p, neg_p, val_p = (groups["train"], groups["heldout"],
                                          groups["negatives"], groups["val"])
     else:
         train_p, held_p, neg_p = split_phrases_with_negatives(
-            args.holdout_every, seed=args.seed, grammar=args.grammar)
+            args.holdout_every, args.negative_every, seed=args.seed,
+            grammar=args.grammar)
         val_p = []
     print(f"backend={jax.default_backend()}  train vocab {len(train_p)}, "
           f"held-out {held_p}, negatives {neg_p}, selection-val {val_p}",
@@ -147,7 +156,7 @@ def main() -> None:
                                height=hw[0], seed=args.seed,
                                n_objects=(0, 3),
                                distractor_phrases=neg_p,
-                               n_distractors=(0, 2))
+                               n_distractors=(0, args.max_distractors))
         t0 = time.perf_counter()
         imgs, lbls = preload(ds)
         print(f"dataset {imgs.shape} in {time.perf_counter()-t0:.1f}s",
